@@ -1,0 +1,57 @@
+"""Option dataclasses mirroring the reference's public configuration.
+
+Reference:
+- ``ChunkOptions`` defaults: include/fast_pdf_parser/hierarchical_chunker.h:11-16
+  (max_tokens=512, min_tokens=150, overlap_tokens=0, thread_count=0).
+- Internal constants: src/hierarchical_chunker.cpp:19-21
+  (DEFAULT_MAX_TOKENS=512, DEFAULT_OVERLAP_TOKENS=50, DEFAULT_MIN_TOKENS=150)
+  — the internal overlap default of 50 is kept only as a named constant; the
+  public default remains 0.
+- ``ParseOptions``: include/fast_pdf_parser/fast_pdf_parser.h:12-19
+  (thread_count=hw, max_memory_per_page=50MB, extract_positions/fonts/colors,
+  batch_size=10). ``thread_count`` maps to Spark task parallelism,
+  ``batch_size`` to Arrow ``maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# src/hierarchical_chunker.cpp:19-21
+DEFAULT_MAX_TOKENS = 512
+DEFAULT_INTERNAL_OVERLAP_TOKENS = 50  # never the public default
+DEFAULT_MIN_TOKENS = 150
+
+
+@dataclass(frozen=True)
+class ChunkOptions:
+    """Chunking configuration (hierarchical_chunker.h:11-16)."""
+
+    max_tokens: int = 512
+    min_tokens: int = 150
+    overlap_tokens: int = 0
+    page_limit: int = 0  # 0 = no limit (src/hierarchical_chunker.cpp:592-594)
+
+    def validate(self) -> None:
+        # CLI validation semantics: src/chunk_pdf_cli.cpp:142-156
+        if self.min_tokens > self.max_tokens:
+            raise ValueError("min_tokens must be <= max_tokens")
+        if self.overlap_tokens >= self.max_tokens:
+            raise ValueError("overlap_tokens must be < max_tokens")
+
+
+@dataclass(frozen=True)
+class ParseOptions:
+    """Extraction/scale configuration (fast_pdf_parser.h:12-19), re-expressed
+    as Spark knobs."""
+
+    # Spark analogue of the reference thread pool size; 0 = leave the
+    # session's parallelism alone.
+    num_partitions: int = 0
+    # Arrow batch sizing — the analogue of the reference's batch_size=10 /
+    # 50MB-per-page memory budget (fast_pdf_parser.h:15,18).
+    arrow_max_records_per_batch: int = 64
+    # Extraction projection flags (text_extractor.h:9-14). The chunking path
+    # turns positions/fonts off (src/hierarchical_chunker.cpp:562-563).
+    extract_positions: bool = False
+    extract_fonts: bool = False

@@ -1,0 +1,365 @@
+"""The 7-pass hierarchical chunker — pure Python, exact reference semantics.
+
+Re-implements every pass of src/hierarchical_chunker.cpp:
+
+- Pass 1  annotate_lines            (:116-139)
+- Pass 2  create_semantic_units     (:142-179)
+- Pass 3  create_initial_chunks     (:182-222)
+- Pass 4  add_overlap               (:225-246)
+- Pass 5  merge_small_chunks_hierarchically (:249-304)
+- Pass 6  split_oversized_chunks    (:307-354)
+- Pass 7  final_merge_pass          (:357-414)
+- driver  create_hierarchical_chunks_internal (:417-462)
+  (empty-page filter :424-429, final token recount :457-459)
+
+These are sequential per-document folds carrying accumulator state — not
+SQL-expressible (SURVEY.md §2.7) — so they live here as plain functions and
+run inside a vectorized Arrow UDF with whole-document locality
+(operators/pipeline.py). Cross-document they are embarrassingly parallel.
+
+Pinned quirks (fixture-defining):
+
+- Pass 3: a single unit larger than max_tokens becomes its own oversized
+  chunk (:189-196).
+- Pass 4 runs BEFORE merge/split, so overlap describes pre-merge neighbors;
+  overlap never enters ``text`` (:225-246) and the public default is 0.
+- Pass 5: merge up to 1.1*max when next < min/2 (:276); veto when next has a
+  major heading (level<=2) and current >= min/2 (:281-283).
+- Pass 6: split fires only when current >= 0.8*max (:332); split chunks get
+  APPROXIMATE page ranges copied from the parent (:334,338) and RESET
+  heading flags (fresh ``Chunk()``); per-line token counts exclude the
+  newline, like pass 1.
+- Pass 7: strict <= max forward merge, then backward merge into the previous
+  output chunk (:391-407).
+- Final recount: chunk.tokens = count_tokens(full text INCLUDING newlines)
+  (:457-459) — this may differ from the sum of per-line counts; boundaries
+  are decided by the per-line sums, the reported count by the recount.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from fast_pdf_parser_spark.config import ChunkOptions
+from fast_pdf_parser_spark.functions.classifier import (
+    BLANK,
+    MAJOR_HEADING,
+    MINOR_HEADING,
+    detect_line_type,
+    split_page_lines,
+)
+from fast_pdf_parser_spark.functions.tokenizer import TiktokenTokenizer
+
+_NO_HEADING_LEVEL = 999  # src/hierarchical_chunker.cpp:48,78
+
+
+@dataclass
+class AnnotatedLine:
+    """src/hierarchical_chunker.cpp:34-40"""
+
+    text: str
+    type: str
+    tokens: int
+    page: int
+    heading_level: int = 0
+
+
+@dataclass
+class SemanticUnit:
+    """src/hierarchical_chunker.cpp:43-67"""
+
+    lines: list[AnnotatedLine] = field(default_factory=list)
+    total_tokens: int = 0
+    pages: set[int] = field(default_factory=set)
+    has_major_heading: bool = False
+    max_heading_level: int = _NO_HEADING_LEVEL  # lower = more important
+
+    def add_line(self, line: AnnotatedLine) -> None:
+        self.lines.append(line)
+        self.total_tokens += line.tokens
+        self.pages.add(line.page)
+        if line.type == MAJOR_HEADING:
+            self.has_major_heading = True
+            self.max_heading_level = min(self.max_heading_level, line.heading_level)
+
+    def get_text(self) -> str:
+        # one trailing "\n" per line (src/hierarchical_chunker.cpp:60-66)
+        return "".join(line.text + "\n" for line in self.lines)
+
+
+@dataclass
+class Chunk:
+    """src/hierarchical_chunker.cpp:70-79"""
+
+    text: str = ""
+    tokens: int = 0
+    start_page: int = -1
+    end_page: int = -1
+    overlap_text: str = ""
+    overlap_tokens: int = 0
+    has_major_heading: bool = False
+    min_heading_level: int = _NO_HEADING_LEVEL
+
+
+def annotate_lines(
+    pages: list[tuple[str, int]], tokenizer: TiktokenTokenizer
+) -> list[AnnotatedLine]:
+    """Pass 1 (src/hierarchical_chunker.cpp:116-139)."""
+    annotated: list[AnnotatedLine] = []
+    count = tokenizer.count_tokens
+    for page_text, page_num in pages:
+        for line in split_page_lines(page_text):
+            line_type, level = detect_line_type(line)
+            annotated.append(
+                AnnotatedLine(line, line_type, count(line), page_num, level)
+            )
+    return annotated
+
+
+def create_semantic_units(lines: list[AnnotatedLine]) -> list[SemanticUnit]:
+    """Pass 2 (src/hierarchical_chunker.cpp:142-179)."""
+    units: list[SemanticUnit] = []
+    current = SemanticUnit()
+
+    n = len(lines)
+    for i, line in enumerate(lines):
+        should_break = False
+        if line.type in (MAJOR_HEADING, MINOR_HEADING):
+            should_break = True
+        elif line.type == BLANK and i + 1 < n:
+            # 1-line lookahead (:154-159)
+            if lines[i + 1].type in (MAJOR_HEADING, MINOR_HEADING):
+                should_break = True
+
+        if should_break and current.lines:
+            units.append(current)
+            current = SemanticUnit()
+
+        # skip blank lines at unit boundaries (:168)
+        if not (line.type == BLANK and not current.lines):
+            current.add_line(line)
+
+    if current.lines:
+        units.append(current)
+    return units
+
+
+def create_initial_chunks(units: list[SemanticUnit], max_tokens: int) -> list[Chunk]:
+    """Pass 3 (src/hierarchical_chunker.cpp:182-222)."""
+    chunks: list[Chunk] = []
+    current = Chunk()
+
+    for unit in units:
+        if current.text and current.tokens + unit.total_tokens > max_tokens:
+            chunks.append(current)
+            current = Chunk()
+
+        current.text += unit.get_text()
+        current.tokens += unit.total_tokens
+
+        if unit.pages:
+            if current.start_page == -1:
+                current.start_page = min(unit.pages)
+            current.end_page = max(unit.pages)
+
+        if unit.has_major_heading:
+            current.has_major_heading = True
+            current.min_heading_level = min(
+                current.min_heading_level, unit.max_heading_level
+            )
+
+    if current.text:
+        chunks.append(current)
+    return chunks
+
+
+def add_overlap(
+    chunks: list[Chunk], overlap_tokens: int, tokenizer: TiktokenTokenizer
+) -> list[Chunk]:
+    """Pass 4 (src/hierarchical_chunker.cpp:225-246).
+
+    Byte-oriented like the reference (std::string::substr): the last
+    ``overlap_tokens*5`` BYTES are taken, then 10 BYTES are shaved until the
+    token count fits. Invalid UTF-8 prefixes from mid-character cuts are
+    decoded leniently at the string boundary (fixtures use ASCII overlap
+    regions, so this never fires there).
+    """
+    for i in range(1, len(chunks)):
+        prev_bytes = chunks[i - 1].text.encode("utf-8")
+        chars_to_take = min(len(prev_bytes), overlap_tokens * 5)
+        overlap = prev_bytes[len(prev_bytes) - chars_to_take :]
+        while (
+            tokenizer._count_line_cached(overlap) > overlap_tokens
+            and len(overlap) > 10
+        ):
+            overlap = overlap[10:]
+        chunks[i].overlap_text = overlap.decode("utf-8", errors="replace")
+        chunks[i].overlap_tokens = tokenizer._count_line_cached(overlap)
+    return chunks
+
+
+def merge_small_chunks_hierarchically(
+    chunks: list[Chunk], min_tokens: int, max_tokens: int
+) -> list[Chunk]:
+    """Pass 5 (src/hierarchical_chunker.cpp:249-304)."""
+    if not chunks:
+        return []
+
+    merged: list[Chunk] = []
+    i = 0
+    n = len(chunks)
+    while i < n:
+        src = chunks[i]
+        current = Chunk(
+            src.text, src.tokens, src.start_page, src.end_page,
+            src.overlap_text, src.overlap_tokens,
+            src.has_major_heading, src.min_heading_level,
+        )
+
+        while current.tokens < min_tokens and i + 1 < n:
+            nxt = chunks[i + 1]
+            combined = current.tokens + nxt.tokens
+
+            should_merge = False
+            if combined <= max_tokens:
+                should_merge = True
+            elif combined <= max_tokens * 1.1 and nxt.tokens < min_tokens / 2:
+                # 1.1x allowance (:276)
+                should_merge = True
+
+            # heading veto (:281-283)
+            if (
+                nxt.has_major_heading
+                and nxt.min_heading_level <= 2
+                and current.tokens >= min_tokens / 2
+            ):
+                should_merge = False
+
+            if not should_merge:
+                break
+
+            current.text += nxt.text
+            current.tokens = combined
+            current.end_page = nxt.end_page
+            if nxt.has_major_heading:
+                current.has_major_heading = True
+                current.min_heading_level = min(
+                    current.min_heading_level, nxt.min_heading_level
+                )
+            i += 1
+
+        merged.append(current)
+        i += 1
+    return merged
+
+
+def split_oversized_chunks(
+    chunks: list[Chunk], max_tokens: int, tokenizer: TiktokenTokenizer
+) -> list[Chunk]:
+    """Pass 6 (src/hierarchical_chunker.cpp:307-354)."""
+    result: list[Chunk] = []
+    count = tokenizer.count_tokens
+
+    for chunk in chunks:
+        if chunk.tokens <= max_tokens:
+            result.append(chunk)
+            continue
+
+        current = Chunk(start_page=chunk.start_page)
+        for line in split_page_lines(chunk.text):
+            line_tokens = count(line)
+            if current.text and current.tokens + line_tokens > max_tokens:
+                if current.tokens >= max_tokens * 0.8:  # threshold (:332)
+                    current.end_page = chunk.end_page  # approximate (:334)
+                    result.append(current)
+                    current = Chunk(start_page=chunk.start_page)  # approx (:338)
+            current.text += line + "\n"
+            current.tokens += line_tokens
+
+        if current.text:
+            current.end_page = chunk.end_page
+            result.append(current)
+    return result
+
+
+def final_merge_pass(
+    chunks: list[Chunk], min_tokens: int, max_tokens: int
+) -> list[Chunk]:
+    """Pass 7 (src/hierarchical_chunker.cpp:357-414)."""
+    if not chunks:
+        return []
+
+    final_chunks: list[Chunk] = []
+    i = 0
+    n = len(chunks)
+    while i < n:
+        src = chunks[i]
+        current = Chunk(
+            src.text, src.tokens, src.start_page, src.end_page,
+            src.overlap_text, src.overlap_tokens,
+            src.has_major_heading, src.min_heading_level,
+        )
+
+        # forward merge, strict cap (:370-388)
+        while current.tokens < min_tokens and i + 1 < n:
+            nxt = chunks[i + 1]
+            combined = current.tokens + nxt.tokens
+            if combined <= max_tokens:
+                current.text += nxt.text
+                current.tokens = combined
+                current.end_page = nxt.end_page
+                if nxt.has_major_heading:
+                    current.has_major_heading = True
+                    current.min_heading_level = min(
+                        current.min_heading_level, nxt.min_heading_level
+                    )
+                i += 1
+            else:
+                break
+
+        # backward merge into previous output chunk (:391-407)
+        if current.tokens < min_tokens and final_chunks:
+            prev = final_chunks[-1]
+            combined = prev.tokens + current.tokens
+            if combined <= max_tokens:
+                prev.text += current.text
+                prev.tokens = combined
+                prev.end_page = current.end_page
+                if current.has_major_heading:
+                    prev.has_major_heading = True
+                    prev.min_heading_level = min(
+                        prev.min_heading_level, current.min_heading_level
+                    )
+                i += 1
+                continue
+
+        final_chunks.append(current)
+        i += 1
+    return final_chunks
+
+
+def chunk_pages(
+    pages: list[tuple[str, int]],
+    tokenizer: TiktokenTokenizer,
+    options: ChunkOptions = ChunkOptions(),
+) -> list[Chunk]:
+    """Pipeline driver (src/hierarchical_chunker.cpp:417-462)."""
+    # empty-page filter (:424-429)
+    non_empty = [(t, p) for t, p in pages if t]
+    if not non_empty:
+        return []
+
+    lines = annotate_lines(non_empty, tokenizer)
+    units = create_semantic_units(lines)
+    chunks = create_initial_chunks(units, options.max_tokens)
+    chunks = add_overlap(chunks, options.overlap_tokens, tokenizer)
+    chunks = merge_small_chunks_hierarchically(
+        chunks, options.min_tokens, options.max_tokens
+    )
+    chunks = split_oversized_chunks(chunks, options.max_tokens, tokenizer)
+    chunks = final_merge_pass(chunks, options.min_tokens, options.max_tokens)
+
+    # final token recount (:457-459)
+    for chunk in chunks:
+        chunk.tokens = tokenizer.count_tokens(chunk.text)
+    return chunks
