@@ -167,15 +167,19 @@ _TOKENIZERS: dict[str, TiktokenTokenizer] = {}
 def _load_vocab_singleton(path: str) -> dict[bytes, int]:
     vocab = _VOCABS.get(path)
     if vocab is None:
-        if not os.path.exists(path) and path == _DEFAULT_VOCAB_PATH:
-            # Self-heal: regenerate the deterministic fixture vocab.
+        try:
+            with open(path, encoding="ascii") as f:
+                vocab = parse_vocab_text(f.read())
+        except OSError:
+            if path != _DEFAULT_VOCAB_PATH:
+                raise
+            # Default fixture vocab is code-generated and deterministic —
+            # regenerate in memory when the data file is unreadable (e.g.
+            # the package was shipped to executors as a --py-files zip).
             from fast_pdf_parser_spark.functions.vocab_fixture import (
-                write_vocab_file,
+                vocab_file_text,
             )
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            write_vocab_file(path)
-        with open(path, encoding="ascii") as f:
-            vocab = parse_vocab_text(f.read())
+            vocab = parse_vocab_text(vocab_file_text())
         _VOCABS[path] = vocab
     return vocab
 

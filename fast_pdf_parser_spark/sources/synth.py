@@ -1,0 +1,149 @@
+"""Deterministic synthetic interleaved-span corpus (FIXTURES.md §3).
+
+Generates the BASELINE.json input table shape:
+
+    documents(doc_id: string,
+              spans: array<struct<kind:string, text:string,
+                                  media_ref:string, offset:int>>)
+
+- ``kind='text'`` pages mirror the reference's synthetic generator
+  (benchmarks/benchmark_passes.cpp:11-35): ``# Chapter i`` + intro paragraph
+  + 3 × ``## Section i.j`` × 5 paragraphs.
+- ``kind='media'`` spans are inserted at deterministic positions and must
+  pass through the pipeline unmodified in document order.
+- ``kind='pdf'`` spans hold base64 minimal PDFs built by sources/pdf_builder
+  (enabled with ``include_pdf=True``).
+- Page counts are drawn from a skewed bucket distribution mirroring the
+  reference corpus's 9→1366-page spread (chunk_test_summary.md:9-44) so skew
+  handling is actually exercised.
+
+Everything is keyed on (seed, doc index) only — independent of partitioning
+and generation order, so distributed generation is reproducible.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Iterator
+
+# Skewed page-count buckets (weight, pages): most docs tiny, a long tail of
+# huge ones — mirrors the reference corpus 9..1366 spread.
+_PAGE_BUCKETS = [
+    (40, 1),
+    (25, 3),
+    (10, 6),
+    (5, 9),
+    (4, 20),
+    (1, 108),
+]
+_BUCKET_CHOICES = [p for w, p in _PAGE_BUCKETS for _ in range(w)]
+
+_SENTENCES = [
+    "The quick brown fox jumps over the lazy dog near the river bank.",
+    "Every document in the corpus follows the same deterministic template.",
+    "Large scale data processing systems must handle skew explicitly.",
+    "This paragraph explains the main idea of the section in plain words.",
+    "Careful measurement beats guessing when tuning a parallel pipeline.",
+    "A long tail of very large documents dominates the processing time.",
+    "Content extraction keeps document order significant at every level.",
+    "Token counts decide chunk boundaries so the tokenizer must be exact.",
+]
+
+
+def page_text(doc_idx: int, page_idx: int, seed: int = 42) -> str:
+    """One markdown page, deterministic in (seed, doc_idx, page_idx).
+
+    Mirrors benchmark_passes.cpp:11-35: chapter heading, intro, 3 sections
+    with 5 paragraphs each, blank lines between blocks.
+    """
+    rng = random.Random(f"{seed}:{doc_idx}:{page_idx}")
+    lines = [f"# Chapter {page_idx + 1}", ""]
+    intro = " ".join(rng.choice(_SENTENCES) for _ in range(3))
+    lines.append(f"This is the introduction to chapter {page_idx + 1}. {intro}")
+    lines.append("")
+    for s in range(1, 4):
+        lines.append(f"## Section {page_idx + 1}.{s}")
+        for _ in range(5):
+            para = " ".join(rng.choice(_SENTENCES) for _ in range(rng.randint(2, 5)))
+            lines.append(para)
+        lines.append("")
+    return "\n".join(lines)
+
+
+def make_doc(doc_idx: int, seed: int = 42, include_pdf: bool = False) -> dict:
+    """One document row: {'doc_id', 'spans'} with interleaved spans."""
+    rng = random.Random(f"{seed}:{doc_idx}")
+    n_pages = rng.choice(_BUCKET_CHOICES)
+    spans = []
+    offset = 0
+    # ~12% of docs start with a media span (cover image)
+    if rng.random() < 0.12:
+        spans.append(
+            {"kind": "media", "text": None,
+             "media_ref": f"media://img/{doc_idx:06d}_cover.png", "offset": offset}
+        )
+        offset += 1
+    for p in range(n_pages):
+        kind = "text"
+        if include_pdf and rng.random() < 0.25:
+            from fast_pdf_parser_spark.sources.pdf_builder import build_pdf_span
+            spans.append(
+                {"kind": "pdf", "text": build_pdf_span(doc_idx, p, seed),
+                 "media_ref": None, "offset": offset}
+            )
+        else:
+            spans.append(
+                {"kind": kind, "text": page_text(doc_idx, p, seed),
+                 "media_ref": None, "offset": offset}
+            )
+        offset += 1
+        # ~8% chance of an inline media span after a page
+        if rng.random() < 0.08:
+            spans.append(
+                {"kind": "media", "text": None,
+                 "media_ref": f"media://img/{doc_idx:06d}_{p:04d}.png",
+                 "offset": offset}
+            )
+            offset += 1
+    return {"doc_id": f"doc_{doc_idx:08d}", "spans": spans}
+
+
+def iter_docs(n_docs: int, seed: int = 42,
+              include_pdf: bool = False) -> Iterator[dict]:
+    for i in range(n_docs):
+        yield make_doc(i, seed, include_pdf)
+
+
+SPANS_DDL = (
+    "doc_id string, spans array<struct<kind:string, text:string, "
+    "media_ref:string, offset:int>>"
+)
+
+
+def spans_dataframe(spark, n_docs: int, seed: int = 42,
+                    include_pdf: bool = False, num_partitions: int = 0):
+    """Distributed deterministic generation: spark.range → mapInPandas.
+
+    Reproducible regardless of partitioning because every doc depends only on
+    (seed, doc index).
+    """
+    import pandas as pd
+
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_doc(int(i), seed, include_pdf) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return (
+        spark.range(0, n_docs, numPartitions=parts)
+        .mapInPandas(gen, schema=SPANS_DDL)
+    )
+
+
+def write_corpus(spark, path: str, n_docs: int, seed: int = 42,
+                 include_pdf: bool = False, num_partitions: int = 0) -> str:
+    df = spans_dataframe(spark, n_docs, seed, include_pdf, num_partitions)
+    df.write.mode("overwrite").parquet(path)
+    return path
