@@ -70,12 +70,18 @@ def page_text(doc_idx: int, page_idx: int, seed: int = 42) -> str:
     return "\n".join(lines)
 
 
-def make_doc(doc_idx: int, seed: int = 42, include_pdf: bool = False) -> dict:
-    """One document row: {'doc_id', 'spans'} with interleaved spans."""
+def make_doc(doc_idx: int, seed: int = 42, include_pdf: bool = False,
+             corrupt_doc_idx: int = -1) -> dict:
+    """One document row: {'doc_id', 'spans'} with interleaved spans.
+
+    ``corrupt_doc_idx``: that document's first pdf span is built with a
+    truncated stream (FIXTURES.md §3.3 — pins per-span error capture).
+    """
     rng = random.Random(f"{seed}:{doc_idx}")
     n_pages = rng.choice(_BUCKET_CHOICES)
     spans = []
     offset = 0
+    corrupted = False
     # ~12% of docs start with a media span (cover image)
     if rng.random() < 0.12:
         spans.append(
@@ -87,8 +93,11 @@ def make_doc(doc_idx: int, seed: int = 42, include_pdf: bool = False) -> dict:
         kind = "text"
         if include_pdf and rng.random() < 0.25:
             from fast_pdf_parser_spark.sources.pdf_builder import build_pdf_span
+            corrupt = doc_idx == corrupt_doc_idx and not corrupted
+            corrupted = corrupted or corrupt
             spans.append(
-                {"kind": "pdf", "text": build_pdf_span(doc_idx, p, seed),
+                {"kind": "pdf",
+                 "text": build_pdf_span(doc_idx, p, seed, corrupt=corrupt),
                  "media_ref": None, "offset": offset}
             )
         else:
