@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""Benchmark driver: headline extraction throughput + key operator timings.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input tables dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  SPARK_GRAFT_NDOCS   synthetic corpus size override
+  SPARK_GRAFT_PDF     include kind='pdf' spans fraction (default on)
+
+The headline measures the flagship zero-shuffle extraction pipeline
+(operators/pipeline.py) over a parquet-backed synthetic interleaved corpus
+(sources/synth.py — skewed page distribution, media + pdf spans), reporting
+wall sec plus derived docs/sec, pages/sec and MB/sec of decoded bytes — the
+BASELINE.json metric. The corpus is generated once per (sf, size) and cached
+under /tmp so repeated runs measure extraction, not generation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def corpus_docs_for(sf_dir: str) -> int:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    table = {"sf0.001": 200, "sf0.01": 800, "sf0.1": 4000}
+    return int(os.environ.get("SPARK_GRAFT_NDOCS", table.get(name, 800)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    include_pdf = os.environ.get("SPARK_GRAFT_PDF", "1") == "1"
+    n_docs = corpus_docs_for(sf_dir)
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("fast_pdf_parser_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from fast_pdf_parser_spark.config import ParseOptions
+    from fast_pdf_parser_spark.operators.pipeline import extract_documents
+    from fast_pdf_parser_spark.sources.synth import write_corpus
+    from fast_pdf_parser_spark.util import ship_package
+
+    ship_package(spark)
+
+    corpus_path = f"/tmp/spark_graft_bench_corpus_{sf_name}_{n_docs}" + (
+        "_pdf" if include_pdf else ""
+    )
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        write_corpus(spark, corpus_path, n_docs, seed=42,
+                     include_pdf=include_pdf, num_partitions=cpus * 4)
+
+    queries: dict[str, float] = {}
+
+    # --- headline: e2e extraction over the interleaved corpus ---------------
+    spans = spark.read.parquet(corpus_path)
+    popts = ParseOptions(num_partitions=cpus * 4)
+    t0 = time.time()
+    out = extract_documents(spans, parse_options=popts)
+    agg = out.agg(
+        F.countDistinct("doc_id").alias("docs"),
+        F.sum(F.when(F.col("kind") == "chunk", 1).otherwise(0)).alias("chunks"),
+        F.sum(F.when(F.col("offset") == 0, F.col("doc_total_pages"))
+              .otherwise(0)).alias("pages"),
+        F.sum(F.when(F.col("offset") == 0, F.col("doc_bytes_decoded"))
+              .otherwise(0)).alias("bytes"),
+        F.sum(F.when(F.col("offset") == 0, F.col("doc_parse_failures"))
+              .otherwise(0)).alias("failures"),
+    ).collect()[0]
+    e2e = time.time() - t0
+    queries["pipeline_extract"] = round(e2e, 3)
+
+    # --- representative operator queries ------------------------------------
+    import __spark_entry__ as entrymod
+
+    qmap = entrymod.queries()
+    for name in ["f4_semantic_units", "dedup_minhash_signatures",
+                 "dedup_lsh_pairs", "ann_cosine_topk", "events_sessionize",
+                 "text_quality_score"]:
+        t0 = time.time()
+        qmap[name](spark, sf_dir).count()
+        queries[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "e2e_interleaved_extraction_wall_sec",
+        "value": round(e2e, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_name,
+        "cpus": cpus,
+        "corpus_docs": int(agg["docs"]),
+        "corpus_pages": int(agg["pages"]),
+        "chunks": int(agg["chunks"]),
+        "parse_failures": int(agg["failures"]),
+        "decoded_mb": round(agg["bytes"] / 1e6, 2),
+        "docs_per_sec": round(agg["docs"] / e2e, 1),
+        "pages_per_sec": round(agg["pages"] / e2e, 1),
+        "decoded_mb_per_sec": round(agg["bytes"] / 1e6 / e2e, 2),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

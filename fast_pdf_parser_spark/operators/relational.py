@@ -1,0 +1,653 @@
+"""Relational (SQL-expressible) operator queries with DuckDB oracles.
+
+Each entry pairs a Spark SQL text with a semantically identical DuckDB SQL
+text over the driver-provided tables (documents, embeddings, events). The
+driver runs both and compares row counts + schemas + order-insensitive value
+hashes (CORRECTNESS_r{N}.json) — so every computed column carries the SAME
+alias in both dialects, floats are rounded, and timestamps are avoided.
+
+Operator coverage (SURVEY.md §2 keys in names):
+
+- P3/P6/F3/F4/W2/O3/A2/A5/A6 re-express the reference's relational axes over
+  a *derived lines* model: ``documents.text`` is a single-line word bag, so
+  both dialects derive deterministic "pages" from it — 8-word lines with
+  line_no-keyed markdown markers (headings/lists/code/blank) — giving the
+  classifier and sessionization real structure. The derivation is part of
+  the query (identical in both engines), so the cross-engine check validates
+  the classification/lookahead/cumsum logic itself.
+- Training-data ops (dedup exact/minhash/LSH/jaccard/simhash, ANN top-k,
+  lang-id, quality, token counts, fingerprints) run over documents and
+  embeddings directly.
+
+Portability notes (why expressions look the way they do):
+
+- 60-bit hash: Spark ``conv(substr(md5(x),1,15),16,10)`` == DuckDB
+  ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)`` (15 hex digits < 2^63).
+- Quintiles replicate the reference's index-based ``sorted[p*(n-1)]``
+  (hierarchical_chunker.cpp:480-483) via row_number, not percentile
+  interpolation.
+- DuckDB lacks WITH ORDINALITY; positions come from
+  ``unnest(list_zip(xs, range(0, len(xs))))`` with numeric struct access.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# Derived-lines CTE (the shared "page model" for line-based operators)
+# ---------------------------------------------------------------------------
+
+# Spark: posexplode → group words into 8-word lines (order restored via
+# array_sort over (pos, word) structs), then line_no-keyed markers.
+_SPARK_LINES = """
+words AS (
+  SELECT doc_id, pos, word
+  FROM documents LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word
+),
+lines0 AS (
+  SELECT doc_id, CAST(floor(pos / 8) AS INT) AS line_no,
+         array_join(transform(array_sort(collect_list(struct(pos, word))),
+                              x -> x.word), ' ') AS body
+  FROM words GROUP BY doc_id, CAST(floor(pos / 8) AS INT)
+),
+lines AS (
+  SELECT doc_id, line_no,
+         CASE CAST(line_no % 7 AS INT)
+           WHEN 0 THEN '# ' || body
+           WHEN 1 THEN '## ' || body
+           WHEN 2 THEN '### ' || body
+           WHEN 3 THEN '- ' || body
+           WHEN 4 THEN '  ' || body
+           WHEN 5 THEN ''
+           ELSE body END AS line
+  FROM lines0
+)
+"""
+
+_DUCK_LINES = """
+words AS (
+  SELECT doc_id, u.w[2] AS pos, u.w[1] AS word
+  FROM (SELECT doc_id,
+               unnest(list_zip(split(text, ' '),
+                               range(0, length(split(text, ' '))))) AS w
+        FROM documents) u
+),
+lines0 AS (
+  SELECT doc_id, CAST(pos // 8 AS INT) AS line_no,
+         string_agg(word, ' ' ORDER BY pos) AS body
+  FROM words GROUP BY doc_id, CAST(pos // 8 AS INT)
+),
+lines AS (
+  SELECT doc_id, line_no,
+         CASE CAST(line_no % 7 AS INT)
+           WHEN 0 THEN '# ' || body
+           WHEN 1 THEN '## ' || body
+           WHEN 2 THEN '### ' || body
+           WHEN 3 THEN '- ' || body
+           WHEN 4 THEN '  ' || body
+           WHEN 5 THEN ''
+           ELSE body END AS line
+  FROM lines0
+)
+"""
+
+# Line-type classification per detect_line_type precedence
+# (src/hierarchical_chunker.cpp:82-113): BLANK → HEADING → LIST → CODE →
+# NORMAL, with the heading level from the '#' run length.
+_SPARK_CLASSIFY = """
+classified AS (
+  SELECT doc_id, line_no, line,
+    CASE
+      WHEN line RLIKE '^[ \\t]*$' THEN 'BLANK'
+      WHEN line RLIKE '^#+[ \\t]+.+$' THEN
+        CASE WHEN length(regexp_extract(line, '^(#+)[ \\t]+', 1)) <= 2
+             THEN 'MAJOR_HEADING' ELSE 'MINOR_HEADING' END
+      WHEN line RLIKE '^[ \\t]*[-*+][ \\t]+.+$'
+        OR line RLIKE '^[ \\t]*[0-9]+\\.[ \\t]+.+$' THEN 'LIST_ITEM'
+      WHEN line LIKE '%```%' OR line LIKE '  %' THEN 'CODE_BLOCK'
+      ELSE 'NORMAL' END AS line_type,
+    CASE WHEN line RLIKE '^#+[ \\t]+.+$'
+         THEN length(regexp_extract(line, '^(#+)[ \\t]+', 1))
+         ELSE 0 END AS heading_level
+  FROM lines
+)
+"""
+
+_DUCK_CLASSIFY = r"""
+classified AS (
+  SELECT doc_id, line_no, line,
+    CASE
+      WHEN regexp_matches(line, '^[ \t]*$') THEN 'BLANK'
+      WHEN regexp_matches(line, '^#+[ \t]+.+$') THEN
+        CASE WHEN length(regexp_extract(line, '^(#+)[ \t]+', 1)) <= 2
+             THEN 'MAJOR_HEADING' ELSE 'MINOR_HEADING' END
+      WHEN regexp_matches(line, '^[ \t]*[-*+][ \t]+.+$')
+        OR regexp_matches(line, '^[ \t]*[0-9]+\.[ \t]+.+$') THEN 'LIST_ITEM'
+      WHEN line LIKE '%```%' OR line LIKE '  %' THEN 'CODE_BLOCK'
+      ELSE 'NORMAL' END AS line_type,
+    CASE WHEN regexp_matches(line, '^#+[ \t]+.+$')
+         THEN length(regexp_extract(line, '^(#+)[ \t]+', 1))
+         ELSE 0 END AS heading_level
+  FROM lines
+)
+"""
+
+_HASH60_SPARK = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+_HASH60_DUCK = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+def _pair(spark_sql: str, duck_sql: str) -> dict[str, str]:
+    return {"spark": spark_sql, "duck": duck_sql}
+
+
+QUERIES: dict[str, dict[str, str]] = {}
+
+# --- P3: empty filter --------------------------------------------------------
+QUERIES["p3_empty_filter"] = _pair(
+    f"""WITH {_SPARK_LINES}
+SELECT doc_id,
+       sum(CASE WHEN line RLIKE '^[ \\t]*$' THEN 0 ELSE 1 END) AS nonblank_lines,
+       count(*) AS total_lines
+FROM lines GROUP BY doc_id""",
+    f"""WITH {_DUCK_LINES}
+SELECT doc_id,
+       sum(CASE WHEN regexp_matches(line, '^[ \t]*$') THEN 0 ELSE 1 END) AS nonblank_lines,
+       count(*) AS total_lines
+FROM lines GROUP BY doc_id""",
+)
+
+# --- P6: line-type classification -------------------------------------------
+QUERIES["p6_line_classify"] = _pair(
+    f"""WITH {_SPARK_LINES}, {_SPARK_CLASSIFY}
+SELECT doc_id, line_type, CAST(max(heading_level) AS INT) AS max_level,
+       count(*) AS n_lines
+FROM classified GROUP BY doc_id, line_type""",
+    f"""WITH {_DUCK_LINES}, {_DUCK_CLASSIFY}
+SELECT doc_id, line_type, CAST(max(heading_level) AS INT) AS max_level,
+       count(*) AS n_lines
+FROM classified GROUP BY doc_id, line_type""",
+)
+
+# --- F3: page text → lines split (posexplode with order kept) ---------------
+QUERIES["f3_line_explode"] = _pair(
+    f"""WITH {_SPARK_LINES}
+SELECT doc_id, line_no, length(line) AS line_len
+FROM lines WHERE doc_id % 10 = 0""",
+    f"""WITH {_DUCK_LINES}
+SELECT doc_id, line_no, length(line) AS line_len
+FROM lines WHERE doc_id % 10 = 0""",
+)
+
+# --- W2 + F4: lookahead break flags → cumulative-sum sessionization ---------
+# is_break per create_semantic_units (src/hierarchical_chunker.cpp:142-179):
+# break on any heading, or on a blank whose NEXT line is a heading.
+_SPARK_BREAKS = """
+breaks AS (
+  SELECT doc_id, line_no, line_type,
+    CASE
+      WHEN line_type IN ('MAJOR_HEADING', 'MINOR_HEADING') THEN 1
+      WHEN line_type = 'BLANK' AND
+           lead(line_type) OVER (PARTITION BY doc_id ORDER BY line_no)
+             IN ('MAJOR_HEADING', 'MINOR_HEADING') THEN 1
+      ELSE 0 END AS is_break
+  FROM classified
+)
+"""
+_DUCK_BREAKS = _SPARK_BREAKS  # identical dialect here
+
+QUERIES["w2_lookahead_breaks"] = _pair(
+    f"""WITH {_SPARK_LINES}, {_SPARK_CLASSIFY}, {_SPARK_BREAKS}
+SELECT doc_id, line_no, is_break FROM breaks WHERE doc_id % 10 = 1""",
+    f"""WITH {_DUCK_LINES}, {_DUCK_CLASSIFY}, {_DUCK_BREAKS}
+SELECT doc_id, line_no, is_break FROM breaks WHERE doc_id % 10 = 1""",
+)
+
+QUERIES["f4_semantic_units"] = _pair(
+    f"""WITH {_SPARK_LINES}, {_SPARK_CLASSIFY}, {_SPARK_BREAKS},
+units AS (
+  SELECT doc_id, line_no,
+         sum(is_break) OVER (PARTITION BY doc_id ORDER BY line_no
+                             ROWS UNBOUNDED PRECEDING) AS unit_id
+  FROM breaks
+)
+SELECT doc_id, CAST(max(unit_id) + 1 AS BIGINT) AS n_units,
+       count(*) AS n_lines
+FROM units GROUP BY doc_id""",
+    f"""WITH {_DUCK_LINES}, {_DUCK_CLASSIFY}, {_DUCK_BREAKS},
+units AS (
+  SELECT doc_id, line_no,
+         sum(is_break) OVER (PARTITION BY doc_id ORDER BY line_no
+                             ROWS UNBOUNDED PRECEDING) AS unit_id
+  FROM breaks
+)
+SELECT doc_id, CAST(max(unit_id) + 1 AS BIGINT) AS n_units,
+       count(*) AS n_lines
+FROM units GROUP BY doc_id""",
+)
+
+# --- A2: O(1) token estimate (bytes+3)/4 (tiktoken_tokenizer.h:221-223) -----
+QUERIES["a2_token_estimate"] = _pair(
+    """SELECT doc_id,
+       CAST(floor((octet_length(text) + 3) / 4) AS BIGINT) AS est_tokens
+FROM documents""",
+    """SELECT doc_id,
+       CAST(floor((strlen(text) + 3) / 4) AS BIGINT) AS est_tokens
+FROM documents""",
+)
+
+# --- A5: distribution analysis (hierarchical_chunker.cpp:464-533) -----------
+# quintile = sorted[floor(p*(n-1))] exactly like the reference's get_quintile.
+_A5_BODY = """
+est AS (SELECT CAST(floor(({bytelen}(text) + 3) / 4) AS BIGINT) AS tokens
+        FROM documents),
+ranked AS (SELECT tokens, row_number() OVER (ORDER BY tokens) - 1 AS rn,
+                  count(*) OVER () AS n FROM est)
+SELECT min(tokens) AS min_tokens, max(tokens) AS max_tokens,
+       CAST(floor(sum(tokens) * CAST(1.0 AS DOUBLE) / count(*)) AS BIGINT) AS avg_tokens,
+       max(CASE WHEN rn = CAST(floor(0.2 * (n - 1)) AS BIGINT) THEN tokens END) AS p20,
+       max(CASE WHEN rn = CAST(floor(0.4 * (n - 1)) AS BIGINT) THEN tokens END) AS p40,
+       max(CASE WHEN rn = CAST(floor(0.6 * (n - 1)) AS BIGINT) THEN tokens END) AS p60,
+       max(CASE WHEN rn = CAST(floor(0.8 * (n - 1)) AS BIGINT) THEN tokens END) AS p80
+FROM ranked"""
+QUERIES["a5_distribution"] = _pair(
+    "WITH " + _A5_BODY.format(bytelen="octet_length"),
+    "WITH " + _A5_BODY.format(bytelen="strlen"),
+)
+
+# histogram buckets exactly as hierarchical_chunker.cpp:498-509
+_A5_HIST = """
+est AS (SELECT CAST(floor(({bytelen}(text) + 3) / 4) AS BIGINT) AS tokens
+        FROM documents)
+SELECT CASE
+         WHEN tokens <= 50 THEN '1-50'
+         WHEN tokens <= 100 THEN '51-100'
+         WHEN tokens <= 150 THEN '101-150'
+         WHEN tokens <= 200 THEN '151-200'
+         WHEN tokens <= 300 THEN '201-300'
+         WHEN tokens <= 400 THEN '301-400'
+         WHEN tokens <= 500 THEN '401-500'
+         WHEN tokens <= 512 THEN '501-512'
+         ELSE '513+' END AS bucket,
+       count(*) AS n_docs
+FROM est GROUP BY 1"""
+QUERIES["a5_histogram"] = _pair(
+    "WITH " + _A5_HIST.format(bytelen="octet_length"),
+    "WITH " + _A5_HIST.format(bytelen="strlen"),
+)
+
+# --- A6: file/content hash (xxhash64-analogue, portable 60-bit md5) ---------
+QUERIES["a6_content_hash"] = _pair(
+    f"""SELECT doc_id, {_HASH60_SPARK.format(x='text')} AS binary_hash
+FROM documents""",
+    f"""SELECT doc_id, {_HASH60_DUCK.format(x='text')} AS binary_hash
+FROM documents""",
+)
+
+# --- O3: chunk indexing analogue (row_number per group) ----------------------
+QUERIES["o3_row_index"] = _pair(
+    """SELECT doc_id, source,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INT)
+         AS chunk_index
+FROM documents""",
+    """SELECT doc_id, source,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INT)
+         AS chunk_index
+FROM documents""",
+)
+
+# --- sessionization over events (the F4 cumsum pattern at scale) -------------
+_SESSION_SPARK = """WITH gaps AS (
+  SELECT user_id, event_id,
+    CASE WHEN unix_timestamp(ts) -
+              lag(unix_timestamp(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(session_id AS INT) AS session_id,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_id"""
+
+_SESSION_DUCK = """WITH gaps AS (
+  SELECT user_id, event_id,
+    CASE WHEN epoch(ts) -
+              lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(session_id AS INT) AS session_id,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_id"""
+
+QUERIES["events_sessionize"] = _pair(_SESSION_SPARK, _SESSION_DUCK)
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+# exact dedup: content-hash groups, keep min doc_id as representative
+_DEDUP_EXACT = f"""
+hashed AS (SELECT doc_id, {{h}} AS content_hash FROM documents)
+SELECT content_hash, min(doc_id) AS keep_doc_id,
+       count(*) AS group_size
+FROM hashed GROUP BY content_hash"""
+QUERIES["dedup_exact"] = _pair(
+    "WITH " + _DEDUP_EXACT.format(h=_HASH60_SPARK.format(x="text")),
+    "WITH " + _DEDUP_EXACT.format(h=_HASH60_DUCK.format(x="text")),
+)
+
+# word-set fingerprint dedup (near-dup on sorted distinct words)
+QUERIES["dedup_wordset"] = _pair(
+    f"""WITH norm AS (
+  SELECT doc_id,
+         array_join(array_sort(array_distinct(split(text, ' '))), ' ') AS ws
+  FROM documents)
+SELECT {_HASH60_SPARK.format(x='ws')} AS wordset_hash,
+       min(doc_id) AS keep_doc_id, count(*) AS group_size
+FROM norm GROUP BY 1""",
+    f"""WITH norm AS (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct(split(text, ' '))), ' ') AS ws
+  FROM documents)
+SELECT {_HASH60_DUCK.format(x='ws')} AS wordset_hash,
+       min(doc_id) AS keep_doc_id, count(*) AS group_size
+FROM norm GROUP BY 1""",
+)
+
+# MinHash signatures: 16 hash functions h_i(w) = hash60(i || ':' || w),
+# signature element = min over the doc's distinct words (shingle size 1 —
+# word unigrams; the banding below groups 4 consecutive elements per band)
+_MINHASH_SPARK = f"""WITH w AS (
+  SELECT DISTINCT doc_id, word
+  FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word
+),
+seeded AS (
+  SELECT doc_id, seed,
+         min({_HASH60_SPARK.format(x="concat(CAST(seed AS STRING), ':', word)")}) AS minhash
+  FROM w LATERAL VIEW explode(sequence(0, 15)) s AS seed
+  GROUP BY doc_id, seed
+)
+SELECT doc_id, CAST(seed AS INT) AS seed, minhash FROM seeded"""
+
+_MINHASH_DUCK = f"""WITH w AS (
+  SELECT DISTINCT doc_id, unnest(split(text, ' ')) AS word FROM documents
+),
+seeded AS (
+  SELECT doc_id, seed,
+         min({_HASH60_DUCK.format(x="concat(CAST(seed AS VARCHAR), ':', word)")}) AS minhash
+  FROM w, unnest(range(0, 16)) AS t(seed)
+  GROUP BY doc_id, seed
+)
+SELECT doc_id, CAST(seed AS INT) AS seed, minhash FROM seeded"""
+
+QUERIES["dedup_minhash_signatures"] = _pair(_MINHASH_SPARK, _MINHASH_DUCK)
+
+# LSH candidate pairs: 4 bands x 4 rows; docs sharing any band key pair up
+_LSH_TAIL = """
+bands AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+         {h_band} AS band_key
+  FROM (SELECT doc_id, seed, minhash FROM sig) s
+  GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
+
+_LSH_SPARK = (
+    "WITH sig AS (" + _MINHASH_SPARK + "), "
+    + _LSH_TAIL.format(
+        h_band=_HASH60_SPARK.format(
+            x="array_join(array_sort(collect_list("
+              "concat(CAST(seed AS STRING), '=', CAST(minhash AS STRING)))), ',')"
+        )
+    )
+)
+_LSH_DUCK = (
+    "WITH sig AS (" + _MINHASH_DUCK + "), "
+    + _LSH_TAIL.format(
+        h_band=_HASH60_DUCK.format(
+            x="array_to_string(list_sort(list("
+              "concat(CAST(seed AS VARCHAR), '=', CAST(minhash AS VARCHAR)))), ',')"
+        )
+    )
+)
+QUERIES["dedup_lsh_pairs"] = _pair(_LSH_SPARK, _LSH_DUCK)
+
+# n-gram (word bigram) jaccard between adjacent doc ids — linear, exact
+_JACCARD_SPARK = """WITH grams AS (
+  SELECT doc_id, collect_set(concat(w[0], ' ', w[1])) AS gs
+  FROM (
+    SELECT doc_id,
+           transform(sequence(0, size(split(text, ' ')) - 2),
+                     i -> array(split(text, ' ')[i], split(text, ' ')[i + 1])) AS pairs
+    FROM documents
+  ) t LATERAL VIEW explode(pairs) p AS w
+  GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(size(array_intersect(a.gs, b.gs)) AS INT) AS n_intersect,
+       CAST(size(array_union(a.gs, b.gs)) AS INT) AS n_union,
+       round(size(array_intersect(a.gs, b.gs)) * CAST(1.0 AS DOUBLE) /
+             size(array_union(a.gs, b.gs)), 4) AS jaccard
+FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1"""
+
+_JACCARD_DUCK = """WITH w AS (
+  SELECT doc_id, u.w[1] AS word, u.w[2] AS pos
+  FROM (SELECT doc_id,
+               unnest(list_zip(split(text, ' '),
+                               range(0, length(split(text, ' '))))) AS w
+        FROM documents) u
+),
+grams AS (
+  SELECT a.doc_id, list(DISTINCT concat(a.word, ' ', b.word)) AS gs
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(length(list_intersect(a.gs, b.gs)) AS INT) AS n_intersect,
+       CAST(length(list_distinct(list_concat(a.gs, b.gs))) AS INT) AS n_union,
+       round(length(list_intersect(a.gs, b.gs)) * CAST(1.0 AS DOUBLE) /
+             length(list_distinct(list_concat(a.gs, b.gs))), 4) AS jaccard
+FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1"""
+
+QUERIES["dedup_ngram_jaccard"] = _pair(_JACCARD_SPARK, _JACCARD_DUCK)
+
+# SimHash (16-bit) over distinct words: bit b set iff as many word-hashes
+# have bit b set as not (majority vote), hash = sum of bits << b
+_SIMHASH = """
+w AS ({words}),
+bits AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN CAST(floor(h / power(2, bit)) AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM (SELECT doc_id, {h} AS h FROM w) hashed
+  {bitsrc}
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN vote > 0 THEN CAST(power(2, bit) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS simhash16
+FROM bits GROUP BY doc_id"""
+
+QUERIES["dedup_simhash"] = _pair(
+    "WITH "
+    + _SIMHASH.format(
+        words="SELECT DISTINCT doc_id, word FROM documents "
+              "LATERAL VIEW explode(split(text, ' ')) t AS word",
+        h=_HASH60_SPARK.format(x="word"),
+        bitsrc="LATERAL VIEW explode(sequence(0, 15)) b AS bit",
+    ),
+    "WITH "
+    + _SIMHASH.format(
+        words="SELECT DISTINCT doc_id, unnest(split(text, ' ')) AS word "
+              "FROM documents",
+        h=_HASH60_DUCK.format(x="word"),
+        bitsrc=", unnest(range(0, 16)) AS t(bit)",
+    ),
+)
+
+# ANN: brute-force cosine top-k, rank-only output (no floats in the compare).
+# Queries = vec_id < 5; corpus = vec_id >= 5; cosine rounded to 6dp before
+# ranking, ties broken by vec_id.
+_ANN_SPARK = """WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(
+           aggregate(zip_with(qe, ce, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
+                     CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+           / (sqrt(aggregate(transform(qe, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),
+                             CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))
+              * sqrt(aggregate(transform(ce, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),
+                               CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))),
+           6) AS cos
+  FROM q CROSS JOIN c
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+FROM ranked WHERE rank <= 10"""
+
+_ANN_DUCK = """WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+pairs AS (
+  SELECT q.query_id, c.vec_id,
+         unnest(list_zip(qe, ce)) AS z
+  FROM q CROSS JOIN c
+),
+scored AS (
+  SELECT query_id, vec_id,
+         round(sum(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)) /
+               (sqrt(sum(CAST(z[1] AS DOUBLE) * CAST(z[1] AS DOUBLE))) *
+                sqrt(sum(CAST(z[2] AS DOUBLE) * CAST(z[2] AS DOUBLE)))), 6) AS cos
+  FROM pairs GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+FROM ranked WHERE rank <= 10"""
+
+QUERIES["ann_cosine_topk"] = _pair(_ANN_SPARK, _ANN_DUCK)
+
+# language-ID heuristic: stopword-hit counts per language, argmax with a
+# fixed tie order (non-overlapping split counting — identical both sides)
+_LANGS = {
+    "en": ["the", "and", "of", "is"],
+    "es": ["el", "la", "que", "los"],
+    "de": ["der", "die", "und", "nicht"],
+    "fr": ["le", "les", "des", "est"],
+    "zh": ["de5", "shi4", "zai4", "le5"],
+}
+
+
+def _lang_score(lang: str) -> str:
+    terms = [
+        f"(size(split(' ' || text || ' ', ' {w} ')) - 1)" for w in _LANGS[lang]
+    ]
+    return " + ".join(terms)
+
+
+def _lang_score_duck(lang: str) -> str:
+    terms = [
+        f"(length(split(' ' || text || ' ', ' {w} ')) - 1)" for w in _LANGS[lang]
+    ]
+    return " + ".join(terms)
+
+
+_LANG_CASE = """CASE
+  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+  WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+  WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+  WHEN s_fr >= s_zh THEN 'fr'
+  ELSE 'zh' END"""
+
+QUERIES["text_lang_id"] = _pair(
+    f"""WITH scores AS (
+  SELECT doc_id, {_lang_score('en')} AS s_en, {_lang_score('es')} AS s_es,
+         {_lang_score('de')} AS s_de, {_lang_score('fr')} AS s_fr,
+         {_lang_score('zh')} AS s_zh
+  FROM documents)
+SELECT doc_id, {_LANG_CASE} AS pred_lang,
+       CAST(s_en AS INT) AS s_en FROM scores""",
+    f"""WITH scores AS (
+  SELECT doc_id, {_lang_score_duck('en')} AS s_en, {_lang_score_duck('es')} AS s_es,
+         {_lang_score_duck('de')} AS s_de, {_lang_score_duck('fr')} AS s_fr,
+         {_lang_score_duck('zh')} AS s_zh
+  FROM documents)
+SELECT doc_id, {_LANG_CASE} AS pred_lang,
+       CAST(s_en AS INT) AS s_en FROM scores""",
+)
+
+# quality scoring: length/word/punct/stopword features, integer outputs
+_QUALITY = """SELECT doc_id,
+       CAST({nwords} AS INT) AS n_words,
+       CAST({ndistinct} AS INT) AS n_distinct_words,
+       round({ndistinct} * CAST(1.0 AS DOUBLE) / {nwords}, 4) AS distinct_ratio,
+       round({bytelen}(text) * CAST(1.0 AS DOUBLE) / {nwords}, 4) AS avg_word_bytes,
+       CASE WHEN {nwords} >= 50 AND {ndistinct} * CAST(1.0 AS DOUBLE) / {nwords} > 0.1
+            THEN 'keep' ELSE 'flag' END AS quality_gate
+FROM documents"""
+
+QUERIES["text_quality_score"] = _pair(
+    _QUALITY.format(
+        nwords="size(split(text, ' '))",
+        ndistinct="size(array_distinct(split(text, ' ')))",
+        bytelen="octet_length",
+    ),
+    _QUALITY.format(
+        nwords="length(split(text, ' '))",
+        ndistinct="length(list_distinct(split(text, ' ')))",
+        bytelen="strlen",
+    ),
+)
+
+# whitespace token counting
+QUERIES["text_token_count"] = _pair(
+    """SELECT doc_id, CAST(size(split(trim(text), '[ \\t\\n]+')) AS INT) AS n_tokens
+FROM documents WHERE length(trim(text)) > 0""",
+    r"""SELECT doc_id, CAST(length(regexp_split_to_array(trim(text), '[ \t\n]+')) AS INT) AS n_tokens
+FROM documents WHERE length(trim(text)) > 0""",
+)
+
+# document fingerprint: md5 of whitespace-normalized lowercased text
+QUERIES["text_fingerprint"] = _pair(
+    """SELECT doc_id, md5(lower(regexp_replace(text, '[ \\t\\n]+', ' '))) AS fingerprint
+FROM documents""",
+    r"""SELECT doc_id, md5(lower(regexp_replace(text, '[ \t\n]+', ' ', 'g'))) AS fingerprint
+FROM documents""",
+)
+
+
+def spark_sql(name: str) -> str:
+    return QUERIES[name]["spark"]
+
+
+def duck_sql(name: str) -> str:
+    return QUERIES[name]["duck"]
+
+
+def names() -> list[str]:
+    return list(QUERIES)

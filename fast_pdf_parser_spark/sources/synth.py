@@ -156,3 +156,84 @@ def write_corpus(spark, path: str, n_docs: int, seed: int = 42,
     df = spans_dataframe(spark, n_docs, seed, include_pdf, num_partitions)
     df.write.mode("overwrite").parquet(path)
     return path
+
+
+def interleaved_from_flat_documents(spark, sf_dir: str,
+                                    words_per_line: int = 8,
+                                    lines_per_page: int = 12):
+    """Derive the interleaved-span table from the driver's flat
+    ``documents(doc_id, text, ...)`` parquet, entirely with built-in
+    (JVM-side) functions — no UDF.
+
+    The derivation mirrors operators/relational.py's derived-lines model:
+    words → 8-word lines with line_no-keyed markdown markers (headings /
+    lists / code / blanks) → 12-line pages → one ``kind='text'`` span per
+    page, plus a deterministic ``kind='media'`` cover span for every 5th doc.
+    Deterministic in the input alone, so any scale factor works.
+    """
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    lines0 = (
+        words.groupBy("doc_id", (F.floor(F.col("pos") / words_per_line))
+                      .cast("int").alias("line_no"))
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                        lambda x: x["word"]), " ").alias("body"))
+    )
+    marker = (
+        F.when(F.col("line_no") % 7 == 0, F.concat(F.lit("# "), F.col("body")))
+        .when(F.col("line_no") % 7 == 1, F.concat(F.lit("## "), F.col("body")))
+        .when(F.col("line_no") % 7 == 2, F.concat(F.lit("### "), F.col("body")))
+        .when(F.col("line_no") % 7 == 3, F.concat(F.lit("- "), F.col("body")))
+        .when(F.col("line_no") % 7 == 4, F.concat(F.lit("  "), F.col("body")))
+        .when(F.col("line_no") % 7 == 5, F.lit(""))
+        .otherwise(F.col("body"))
+    )
+    lines = lines0.select("doc_id", "line_no", marker.alias("line"))
+    pages = (
+        lines.groupBy("doc_id", (F.floor(F.col("line_no") / lines_per_page))
+                      .cast("int").alias("page_no"))
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                        lambda x: x["line"]), "\n").alias("page_text"))
+    )
+    spans = (
+        pages.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("page_no", "page_text")))
+             .alias("ps"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.col("ps"),
+                lambda p, i: F.struct(
+                    F.lit("text").alias("kind"),
+                    p["page_text"].alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    (i + 1).cast("int").alias("offset"),
+                ),
+            ).alias("text_spans"),
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id").cast("bigint") % 5 == 0,
+                F.concat(
+                    F.array(F.struct(
+                        F.lit("media").alias("kind"),
+                        F.lit(None).cast("string").alias("text"),
+                        F.concat(F.lit("media://img/"), F.col("doc_id"),
+                                 F.lit("_cover.png")).alias("media_ref"),
+                        F.lit(0).cast("int").alias("offset"),
+                    )),
+                    F.col("text_spans"),
+                ),
+            ).otherwise(F.col("text_spans")).alias("spans"),
+        )
+    )
+    return spans

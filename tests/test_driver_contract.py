@@ -1,0 +1,60 @@
+"""Driver-contract tests: entry()/queries()/oracle_sql() behave as the
+driver expects, and a sample of oracle pairs actually matches DuckDB
+(the full sweep lives in tools/check_oracles.py)."""
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF_DIR, "documents.parquet")),
+    reason="driver testdata not present",
+)
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    cols = set(df.columns)
+    assert {"doc_id", "offset", "kind", "text", "media_ref"} <= cols
+
+
+def test_queries_and_oracles_consistent():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(o) <= set(q)  # every oracle has a query
+    # stateful pipeline entries are rows-only by design
+    assert "pipeline_extract_spans" in q and "pipeline_extract_spans" not in o
+    assert len(o) >= 15
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["p6_line_classify", "f4_semantic_units", "a5_distribution",
+     "dedup_minhash_signatures", "ann_cosine_topk"],
+)
+def test_oracle_parity_sample(spark, name):
+    import duckdb
+
+    from tools.check_oracles import TABLES, norm_rows
+
+    q = entrymod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    res = con.execute(entrymod.oracle_sql()[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows)
+    assert norm_rows(srows, scols) == norm_rows(drows, dcols)
