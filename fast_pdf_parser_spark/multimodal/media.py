@@ -1,0 +1,133 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+Media payloads are opaque ``binary`` columns with typed metadata structs;
+decode / feature-extraction / resize / frame-sampling run as Arrow-batched
+``mapInPandas`` stages. The Spark-side plumbing here — schemas, batch shape,
+partition-friendly signatures — is real and tested; the actual codec step is
+STUBBED because no image/audio library ships in this container:
+
+- ``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless a
+  real decoder (PIL / soundfile) is importable (import-try gated);
+- ``fake_decode_meta`` provides a deterministic stand-in (seeded by the
+  media_ref hash) so the distributed plumbing is testable end-to-end.
+
+At 100 TB the binary column dominates bytes moved: these stages must stay
+zero-shuffle (mapInPandas over whatever partitioning the scan produced) and
+column-pruned (select only media_ref/content before the UDF), which is how
+``extract_media_features`` is written.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+try:  # real decoder if ever available (not in this container)
+    from PIL import Image  # type: ignore  # noqa: F401
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+MEDIA_FEATURES_DDL = (
+    "doc_id string, media_ref string, media_type string, width int, "
+    "height int, channels int, duration_ms int, bytes_sha256 string, "
+    "n_bytes bigint, features array<float>"
+)
+
+
+def media_type_of(ref: str) -> str:
+    ref = (ref or "").lower()
+    if ref.endswith((".png", ".jpg", ".jpeg", ".gif", ".webp")):
+        return "image"
+    if ref.endswith((".mp3", ".wav", ".flac", ".ogg")):
+        return "audio"
+    if ref.endswith((".mp4", ".webm", ".mkv", ".avi")):
+        return "video"
+    return "unknown"
+
+
+def decode_image(data: bytes):
+    """Real image decode — unavailable here; the plumbing around it is what
+    this module tests. Swap in PIL on a cluster image that has it."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image decoding requires PIL, which is not installed; "
+            "use fake_decode_meta for plumbing tests"
+        )
+    raise NotImplementedError("real decode path intentionally stubbed")
+
+
+def fake_decode_meta(ref: str, data: bytes | None) -> dict:
+    """Deterministic stand-in decode: metadata derived from the ref hash,
+    byte stats from the (optional) payload."""
+    h = hashlib.sha256((ref or "").encode("utf-8")).digest()
+    kind = media_type_of(ref)
+    width = 64 + h[0] * 8 if kind in ("image", "video") else 0
+    height = 64 + h[1] * 8 if kind in ("image", "video") else 0
+    channels = 1 + h[2] % 4 if kind == "image" else 0
+    duration = 1000 + struct.unpack("<H", h[3:5])[0] if kind in (
+        "audio", "video") else 0
+    return {
+        "media_type": kind,
+        "width": int(width),
+        "height": int(height),
+        "channels": int(channels),
+        "duration_ms": int(duration),
+        "bytes_sha256": hashlib.sha256(data).hexdigest() if data else None,
+        "n_bytes": len(data) if data else 0,
+    }
+
+
+def fake_features(ref: str, dim: int = 16) -> list[float]:
+    """Deterministic unit-norm feature vector from the ref hash (the shape a
+    real embedding model would produce)."""
+    h = hashlib.sha256(f"feat:{ref}".encode("utf-8")).digest()
+    raw = [(h[i % 32] - 127.5) / 127.5 for i in range(dim)]
+    norm = sum(x * x for x in raw) ** 0.5 or 1.0
+    return [float(x / norm) for x in raw]
+
+
+def extract_media_features(df: DataFrame, feature_dim: int = 16) -> DataFrame:
+    """(doc_id, media_ref[, content binary]) → metadata + feature rows.
+
+    Zero-shuffle Arrow-batched stage; prunes to exactly the needed columns
+    before the UDF so a 100 TB scan reads only what it must.
+    """
+    has_content = "content" in df.columns
+    cols = ["doc_id", "media_ref"] + (["content"] if has_content else [])
+    pruned = df.select(*cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                ref = pdf["media_ref"].iloc[i]
+                data = bytes(pdf["content"].iloc[i]) if has_content and \
+                    pdf["content"].iloc[i] is not None else None
+                meta = fake_decode_meta(ref, data)
+                rows.append({
+                    "doc_id": pdf["doc_id"].iloc[i],
+                    "media_ref": ref,
+                    **meta,
+                    "features": fake_features(ref, feature_dim),
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_ref", "media_type", "width",
+                         "height", "channels", "duration_ms", "bytes_sha256",
+                         "n_bytes", "features"],
+            )
+
+    return pruned.mapInPandas(run, schema=MEDIA_FEATURES_DDL)
+
+
+def media_spans(result: DataFrame) -> DataFrame:
+    """Select the media passthrough rows of a pipeline result — the input to
+    extract_media_features in the flagship flow."""
+    from pyspark.sql import functions as F
+
+    return result.filter(F.col("kind") == "media").select("doc_id", "media_ref")

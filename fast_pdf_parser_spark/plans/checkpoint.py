@@ -1,0 +1,127 @@
+"""Checkpointed, resumable extraction runs with per-partition lineage.
+
+The reference has no checkpoint/resume at all (SURVEY.md §4 "what the
+reference lacks") — at 10^12 documents a restartable run is mandatory. The
+model (FIXTURES.md §4):
+
+- documents are assigned to stable BUCKETS: ``pmod(xxhash64(doc_id), n)`` —
+  a pure function of the data, independent of cluster size or input
+  partitioning, so a resumed run on different hardware sees identical
+  buckets;
+- each bucket is processed as one job that appends its output under
+  ``out/spans/bucket=K/`` and then appends ONE lineage row to the
+  checkpoint table: (run_id, partition_id, docs_parsed, bytes_decoded,
+  parse_failures, wall_ms, status='done'). The checkpoint row is written
+  AFTER the bucket's data — a crash between the two re-processes the bucket
+  (idempotent: the bucket dir is overwritten), never skips it;
+- resume = anti-join of the bucket list against the checkpoint table's
+  'done' rows for the run_id — the single (broadcast) join in the system
+  (SURVEY.md §2 note).
+
+Bucket granularity, not file granularity, keeps the checkpoint table tiny
+(hundreds of rows for a 100 TB run with a few hundred buckets) while
+bounding re-work after a failure to 1/n of the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fast_pdf_parser_spark.config import ChunkOptions, ParseOptions
+from fast_pdf_parser_spark.operators.pipeline import extract_documents
+
+CHECKPOINT_SCHEMA = (
+    "run_id string, partition_id int, docs_parsed long, bytes_decoded long, "
+    "parse_failures long, wall_ms long, status string"
+)
+
+
+def with_bucket(df: DataFrame, num_buckets: int) -> DataFrame:
+    """Stable content-derived bucket id (independent of physical layout)."""
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(num_buckets)).cast("int")
+    )
+
+
+def completed_buckets(spark: SparkSession, checkpoint_path: str,
+                      run_id: str) -> set[int]:
+    if not os.path.exists(checkpoint_path):
+        return set()
+    cp = spark.read.schema(CHECKPOINT_SCHEMA).parquet(checkpoint_path)
+    rows = (
+        cp.filter((F.col("run_id") == run_id) & (F.col("status") == "done"))
+        .select("partition_id").distinct().collect()
+    )
+    return {r.partition_id for r in rows}
+
+
+def run_with_checkpoint(
+    spark: SparkSession,
+    input_df: DataFrame,
+    out_dir: str,
+    run_id: str,
+    num_buckets: int = 16,
+    chunk_options: ChunkOptions = ChunkOptions(),
+    parse_options: ParseOptions = ParseOptions(),
+    fail_on_bucket: int | None = None,  # test hook: simulate a crash
+) -> DataFrame:
+    """Process the corpus bucket-by-bucket, appending lineage rows; on
+    re-invocation with the same run_id, already-'done' buckets are skipped
+    (resume-from-partition). Returns the complete result DataFrame reader."""
+    spans_dir = os.path.join(out_dir, "spans")
+    checkpoint_path = os.path.join(out_dir, "checkpoint")
+
+    bucketed = with_bucket(input_df, num_buckets)
+    done = completed_buckets(spark, checkpoint_path, run_id)
+    # resume anti-join: pending = all buckets minus done. The bucket list is
+    # tiny → broadcast; expressed as a DataFrame anti-join to stay a real
+    # plan (not a driver-side filter) at any bucket count.
+    all_buckets = spark.range(num_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    done_df = spark.createDataFrame(
+        [(int(b),) for b in sorted(done)], schema="bucket int"
+    )
+    pending = [
+        r.bucket
+        for r in all_buckets.join(F.broadcast(done_df), "bucket", "left_anti")
+        .orderBy("bucket").collect()
+    ]
+
+    for bucket in pending:
+        if fail_on_bucket is not None and bucket == fail_on_bucket:
+            raise RuntimeError(f"simulated failure at bucket {bucket}")
+        t0 = time.time()
+        part = bucketed.filter(F.col("bucket") == bucket).drop("bucket")
+        result = extract_documents(part, chunk_options, parse_options)
+        result.write.mode("overwrite").parquet(
+            os.path.join(spans_dir, f"bucket={bucket}")
+        )
+        # lineage/metrics row — read back what was just written (cheap
+        # column-pruned scan) so the metrics describe durable data
+        written = spark.read.parquet(os.path.join(spans_dir, f"bucket={bucket}"))
+        stats = written.agg(
+            F.countDistinct("doc_id").alias("docs"),
+            F.sum(F.when(F.col("offset") == 0, F.col("doc_bytes_decoded"))
+                  .otherwise(0)).alias("bytes"),
+            F.sum(F.when(F.col("offset") == 0, F.col("doc_parse_failures"))
+                  .otherwise(0)).alias("fails"),
+        ).collect()[0]
+        wall_ms = int((time.time() - t0) * 1000)
+        row = [(run_id, bucket, int(stats["docs"] or 0),
+                int(stats["bytes"] or 0), int(stats["fails"] or 0),
+                wall_ms, "done")]
+        spark.createDataFrame(row, schema=CHECKPOINT_SCHEMA).write.mode(
+            "append"
+        ).parquet(checkpoint_path)
+
+    return spark.read.parquet(spans_dir)
+
+
+def lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.schema(CHECKPOINT_SCHEMA).parquet(
+        os.path.join(out_dir, "checkpoint")
+    )

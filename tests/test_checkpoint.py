@@ -1,0 +1,75 @@
+"""Checkpoint/resume tests: per-partition lineage rows, crash simulation,
+resume-from-partition via anti-join, idempotent re-runs."""
+
+import pandas as pd
+import pytest
+
+from fast_pdf_parser_spark.plans.checkpoint import (
+    completed_buckets,
+    lineage,
+    run_with_checkpoint,
+    with_bucket,
+)
+from fast_pdf_parser_spark.sources.synth import SPANS_DDL, iter_docs
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = list(iter_docs(30, seed=7))
+    return spark.createDataFrame(pd.DataFrame(docs), schema=SPANS_DDL)
+
+
+def test_bucket_assignment_stable(spark, corpus):
+    a = {r.doc_id: r.bucket for r in with_bucket(corpus, 8).collect()}
+    b = {r.doc_id: r.bucket
+         for r in with_bucket(corpus.repartition(13), 8).collect()}
+    assert a == b  # content-derived, independent of physical layout
+
+
+def test_crash_and_resume(spark, corpus, tmp_path):
+    out = str(tmp_path / "run")
+    n_buckets = 4
+
+    # first attempt crashes on the 3rd bucket
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        run_with_checkpoint(spark, corpus, out, run_id="r1",
+                            num_buckets=n_buckets, fail_on_bucket=2)
+    done_before = completed_buckets(spark, out + "/checkpoint", "r1")
+    assert done_before == {0, 1}
+
+    # resume completes only the remaining buckets
+    result = run_with_checkpoint(spark, corpus, out, run_id="r1",
+                                 num_buckets=n_buckets)
+    done_after = completed_buckets(spark, out + "/checkpoint", "r1")
+    assert done_after == {0, 1, 2, 3}
+
+    # output covers every doc exactly once
+    n_docs = result.select("doc_id").distinct().count()
+    assert n_docs == corpus.count()
+
+    # lineage metrics are populated and per-bucket
+    lin = lineage(spark, out).filter("run_id = 'r1'").collect()
+    assert sorted(r.partition_id for r in lin) == [0, 1, 2, 3]
+    assert all(r.status == "done" and r.wall_ms >= 0 for r in lin)
+    assert sum(r.docs_parsed for r in lin) == n_docs
+    assert all(r.bytes_decoded > 0 for r in lin)
+
+
+def test_rerun_is_noop(spark, corpus, tmp_path):
+    out = str(tmp_path / "run2")
+    run_with_checkpoint(spark, corpus, out, run_id="r2", num_buckets=2)
+    lin1 = lineage(spark, out).count()
+    run_with_checkpoint(spark, corpus, out, run_id="r2", num_buckets=2)
+    assert lineage(spark, out).count() == lin1  # nothing re-processed
+
+
+def test_matches_direct_pipeline(spark, corpus, tmp_path):
+    from fast_pdf_parser_spark.operators.pipeline import extract_documents
+
+    out = str(tmp_path / "run3")
+    ck = run_with_checkpoint(spark, corpus, out, run_id="r3", num_buckets=3)
+    direct = extract_documents(corpus)
+    key = ["doc_id", "offset", "kind", "text", "media_ref"]
+    a = sorted(tuple(r) for r in ck.select(*key).collect())
+    b = sorted(tuple(r) for r in direct.select(*key).collect())
+    assert a == b

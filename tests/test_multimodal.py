@@ -1,0 +1,78 @@
+"""Multimodal plumbing tests: real Spark-side schema/batching, stubbed codec."""
+
+import pandas as pd
+import pytest
+
+from fast_pdf_parser_spark.multimodal.media import (
+    decode_image,
+    extract_media_features,
+    fake_decode_meta,
+    fake_features,
+    media_spans,
+    media_type_of,
+)
+
+
+def test_media_type_routing():
+    assert media_type_of("media://img/x.png") == "image"
+    assert media_type_of("media://a/x.WAV".lower()) == "audio"
+    assert media_type_of("media://v/x.mp4") == "video"
+    assert media_type_of("media://x/blob") == "unknown"
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_fake_decode_deterministic():
+    a = fake_decode_meta("media://img/1.png", b"abc")
+    b = fake_decode_meta("media://img/1.png", b"abc")
+    assert a == b
+    assert a["media_type"] == "image" and a["width"] > 0
+    assert fake_features("x", 16) == fake_features("x", 16)
+    assert abs(sum(v * v for v in fake_features("x", 16)) - 1.0) < 1e-6
+
+
+def test_extract_media_features_spark(spark):
+    rows = [
+        {"doc_id": "d1", "media_ref": "media://img/000001_cover.png",
+         "content": b"fakebytes"},
+        {"doc_id": "d2", "media_ref": "media://v/clip.mp4", "content": None},
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="doc_id string, media_ref string, content binary",
+    )
+    out = extract_media_features(df, feature_dim=8).collect()
+    by_id = {r.doc_id: r for r in out}
+    img = by_id["d1"]
+    assert img.media_type == "image" and img.width > 0 and img.n_bytes == 9
+    assert len(img.features) == 8
+    vid = by_id["d2"]
+    assert vid.media_type == "video" and vid.duration_ms >= 1000
+    assert vid.bytes_sha256 is None
+
+    # zero-shuffle plan
+    plan = (
+        extract_media_features(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_media_flow_from_pipeline(spark):
+    from fast_pdf_parser_spark.operators.pipeline import extract_documents
+    from fast_pdf_parser_spark.sources.synth import SPANS_DDL, iter_docs
+
+    docs = [d for d in iter_docs(25, seed=42)
+            if any(s["kind"] == "media" for s in d["spans"])]
+    assert docs
+    df = spark.createDataFrame(pd.DataFrame(docs), schema=SPANS_DDL)
+    refs = media_spans(extract_documents(df))
+    feats = extract_media_features(refs)
+    got = feats.collect()
+    assert all(r.media_type == "image" for r in got)
+    n_media = sum(
+        1 for d in docs for s in d["spans"] if s["kind"] == "media"
+    )
+    assert len(got) == n_media
