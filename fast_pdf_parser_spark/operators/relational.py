@@ -392,16 +392,30 @@ SELECT doc_id, CAST(seed AS INT) AS seed, minhash FROM seeded"""
 
 QUERIES["dedup_minhash_signatures"] = _pair(_MINHASH_SPARK, _MINHASH_DUCK)
 
-# LSH candidate pairs: 4 bands x 4 rows; docs sharing any band key pair up
+# LSH candidate pairs: 4 bands x 4 rows; docs sharing any band key pair up.
+# Mega-buckets (>100 docs sharing a band key) are skipped — at web scale a
+# bucket that common is boilerplate, not a duplicate candidate set, and
+# pairing inside it is quadratic; exact-hash dedup (dedup_exact) already
+# catches identical docs. Standard LSH practice, applied identically in
+# both dialects so the oracle still matches.
 _LSH_TAIL = """
 bands AS (
   SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
          {h_band} AS band_key
   FROM (SELECT doc_id, seed, minhash FROM sig) s
   GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+),
+small_buckets AS (
+  SELECT band, band_key FROM bands
+  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 100
+),
+member AS (
+  SELECT b.doc_id, b.band, b.band_key
+  FROM bands b JOIN small_buckets s
+    ON b.band = s.band AND b.band_key = s.band_key
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
+FROM member a JOIN member b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
 
 _LSH_SPARK = (

@@ -75,3 +75,20 @@ def test_decode_roundtrip_fixture_vocab():
     tok = get_tokenizer()
     s = "Hello, wörld! ## Section 1.2\n- item one\n"
     assert tok.decode(tok.encode(s)) == s
+
+
+def test_trie_regex_equals_walk_fuzz():
+    """The compiled trie regex must agree with the explicit greedy walk on
+    arbitrary byte strings (incl. invalid UTF-8 and vocab-word mashups)."""
+    import random
+
+    tok = get_tokenizer()
+    rnd = random.Random(1234)
+    words = list(tok._encoder)[:400]
+    for _ in range(400):
+        s = b"".join(rnd.choice(words) for _ in range(rnd.randint(0, 25)))
+        s += bytes(rnd.randrange(256) for _ in range(rnd.randint(0, 12)))
+        assert tok._count_uncached(s) == tok._count_walk(s), s
+    # and counts equal encode() length on text
+    for text in ["# Chapter 1", "the quick brown fox", "naïve — café"]:
+        assert tok.count_tokens(text) == len(tok.encode(text))
