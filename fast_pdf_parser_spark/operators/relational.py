@@ -665,3 +665,103 @@ def duck_sql(name: str) -> str:
 
 def names() -> list[str]:
     return list(QUERIES)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup + bucketed ANN (the LSH "scale path" variants)
+# ---------------------------------------------------------------------------
+
+# sign-bucket (coordinate-hyperplane LSH): 8 sign bits of the first 8 dims.
+# The brute-force cosine (ann_cosine_topk) is the baseline; these bucketed
+# variants are the path that survives 10^9 vectors: candidate generation is
+# an equi-join on the bucket key, never a cross join.
+_SIGNKEY_SPARK = (
+    "concat(" + ", ".join(
+        f"CASE WHEN element_at(embedding, {i}) >= 0 THEN '1' ELSE '0' END"
+        for i in range(1, 9)
+    ) + ")"
+)
+_SIGNKEY_DUCK = (
+    "concat(" + ", ".join(
+        f"CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(1, 9)
+    ) + ")"
+)
+
+_COS_SPARK = """round(
+  aggregate(zip_with(a.e, b.e, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+  / (sqrt(aggregate(transform(a.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))
+     * sqrt(aggregate(transform(b.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                      CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))), 6)"""
+
+QUERIES["dedup_embedding_cosine"] = _pair(
+    f"""WITH v AS (
+  SELECT vec_id, embedding AS e, {_SIGNKEY_SPARK} AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_SPARK} AS cos
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b FROM pairs WHERE cos >= 0.1""",
+    f"""WITH v AS (
+  SELECT vec_id, embedding AS e, {_SIGNKEY_DUCK} AS bucket FROM embeddings
+),
+raw AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         unnest(list_zip(a.e, b.e)) AS z
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT vec_a, vec_b,
+         round(sum(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)) /
+               (sqrt(sum(CAST(z[1] AS DOUBLE) * CAST(z[1] AS DOUBLE))) *
+                sqrt(sum(CAST(z[2] AS DOUBLE) * CAST(z[2] AS DOUBLE)))), 6) AS cos
+  FROM raw GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b FROM pairs WHERE cos >= 0.1""",
+)
+
+QUERIES["ann_lsh_topk"] = _pair(
+    f"""WITH v AS (
+  SELECT vec_id, embedding AS e, {_SIGNKEY_SPARK} AS bucket FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id, {_COS_SPARK} AS cos
+  FROM v a JOIN v b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < 20
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+FROM ranked WHERE rank <= 3""",
+    f"""WITH v AS (
+  SELECT vec_id, embedding AS e, {_SIGNKEY_DUCK} AS bucket FROM embeddings
+),
+raw AS (
+  SELECT a.vec_id AS query_id, b.vec_id,
+         unnest(list_zip(a.e, b.e)) AS z
+  FROM v a JOIN v b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < 20
+),
+scored AS (
+  SELECT query_id, vec_id,
+         round(sum(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)) /
+               (sqrt(sum(CAST(z[1] AS DOUBLE) * CAST(z[1] AS DOUBLE))) *
+                sqrt(sum(CAST(z[2] AS DOUBLE) * CAST(z[2] AS DOUBLE)))), 6) AS cos
+  FROM raw GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+FROM ranked WHERE rank <= 3""",
+)
