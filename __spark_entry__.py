@@ -113,7 +113,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_extract_spans"] = _pipeline_spans
     out["pipeline_results_meta"] = _pipeline_meta
     out["pipeline_chunk_distribution"] = _pipeline_distribution
+    out["pipeline_docling_chunks"] = _pipeline_docling
+    out["multimodal_media_features"] = _media_features
     return out
+
+
+def _pipeline_docling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: docling-format JSON chunk sink (rows-only — JSON text payload)."""
+    from fast_pdf_parser_spark.operators.sinks import docling_chunks
+
+    return docling_chunks(_pipeline_spans(spark, sf_dir))
+
+
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: media passthrough spans → typed metadata + features
+    (decode stubbed deterministically; rows-only)."""
+    from fast_pdf_parser_spark.multimodal.media import (
+        extract_media_features,
+        media_spans,
+    )
+
+    return extract_media_features(media_spans(_pipeline_spans(spark, sf_dir)))
 
 
 def oracle_sql() -> dict[str, str]:

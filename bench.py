@@ -57,6 +57,12 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # split sizing: without this, Spark packs the corpus's small parquet
+        # files into ~128MB input splits and the zero-shuffle pipeline gets
+        # fewer tasks than cores (at 100 TB splits are naturally plentiful;
+        # at bench scale we must ask for them)
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -109,15 +115,16 @@ def main() -> None:
     queries["pipeline_extract"] = round(e2e, 3)
 
     # --- representative operator queries ------------------------------------
-    import __spark_entry__ as entrymod
+    if os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "0") != "1":
+        import __spark_entry__ as entrymod
 
-    qmap = entrymod.queries()
-    for name in ["f4_semantic_units", "dedup_minhash_signatures",
-                 "dedup_lsh_pairs", "ann_cosine_topk", "events_sessionize",
-                 "text_quality_score"]:
-        t0 = time.time()
-        qmap[name](spark, sf_dir).count()
-        queries[name] = round(time.time() - t0, 3)
+        qmap = entrymod.queries()
+        for name in ["f4_semantic_units", "dedup_minhash_signatures",
+                     "dedup_lsh_pairs", "ann_cosine_topk", "events_sessionize",
+                     "text_quality_score"]:
+            t0 = time.time()
+            qmap[name](spark, sf_dir).count()
+            queries[name] = round(time.time() - t0, 3)
 
     result = {
         "metric": "e2e_interleaved_extraction_wall_sec",

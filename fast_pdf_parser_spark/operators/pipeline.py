@@ -160,6 +160,12 @@ def repartition_for_skew(df: DataFrame, num_partitions: int) -> DataFrame:
     best general strategy is statistically uniform placement of doc rows —
     ``repartition`` on a hash of doc_id — plus AQE coalescing of the small
     partitions afterwards. The arrow batch cap bounds per-batch memory.
+
+    When the input is already well-distributed parquet, prefer
+    ``num_partitions=0`` (no shuffle) and control task granularity with
+    ``spark.sql.files.maxPartitionBytes`` instead: Spark packs small files
+    into ~128MB splits by default, which can leave a small corpus with fewer
+    tasks than cores (at 100 TB splits are plentiful and this is moot).
     """
     return df.repartition(num_partitions, F.xxhash64("doc_id"))
 
