@@ -132,3 +132,29 @@ def test_pipeline_with_pdf_spans(spark):
         .filter(out.kind == "chunk").collect()
     ]
     assert any(first_line in t for t in chunk_texts)
+
+
+def test_structured_extraction_option_gated():
+    """P2: bbox/font emitted only when flags set (text_extractor.cpp:138-172,
+    gated off by the chunking path at hierarchical_chunker.cpp:562-563)."""
+    from fast_pdf_parser_spark.sources.pdf_lexer import extract_page_structured
+
+    pdf = build_pdf("# Title\nhello world again", "st-1")
+    full = extract_page_structured(pdf, extract_positions=True,
+                                   extract_fonts=True)
+    block = full["blocks"][0]
+    assert block["type"] == "text"
+    line0 = block["lines"][0]
+    assert line0["text"] == "# Title"
+    assert line0["bbox"]["x1"] > line0["bbox"]["x0"]
+    assert line0["chars"][0]["char"] == "#"
+    assert line0["chars"][0]["font"]["name"] and line0["chars"][0]["size"] > 0
+    assert block["bbox"]["y1"] >= line0["bbox"]["y1"] - 1e-9
+
+    pruned = extract_page_structured(pdf)
+    l0 = pruned["blocks"][0]["lines"][0]
+    assert "bbox" not in l0 and "chars" not in l0  # schema pruned at source
+
+    # flat path and structured path agree on text
+    texts = [l["text"] for l in pruned["blocks"][0]["lines"]]
+    assert "\n".join(texts) == extract_pdf_page_text(pdf)
