@@ -115,7 +115,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_chunk_distribution"] = _pipeline_distribution
     out["pipeline_docling_chunks"] = _pipeline_docling
     out["multimodal_media_features"] = _media_features
+    out["ann_ivf_topk"] = _ann_ivf
     return out
+
+
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse quantizer, n_probe cells searched) — the
+    1e9-vector scale path; rows-only (clustering isn't SQL-expressible),
+    recall vs brute force is pinned by tests/test_similarity.py."""
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.operators.similarity import (
+        fit_ivf_cells,
+        ivf_topk,
+    )
+
+    _prepare(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.filter("vec_id >= 5")
+    queries_df = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assigned, centroids = fit_ivf_cells(corpus, n_cells=16, seed=42)
+    return ivf_topk(assigned, centroids, queries_df, k=10, n_probe=4) \
+        .drop("cos")
 
 
 def _pipeline_docling(spark: SparkSession, sf_dir: str) -> DataFrame:

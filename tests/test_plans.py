@@ -1,0 +1,81 @@
+"""Physical-plan regression tests — the plans we designed for, asserted.
+
+These pin the Catalyst outcomes that matter at 100 TB: column pruning
+reaching the parquet scan, predicate pushdown, broadcast join selection for
+small sides, single-shuffle sessionization, zero-shuffle extraction.
+"""
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+from fast_pdf_parser_spark.operators.relational import spark_sql
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF_DIR, "documents.parquet")),
+    reason="driver testdata not present",
+)
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def wide_corpus(spark, tmp_path_factory):
+    """Span corpus with an extra column the pipeline must NOT read."""
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.sources.synth import write_corpus
+
+    path = str(tmp_path_factory.mktemp("plans") / "corpus")
+    write_corpus(spark, path + "0", 30, num_partitions=2)
+    (spark.read.parquet(path + "0").withColumn("extra", F.lit("x"))
+     .write.mode("overwrite").parquet(path))
+    return spark.read.parquet(path)
+
+
+def test_pipeline_scan_pruned_and_shuffle_free(spark, wide_corpus):
+    from fast_pdf_parser_spark.operators.pipeline import extract_documents
+
+    plan = physical(extract_documents(wide_corpus))
+    read_schema = plan.split("ReadSchema:")[1][:200]
+    assert "doc_id" in read_schema and "spans" in read_schema
+    assert "extra" not in read_schema  # pruning reaches the parquet scan
+    assert "Exchange" not in plan  # zero-shuffle pipeline
+
+
+def test_parquet_predicate_pushdown(spark):
+    entrymod._prepare(spark, SF_DIR)
+    q = spark.sql(
+        "SELECT doc_id FROM documents WHERE n_chars > 100 AND lang = 'en'"
+    )
+    plan = physical(q)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(n_chars,100)" in plan
+    assert "EqualTo(lang,en)" in plan
+
+
+def test_lsh_pairs_joins_broadcast(spark):
+    entrymod._prepare(spark, SF_DIR)
+    plan = physical(spark.sql(spark_sql("dedup_lsh_pairs")))
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert join_lines
+    assert all("BroadcastHashJoin" in l or "BroadcastNestedLoopJoin" in l
+               for l in join_lines), join_lines
+
+
+def test_ann_broadcasts_query_side(spark):
+    entrymod._prepare(spark, SF_DIR)
+    plan = physical(spark.sql(spark_sql("ann_cosine_topk")))
+    assert "BroadcastNestedLoopJoin" in plan  # 5 query vectors broadcast
+
+
+def test_sessionize_single_shuffle(spark):
+    entrymod._prepare(spark, SF_DIR)
+    plan = physical(spark.sql(spark_sql("events_sessionize")))
+    # window partitioning is reused by the groupBy: exactly one hash exchange
+    assert plan.count("Exchange hashpartitioning") == 1

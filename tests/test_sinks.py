@@ -52,3 +52,18 @@ def test_observe_parser_stats(spark):
     assert stats["pages_processed"] > 0
     assert stats["bytes_decoded"] > 0
     assert stats["parse_failures"] == 0
+
+
+def test_iceberg_gate_falls_back_to_parquet(spark, tmp_path):
+    from fast_pdf_parser_spark.sources.iceberg import (
+        iceberg_available,
+        read_documents,
+        write_results,
+    )
+
+    assert iceberg_available(spark) is False  # no jars in this image
+    out = str(tmp_path / "res")
+    res = _result(spark)
+    write_results(res, out, mode="replace")
+    back = read_documents(spark, out)
+    assert back.count() == res.count()
