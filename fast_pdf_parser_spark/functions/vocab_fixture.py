@@ -64,6 +64,10 @@ pipeline parallel extraction stream object offset media span kind index
 spark partition executor shuffle schema column row batch vector cluster
 quick brown fox jumps lazy lorem ipsum dolor sit amet consectetur
 adipiscing elit sed eiusmod tempor incididunt labore dolore magna aliqua
+a bank beats boundaries careful corpus counts decide deterministic
+documents dominates exact explains explicitly follows guessing handle
+keeps level main measurement plain processing scale significant skew
+systems tail template tokenizer tuning words
 """.split()
 
 # Frequent multi-word / punctuation / markdown merges.
