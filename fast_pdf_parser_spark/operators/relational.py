@@ -765,3 +765,37 @@ ranked AS (
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
 FROM ranked WHERE rank <= 3""",
 )
+
+
+# --- F1: ordered concat accumulation (char→line analogue) --------------------
+# The reference accumulates chars into line text (text_extractor.cpp:150-161);
+# relationally that is ordered collect + join — demonstrated by exploding the
+# document into words and reassembling them exactly (roundtrip must hold for
+# every row).
+QUERIES["f1_reassemble"] = _pair(
+    """WITH words AS (
+  SELECT doc_id, pos, word
+  FROM documents LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word
+),
+re AS (
+  SELECT doc_id,
+         array_join(transform(array_sort(collect_list(struct(pos, word))),
+                              x -> x.word), ' ') AS reassembled
+  FROM words GROUP BY doc_id
+)
+SELECT r.doc_id, CAST(r.reassembled = d.text AS INT) AS roundtrip_ok
+FROM re r JOIN documents d ON r.doc_id = d.doc_id""",
+    """WITH words AS (
+  SELECT doc_id, u.w[2] AS pos, u.w[1] AS word
+  FROM (SELECT doc_id,
+               unnest(list_zip(split(text, ' '),
+                               range(0, length(split(text, ' '))))) AS w
+        FROM documents) u
+),
+re AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS reassembled
+  FROM words GROUP BY doc_id
+)
+SELECT r.doc_id, CAST(r.reassembled = d.text AS INT) AS roundtrip_ok
+FROM re r JOIN documents d ON r.doc_id = d.doc_id""",
+)
