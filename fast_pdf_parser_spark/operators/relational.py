@@ -452,8 +452,8 @@ _JACCARD_SPARK = """WITH grams AS (
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(size(array_intersect(a.gs, b.gs)) AS INT) AS n_intersect,
        CAST(size(array_union(a.gs, b.gs)) AS INT) AS n_union,
-       round(size(array_intersect(a.gs, b.gs)) * CAST(1.0 AS DOUBLE) /
-             size(array_union(a.gs, b.gs)), 4) AS jaccard
+       CAST(floor(size(array_intersect(a.gs, b.gs)) * CAST(10000.0 AS DOUBLE) /
+             size(array_union(a.gs, b.gs)) + 0.5) AS BIGINT) AS jaccard_x1e4
 FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1"""
 
 _JACCARD_DUCK = """WITH w AS (
@@ -471,8 +471,8 @@ grams AS (
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(length(list_intersect(a.gs, b.gs)) AS INT) AS n_intersect,
        CAST(length(list_distinct(list_concat(a.gs, b.gs))) AS INT) AS n_union,
-       round(length(list_intersect(a.gs, b.gs)) * CAST(1.0 AS DOUBLE) /
-             length(list_distinct(list_concat(a.gs, b.gs))), 4) AS jaccard
+       CAST(floor(length(list_intersect(a.gs, b.gs)) * CAST(10000.0 AS DOUBLE) /
+             length(list_distinct(list_concat(a.gs, b.gs))) + 0.5) AS BIGINT) AS jaccard_x1e4
 FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1"""
 
 QUERIES["dedup_ngram_jaccard"] = _pair(_JACCARD_SPARK, _JACCARD_DUCK)
@@ -619,8 +619,10 @@ SELECT doc_id, {_LANG_CASE} AS pred_lang,
 _QUALITY = """SELECT doc_id,
        CAST({nwords} AS INT) AS n_words,
        CAST({ndistinct} AS INT) AS n_distinct_words,
-       round({ndistinct} * CAST(1.0 AS DOUBLE) / {nwords}, 4) AS distinct_ratio,
-       round({bytelen}(text) * CAST(1.0 AS DOUBLE) / {nwords}, 4) AS avg_word_bytes,
+       CAST(floor({ndistinct} * CAST(10000.0 AS DOUBLE) / {nwords} + 0.5)
+            AS BIGINT) AS distinct_ratio_x1e4,
+       CAST(floor({bytelen}(text) * CAST(10000.0 AS DOUBLE) / {nwords} + 0.5)
+            AS BIGINT) AS avg_word_bytes_x1e4,
        CASE WHEN {nwords} >= 50 AND {ndistinct} * CAST(1.0 AS DOUBLE) / {nwords} > 0.1
             THEN 'keep' ELSE 'flag' END AS quality_gate
 FROM documents"""
