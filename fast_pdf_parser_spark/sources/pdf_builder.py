@@ -149,14 +149,7 @@ def _content_stream(text: str, rng: random.Random) -> tuple[bytes, str]:
     return b"\n".join(ops), font
 
 
-def build_pdf(text: str, seed_key: str = "0", corrupt: bool = False) -> bytes:
-    """A complete single-page PDF whose extracted text is ``text``."""
-    rng = random.Random(f"pdf:{seed_key}")
-    content, _font = _content_stream(text, rng)
-    flate = zlib.compress(content)
-    if corrupt:
-        flate = flate[: max(1, len(flate) // 2)]  # truncated stream
-
+def _base_objects(flate: bytes) -> dict[int, bytes]:
     objects: dict[int, bytes] = {}
     objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objects[2] = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
@@ -182,7 +175,11 @@ def build_pdf(text: str, seed_key: str = "0", corrupt: bool = False) -> bytes:
         b"<< /Length " + str(len(cmap)).encode()
         + b" >>\nstream\n" + cmap + b"\nendstream"
     )
+    return objects
 
+
+def _emit_classic(objects: dict[int, bytes]) -> bytes:
+    """PDF 1.4 layout: every object top-level, classic xref table + trailer."""
     buf = bytearray()
     buf += b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"
     offsets: dict[int, int] = {}
@@ -201,6 +198,87 @@ def build_pdf(text: str, seed_key: str = "0", corrupt: bool = False) -> bytes:
         b"startxref\n" + str(xref_pos).encode() + b"\n%%EOF\n"
     )
     return bytes(buf)
+
+
+def _emit_xref_stream(objects: dict[int, bytes]) -> bytes:
+    """PDF 1.5 layout: non-stream objects (1,2,3,5,6) compressed into one
+    object stream (/Type /ObjStm, obj 8); streams (4,7) stay top-level;
+    cross references in an xref STREAM (/Type /XRef, obj 9, W=[1,2,2]) whose
+    dict doubles as the trailer."""
+    in_objstm = [1, 2, 3, 5, 6]
+    top_level = [4, 7]
+
+    header_parts = []
+    body = bytearray()
+    member_offsets: dict[int, int] = {}
+    for num in in_objstm:
+        member_offsets[num] = len(body)
+        body += objects[num] + b"\n"
+    for num in in_objstm:
+        header_parts.append(f"{num} {member_offsets[num]}".encode())
+    header = b" ".join(header_parts) + b"\n"
+    objstm_payload = zlib.compress(header + bytes(body))
+    objstm = (
+        b"<< /Type /ObjStm /N " + str(len(in_objstm)).encode()
+        + b" /First " + str(len(header)).encode()
+        + b" /Length " + str(len(objstm_payload)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + objstm_payload
+        + b"\nendstream"
+    )
+
+    buf = bytearray()
+    buf += b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n"
+    offsets: dict[int, int] = {}
+    for num in top_level:
+        offsets[num] = len(buf)
+        buf += f"{num} 0 obj\n".encode() + objects[num] + b"\nendobj\n"
+    offsets[8] = len(buf)
+    buf += b"8 0 obj\n" + objstm + b"\nendobj\n"
+
+    # xref stream entries for objects 0..9, W = [1, 2, 2]
+    xref_obj_pos = len(buf)
+    size = 10
+    entries = bytearray()
+    for num in range(size):
+        if num == 0:
+            typ, f2, f3 = 0, 0, 65535
+        elif num in member_offsets:
+            typ, f2, f3 = 2, 8, in_objstm.index(num)
+        elif num == 9:
+            typ, f2, f3 = 1, xref_obj_pos, 0
+        else:
+            typ, f2, f3 = 1, offsets[num], 0
+        entries += bytes([typ]) + f2.to_bytes(2, "big") + f3.to_bytes(2, "big")
+    xdata = zlib.compress(bytes(entries))
+    buf += (
+        b"9 0 obj\n<< /Type /XRef /Size " + str(size).encode()
+        + b" /W [1 2 2] /Root 1 0 R /Length " + str(len(xdata)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + xdata
+        + b"\nendstream\nendobj\n"
+    )
+    buf += b"startxref\n" + str(xref_obj_pos).encode() + b"\n%%EOF\n"
+    return bytes(buf)
+
+
+def build_pdf(text: str, seed_key: str = "0", corrupt: bool = False,
+              style: str | None = None) -> bytes:
+    """A complete single-page PDF whose extracted text is ``text``.
+
+    ``style``: 'classic' (PDF 1.4 xref table) or 'xstream' (PDF 1.5 object
+    stream + cross-reference stream); default: seeded choice (~30% xstream)
+    so the corpus exercises both xref walks.
+    """
+    rng = random.Random(f"pdf:{seed_key}")
+    content, _font = _content_stream(text, rng)
+    flate = zlib.compress(content)
+    if corrupt:
+        flate = flate[: max(1, len(flate) // 2)]  # truncated stream
+    objects = _base_objects(flate)
+    if style is None:
+        style = "xstream" if rng.random() < 0.3 else "classic"
+    if style == "xstream":
+        return _emit_xref_stream(objects)
+    return _emit_classic(objects)
 
 
 def build_pdf_span(doc_idx: int, page_idx: int, seed: int = 42,

@@ -158,3 +158,28 @@ def test_structured_extraction_option_gated():
     # flat path and structured path agree on text
     texts = [l["text"] for l in pruned["blocks"][0]["lines"]]
     assert "\n".join(texts) == extract_pdf_page_text(pdf)
+
+
+def test_xref_stream_and_object_stream_roundtrip():
+    """PDF 1.5 path: /Type /XRef cross-reference stream + /Type /ObjStm
+    compressed objects (the north-star 'object stream decode')."""
+    from fast_pdf_parser_spark.sources.pdf_lexer import PdfDocument
+
+    text = page_text(5, 0)
+    pdf = build_pdf(text, seed_key="xs-test", style="xstream")
+    assert b"/Type /XRef" in pdf and b"/ObjStm" in pdf
+    assert b"trailer" not in pdf  # trailer IS the xref stream dict
+    assert extract_pdf_page_text(pdf) == visible(text)
+
+    doc = PdfDocument(pdf)
+    # catalog/pages/page/fonts all resolve out of the object stream
+    root = doc.resolve(doc.trailer["Root"])
+    assert root["Type"] == "Catalog"
+    assert doc.pages()[0]["Type"] == "Page"
+
+
+def test_both_styles_equal_extraction():
+    text = page_text(6, 0)
+    a = extract_pdf_page_text(build_pdf(text, "eq", style="classic"))
+    b = extract_pdf_page_text(build_pdf(text, "eq", style="xstream"))
+    assert a == b == visible(text)
