@@ -72,3 +72,72 @@ def streaming_metrics(spark: SparkSession, result_dir: str):
             .alias("chunks"),
         )
     )
+
+
+def stream_sessionize_events(
+    spark: SparkSession,
+    events_path: str,
+    gap_seconds: int = 1800,
+    max_files_per_trigger: int = 4,
+):
+    """Custom stateful streaming operator: incremental sessionization of an
+    event stream with ``applyInPandasWithState``.
+
+    The batch twin is the events_sessionize oracle query (lead + cumulative
+    sum); here the per-user state (last event ts, session counter, events in
+    current session) survives across micro-batches — the pattern for any
+    stateful per-key operator Spark lacks natively. Returns (query, sink
+    table name): read results from the in-memory sink after
+    ``processAllAvailable``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = (
+        spark.read.parquet(events_path).schema
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(events_path)
+    )
+
+    output_ddl = "user_id bigint, session_id int, n_events bigint"
+    state_ddl = "last_epoch double, session_id int, n_events bigint"
+
+    def fold(key, batches, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            last_epoch, session_id, n_events = state.get
+        else:
+            last_epoch, session_id, n_events = None, 0, 0
+
+        closed: list[tuple] = []
+        for pdf in batches:
+            pdf = pdf.sort_values("ts")
+            for ts in pdf["ts"]:
+                epoch = ts.timestamp()
+                if last_epoch is not None and epoch - last_epoch > gap_seconds:
+                    closed.append((user_id, session_id, n_events))
+                    session_id += 1
+                    n_events = 0
+                n_events += 1
+                last_epoch = epoch
+        state.update((last_epoch, session_id, n_events))
+        # emit closed sessions; the open session stays in state
+        yield pd.DataFrame(closed,
+                           columns=["user_id", "session_id", "n_events"])
+
+    out = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            fold, output_ddl, state_ddl, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = "stream_sessions"
+    query = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    return query, name

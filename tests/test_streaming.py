@@ -34,3 +34,41 @@ def test_stream_extract_matches_batch(spark, tmp_path):
     b = sorted(tuple(r) for r in batch.select(*key).collect())
     assert a == b
     assert streamed.select("doc_id").distinct().count() == len(docs)
+
+
+def test_stateful_stream_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions emitted by the
+    stream equal the non-final sessions of the batch (window cumsum) twin."""
+    import shutil
+
+    from fast_pdf_parser_spark.streaming.ingest import stream_sessionize_events
+
+    # file-stream sources need a directory, not a bare parquet file
+    events_dir = tmp_path / "events_landing"
+    events_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                events_dir / "part-0.parquet")
+    q, name = stream_sessionize_events(spark, str(events_dir),
+                                       gap_seconds=1800)
+    q.awaitTermination(180)
+    streamed = {
+        (r.user_id, r.session_id): r.n_events
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    import __spark_entry__ as e
+
+    e._prepare(spark, "/root/testdata/sf0.001")
+    from fast_pdf_parser_spark.operators.relational import spark_sql
+
+    batch = spark.sql(spark_sql("events_sessionize")).collect()
+    # the stream only emits CLOSED sessions; every user's final session is
+    # still open in state — drop each user's max session_id from the batch
+    last = {}
+    for r in batch:
+        last[r.user_id] = max(last.get(r.user_id, -1), r.session_id)
+    expected = {
+        (r.user_id, r.session_id): r.n_events
+        for r in batch if r.session_id != last[r.user_id]
+    }
+    assert streamed == expected
