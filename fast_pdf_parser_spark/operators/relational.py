@@ -801,3 +801,22 @@ re AS (
 SELECT r.doc_id, CAST(r.reassembled = d.text AS INT) AS roundtrip_ok
 FROM re r JOIN documents d ON r.doc_id = d.doc_id""",
 )
+
+
+# --- rolling-hash document fingerprint ---------------------------------------
+# True polynomial rolling hash (h = h*31 + codepoint mod 2^31-1) as an ordered
+# fold over characters — JVM-side aggregate() in Spark, list_reduce in DuckDB.
+# Complements text_fingerprint's md5: incremental/rolling hashes are what a
+# streaming dedup shard would maintain.
+QUERIES["text_rolling_hash"] = _pair(
+    """SELECT doc_id,
+       aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+                 CAST(0 AS BIGINT),
+                 (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_hash
+FROM documents""",
+    """SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                [CAST(ord(c) AS BIGINT) FOR c IN split(text, '')]),
+                   (a, b) -> (a * 31 + b) % 2147483647) AS rolling_hash
+FROM documents""",
+)
