@@ -141,3 +141,38 @@ def stream_sessionize_events(
         .queryName(name).trigger(availableNow=True).start()
     )
     return query, name
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    events_dir: str,
+    window_minutes: int = 60,
+    watermark_minutes: int = 10,
+    max_files_per_trigger: int = 4,
+):
+    """Watermarked windowed aggregation over the event stream — the
+    late-data-tolerant counterpart of a batch group-by: events later than
+    the watermark are dropped, finalized windows are emitted in append mode.
+    Returns (query, sink name)."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(events_dir)
+    )
+    agg = (
+        # event-time watermarks require TIMESTAMP (not NTZ); session TZ is
+        # pinned to UTC so the cast is value-preserving
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", f"{watermark_minutes} minutes")
+        .groupBy(F.window("ts", f"{window_minutes} minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("window.start").alias("window_start"), "event_type",
+                "n", F.round("total_value", 4).alias("total_value"))
+    )
+    name = "stream_windowed_counts"
+    query = (
+        agg.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    return query, name

@@ -72,3 +72,41 @@ def test_stateful_stream_sessionize_matches_batch(spark, tmp_path):
         for r in batch if r.session_id != last[r.user_id]
     }
     assert streamed == expected
+
+
+def test_watermarked_window_counts_match_batch(spark, tmp_path):
+    """Watermark + windowed agg: finalized windows equal the batch group-by
+    (append mode only emits windows the watermark has closed)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.streaming.ingest import stream_windowed_counts
+
+    events_dir = tmp_path / "events_w"
+    events_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                events_dir / "part-0.parquet")
+    q, name = stream_windowed_counts(spark, str(events_dir))
+    q.awaitTermination(180)
+    streamed = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch_df = (
+        spark.read.parquet(str(events_dir)).withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "60 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n", "v")
+    )
+    batch = {(r.ws, r.event_type): (r.n, r.v) for r in batch_df.collect()}
+    # every emitted window matches the batch aggregate exactly; only the
+    # final (still-open) windows may be absent from the stream
+    assert streamed, "watermark should have closed most windows"
+    for key, val in streamed.items():
+        assert batch[key] == val
+    missing = set(batch) - set(streamed)
+    if missing:
+        max_ws = max(ws for ws, _ in batch)
+        assert all(ws >= max_ws - __import__("datetime").timedelta(hours=2)
+                   for ws, _ in missing)
