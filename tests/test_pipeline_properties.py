@@ -1,0 +1,83 @@
+"""Property-based tests for the full per-document fold (process_document)
+and partition-invariance of the Spark pipeline.
+
+Invariants for ARBITRARY interleaved span documents:
+
+1. output offsets are exactly 0..n-1 (renumbered, contiguous);
+2. the media subsequence (refs, in order) is preserved exactly;
+3. chunk rows never carry media_ref, media rows never carry text;
+4. doc-level meta is consistent: total_pages = #(text|pdf) spans,
+   bytes_decoded > 0 iff any non-empty text;
+5. the fold is a pure function of the ordered spans: shuffled input span
+   order (same offsets) yields identical output;
+6. (Spark) results are independent of physical partitioning.
+"""
+
+import string
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from fast_pdf_parser_spark.config import ChunkOptions
+from fast_pdf_parser_spark.functions.tokenizer import get_tokenizer
+from fast_pdf_parser_spark.operators.pipeline import process_document
+
+TOK = get_tokenizer()
+
+text_body = st.text(alphabet=string.ascii_lowercase + " #\n-", max_size=120)
+span = st.one_of(
+    st.builds(lambda t: {"kind": "text", "text": t, "media_ref": None},
+              text_body),
+    st.builds(lambda i: {"kind": "media", "text": None,
+                         "media_ref": f"media://{i}"},
+              st.integers(0, 99)),
+)
+doc_spans = st.builds(
+    lambda ss: [dict(s, offset=i) for i, s in enumerate(ss)],
+    st.lists(span, min_size=0, max_size=10),
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(spans=doc_spans)
+def test_fold_invariants(spans):
+    rows = process_document("d", spans, TOK, ChunkOptions(min_tokens=1))
+
+    # 1. contiguous renumbered offsets
+    assert [r[1] for r in rows] == list(range(len(rows)))
+
+    # 2. media subsequence preserved in order
+    expected_refs = [s["media_ref"] for s in spans if s["kind"] == "media"]
+    got_refs = [r[4] for r in rows if r[2] == "media"]
+    assert got_refs == expected_refs
+
+    # 3. column discipline
+    for r in rows:
+        if r[2] == "chunk":
+            assert r[4] is None and r[3] is not None
+        if r[2] == "media":
+            assert r[3] is None
+
+    # 4. doc meta
+    if rows:
+        total_pages = rows[0][12]
+        assert total_pages == sum(1 for s in spans if s["kind"] != "media")
+
+    # 5. input span order irrelevant (offsets define order)
+    rows2 = process_document("d", list(reversed(spans)), TOK,
+                             ChunkOptions(min_tokens=1))
+    assert rows == rows2
+
+
+def test_spark_partition_invariance(spark):
+    from fast_pdf_parser_spark.operators.pipeline import extract_documents
+    from fast_pdf_parser_spark.sources.synth import SPANS_DDL, iter_docs
+
+    docs = list(iter_docs(30, seed=9))
+    df = spark.createDataFrame(pd.DataFrame(docs), schema=SPANS_DDL)
+    key = ["doc_id", "offset", "kind", "text", "media_ref", "token_count"]
+    a = sorted(tuple(r) for r in
+               extract_documents(df.coalesce(1)).select(*key).collect())
+    b = sorted(tuple(r) for r in
+               extract_documents(df.repartition(11)).select(*key).collect())
+    assert a == b
