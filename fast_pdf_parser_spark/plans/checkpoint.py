@@ -118,6 +118,9 @@ def run_with_checkpoint(
             "append"
         ).parquet(checkpoint_path)
 
+    # partition discovery exposes the bucket= directory as a `bucket` column
+    # — kept deliberately: downstream reads filtering on it get partition
+    # pruning for free (e.g. re-processing one bucket's output)
     return spark.read.parquet(spans_dir)
 
 
