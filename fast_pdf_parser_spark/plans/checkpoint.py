@@ -26,7 +26,9 @@ bounding re-work after a failure to 1/n of the corpus.
 from __future__ import annotations
 
 import os
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor, as_completed
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -67,10 +69,19 @@ def run_with_checkpoint(
     chunk_options: ChunkOptions = ChunkOptions(),
     parse_options: ParseOptions = ParseOptions(),
     fail_on_bucket: int | None = None,  # test hook: simulate a crash
+    max_concurrent_buckets: int = 4,
 ) -> DataFrame:
     """Process the corpus bucket-by-bucket, appending lineage rows; on
     re-invocation with the same run_id, already-'done' buckets are skipped
-    (resume-from-partition). Returns the complete result DataFrame reader."""
+    (resume-from-partition). Returns the complete result DataFrame reader.
+
+    Buckets are independent jobs, so up to ``max_concurrent_buckets`` run
+    concurrently (Spark schedules parallel jobs; each bucket's data lands in
+    its own directory, so writes never collide). Only the tiny lineage
+    append is serialized. A bucket's lineage row is still written strictly
+    AFTER its data is durable, so a crash mid-run re-processes exactly the
+    buckets without a 'done' row — resumability is unchanged, while the
+    per-bucket job overhead no longer serializes the whole run."""
     spans_dir = os.path.join(out_dir, "spans")
     checkpoint_path = os.path.join(out_dir, "checkpoint")
 
@@ -91,7 +102,9 @@ def run_with_checkpoint(
         .orderBy("bucket").collect()
     ]
 
-    for bucket in pending:
+    lineage_lock = threading.Lock()
+
+    def process_bucket(bucket: int) -> None:
         if fail_on_bucket is not None and bucket == fail_on_bucket:
             raise RuntimeError(f"simulated failure at bucket {bucket}")
         t0 = time.time()
@@ -114,9 +127,25 @@ def run_with_checkpoint(
         row = [(run_id, bucket, int(stats["docs"] or 0),
                 int(stats["bytes"] or 0), int(stats["fails"] or 0),
                 wall_ms, "done")]
-        spark.createDataFrame(row, schema=CHECKPOINT_SCHEMA).write.mode(
-            "append"
-        ).parquet(checkpoint_path)
+        with lineage_lock:  # concurrent appends to one dir can collide
+            spark.createDataFrame(row, schema=CHECKPOINT_SCHEMA).write.mode(
+                "append"
+            ).parquet(checkpoint_path)
+
+    workers = max(1, min(max_concurrent_buckets, len(pending) or 1))
+    if workers == 1:
+        for bucket in pending:
+            process_bucket(bucket)
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futures = {pool.submit(process_bucket, b): b for b in pending}
+            errors = []
+            for fut in as_completed(futures):
+                exc = fut.exception()
+                if exc is not None:
+                    errors.append(exc)
+            if errors:
+                raise errors[0]
 
     # partition discovery exposes the bucket= directory as a `bucket` column
     # — kept deliberately: downstream reads filtering on it get partition

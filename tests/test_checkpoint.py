@@ -30,10 +30,12 @@ def test_crash_and_resume(spark, corpus, tmp_path):
     out = str(tmp_path / "run")
     n_buckets = 4
 
-    # first attempt crashes on the 3rd bucket
+    # first attempt crashes on the 3rd bucket (sequential mode so exactly
+    # the buckets before the crash are durable)
     with pytest.raises(RuntimeError, match="simulated failure"):
         run_with_checkpoint(spark, corpus, out, run_id="r1",
-                            num_buckets=n_buckets, fail_on_bucket=2)
+                            num_buckets=n_buckets, fail_on_bucket=2,
+                            max_concurrent_buckets=1)
     done_before = completed_buckets(spark, out + "/checkpoint", "r1")
     assert done_before == {0, 1}
 
@@ -73,3 +75,23 @@ def test_matches_direct_pipeline(spark, corpus, tmp_path):
     a = sorted(tuple(r) for r in ck.select(*key).collect())
     b = sorted(tuple(r) for r in direct.select(*key).collect())
     assert a == b
+
+
+def test_concurrent_crash_and_resume(spark, corpus, tmp_path):
+    """With concurrent buckets, a crash still never records a lineage row
+    for the failed bucket, and resume completes exactly the missing ones."""
+    out = str(tmp_path / "run_cc")
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        run_with_checkpoint(spark, corpus, out, run_id="cc",
+                            num_buckets=4, fail_on_bucket=1,
+                            max_concurrent_buckets=3)
+    done = completed_buckets(spark, out + "/checkpoint", "cc")
+    assert 1 not in done  # the failed bucket is never 'done'
+
+    result = run_with_checkpoint(spark, corpus, out, run_id="cc",
+                                 num_buckets=4, max_concurrent_buckets=3)
+    assert completed_buckets(spark, out + "/checkpoint", "cc") == {0, 1, 2, 3}
+    assert result.select("doc_id").distinct().count() == corpus.count()
+    # exactly one lineage row per bucket despite concurrency
+    lin = lineage(spark, out).filter("run_id = 'cc'")
+    assert sorted(r.partition_id for r in lin.collect()) == [0, 1, 2, 3]
