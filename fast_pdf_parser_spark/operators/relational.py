@@ -820,3 +820,29 @@ FROM documents""",
                    (a, b) -> (a * 31 + b) % 2147483647) AS rolling_hash
 FROM documents""",
 )
+
+
+# --- multi-table join / agg / sort (broadcast-join demo) ---------------------
+# The reference has NO joins (SURVEY §2 note) — this is the beyond-reference
+# relational smoke: dimension (customer) broadcast against facts
+# (orders ⋈ lineitem), grouped revenue, deterministic top-k. Revenue scaled
+# to integer cents (floor(x*100+0.5)) so no floats reach the compare.
+_JOIN_TOPK = """WITH rev AS (
+  SELECT o.o_custkey AS custkey,
+         CAST(floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
+              AS BIGINT) AS revenue_cents,
+         count(*) AS n_lineitems
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey
+),
+ranked AS (
+  SELECT c.c_custkey, c.c_name, r.revenue_cents, r.n_lineitems,
+         row_number() OVER (ORDER BY r.revenue_cents DESC, c.c_custkey ASC)
+           AS rank
+  FROM rev r JOIN customer c ON r.custkey = c.c_custkey
+)
+SELECT CAST(rank AS INT) AS rank, c_custkey, c_name, revenue_cents,
+       n_lineitems
+FROM ranked WHERE rank <= 25"""
+
+QUERIES["join_revenue_topk"] = _pair(_JOIN_TOPK, _JOIN_TOPK)
