@@ -43,15 +43,9 @@ _LIST_RE = re.compile(
     rf"{_WS}*[-*+]{_WS}+[^\n\r]+\Z|{_WS}*[0-9]+\.{_WS}+[^\n\r]+\Z"
 )
 
-# Spark SQL (Java regex) equivalents for the relational formulation —
-# used by the declarative queries in __spark_entry__.py. Java regex rlike
-# does substring search, so anchor both ends.
-HEADING_SQL_RE = r"^(#+)[ \t\n\x0B\f\r]+[^\n\r]+$"
-LIST_SQL_RE = (
-    r"^[ \t\n\x0B\f\r]*[-*+][ \t\n\x0B\f\r]+[^\n\r]+$"
-    r"|^[ \t\n\x0B\f\r]*[0-9]+\.[ \t\n\x0B\f\r]+[^\n\r]+$"
-)
-BLANK_SQL_RE = r"^[ \t\n\x0B\f\r]*$"
+# The relational twin of this classifier lives in operators/relational.py
+# (_SPARK_CLASSIFY / _DUCK_CLASSIFY); tests/test_classifier.py asserts the
+# two implementations agree line-for-line.
 
 
 def detect_line_type(line: str) -> tuple[str, int]:

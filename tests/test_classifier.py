@@ -67,3 +67,37 @@ def test_getline_semantics():
     assert split_page_lines("a\nb") == ["a", "b"]
     assert split_page_lines("a\nb\n") == ["a", "b"]
     assert split_page_lines("a\n\n") == ["a", ""]
+
+
+def test_python_and_sql_classifiers_agree(spark):
+    """detect_line_type (UDF path) and the relational CASE expression
+    (oracle path) are independent implementations of
+    src/hierarchical_chunker.cpp:82-113 — they must agree on any line."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    lines = [
+        "", "   ", "\t", "# Title", "## Sub", "### Deep", "#### x", "#",
+        "#NoSpace", "- item", "* item", "+ item", "  - indented",
+        "12. numbered", "1.no-space", "```python", "x ``` y",
+        "  indented code", " one space", "plain text line", "not # heading",
+        "#  double space heading", "-", "- ", "9. ok", "##\ttab heading",
+        "  ", "word - dash mid", "*bold* text", "1. a",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"line": lines}))
+    df.createOrReplaceTempView("lines_probe")
+    sql = spark.sql(r"""
+      SELECT line,
+        CASE
+          WHEN line RLIKE '^[ \t]*$' THEN 'BLANK'
+          WHEN line RLIKE '^#+[ \t]+.+$' THEN
+            CASE WHEN length(regexp_extract(line, '^(#+)[ \t]+', 1)) <= 2
+                 THEN 'MAJOR_HEADING' ELSE 'MINOR_HEADING' END
+          WHEN line RLIKE '^[ \t]*[-*+][ \t]+.+$'
+            OR line RLIKE '^[ \t]*[0-9]+\.[ \t]+.+$' THEN 'LIST_ITEM'
+          WHEN line LIKE '%```%' OR line LIKE '  %' THEN 'CODE_BLOCK'
+          ELSE 'NORMAL' END AS line_type
+      FROM lines_probe""")
+    got = {r.line: r.line_type for r in sql.collect()}
+    for line in lines:
+        assert got[line] == detect_line_type(line)[0], repr(line)
