@@ -91,8 +91,12 @@ def main() -> None:
         import __spark_entry__ as entrymod
 
         qmap = entrymod.queries()
-        # cheapest first: the first query also pays one-time JVM/codegen
-        # warmup, so don't let it distort an expensive operator's number
+        # warm JVM codegen/shuffle paths so the first query's number is the
+        # query, not the JIT
+        spark.range(100000).selectExpr("id", "id % 7 AS k") \
+            .groupBy("k").count().count()
+        # cheapest first: the first query also pays residual one-time costs,
+        # so don't let it distort an expensive operator's number
         for name in ["text_quality_score", "events_sessionize",
                      "ann_cosine_topk", "f4_semantic_units",
                      "dedup_minhash_signatures", "dedup_lsh_pairs"]:
