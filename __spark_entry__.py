@@ -150,13 +150,24 @@ def _pipeline_docling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: media passthrough spans → typed metadata + features
-    (decode stubbed deterministically; rows-only)."""
+    (decode stubbed deterministically; rows-only).
+
+    The driver-facing projection is all-scalar: the canonicalizer sorts every
+    column and cannot sort ``array<float>``, so the feature vector is emitted
+    as ``md5(to_json(features))`` here; the library API
+    (multimodal.media.extract_media_features) keeps the real array column.
+    """
+    from pyspark.sql import functions as F
+
     from fast_pdf_parser_spark.multimodal.media import (
         extract_media_features,
         media_spans,
     )
 
-    return extract_media_features(media_spans(_pipeline_spans(spark, sf_dir)))
+    out = extract_media_features(media_spans(_pipeline_spans(spark, sf_dir)))
+    return out.withColumn(
+        "features_md5", F.md5(F.to_json(F.col("features")))
+    ).drop("features")
 
 
 def oracle_sql() -> dict[str, str]:

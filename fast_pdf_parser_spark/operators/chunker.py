@@ -223,15 +223,16 @@ def merge_small_chunks_hierarchically(
             should_merge = False
             if combined <= max_tokens:
                 should_merge = True
-            elif combined <= max_tokens * 1.1 and nxt.tokens < min_tokens / 2:
-                # 1.1x allowance (:276)
+            elif combined <= max_tokens * 1.1 and nxt.tokens < min_tokens // 2:
+                # 1.1x allowance (:276); int division matches C++ int/2
+                # (hierarchical_chunker.cpp:276 with int min_tokens)
                 should_merge = True
 
             # heading veto (:281-283)
             if (
                 nxt.has_major_heading
                 and nxt.min_heading_level <= 2
-                and current.tokens >= min_tokens / 2
+                and current.tokens >= min_tokens // 2  # int div (:281)
             ):
                 should_merge = False
 

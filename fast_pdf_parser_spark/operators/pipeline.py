@@ -15,9 +15,11 @@ Spark-first design (SURVEY.md §3.1 "Spark lifecycle equivalent"):
 - Column pruning: only (doc_id, spans) are selected before the UDF — Catalyst
   prunes the parquet scan to exactly those (the analogue of
   extract_positions=false/extract_fonts=false, hierarchical_chunker.cpp:562-563).
-- Page-limit pushdown: ``F.slice(spans, 1, N)`` BEFORE the UDF — true
-  pushdown the reference cannot do (it stops between thread-pool batches,
-  src/hierarchical_chunker.cpp:592-594).
+- Page-limit pushdown: offset-ordered ``F.slice(array_sort(spans), 1, N)``
+  BEFORE the UDF — true pushdown the reference cannot do (it stops between
+  thread-pool batches, src/hierarchical_chunker.cpp:592-594). The slice
+  selects exactly the spans process_document would keep, regardless of the
+  array's stored order.
 - Skew: documents range from 1 to >1000 pages (chunk_test_summary.md:9-44).
   ``repartition_for_skew`` salts doc rows uniformly and AQE re-coalesces;
   ``arrow_max_records_per_batch`` bounds how many docs share one Arrow batch
@@ -192,9 +194,20 @@ def extract_documents(
     pruned = df.select("doc_id", "spans")
     if chunk_options.page_limit > 0:
         # true limit pushdown below the parse UDF (SURVEY.md §4): keep only
-        # the first N spans per document before any decoding happens
+        # the first N spans per document before any decoding happens.
+        # "First" means offset order — the same order process_document uses —
+        # so the array is sorted by offset before slicing (stored order is
+        # not guaranteed). Like process_document, the limit counts spans of
+        # every kind including media: the limit bounds per-doc work, and a
+        # media span occupies a document-order slot just as a page does.
+        by_offset = F.array_sort(
+            "spans",
+            lambda a, b: F.when(a["offset"] < b["offset"], F.lit(-1))
+            .when(a["offset"] > b["offset"], F.lit(1))
+            .otherwise(F.lit(0)),
+        )
         pruned = pruned.withColumn(
-            "spans", F.slice("spans", 1, chunk_options.page_limit)
+            "spans", F.slice(by_offset, 1, chunk_options.page_limit)
         )
     if parse_options.num_partitions > 0:
         pruned = repartition_for_skew(pruned, parse_options.num_partitions)

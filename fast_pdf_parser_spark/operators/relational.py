@@ -145,12 +145,12 @@ QUERIES: dict[str, dict[str, str]] = {}
 QUERIES["p3_empty_filter"] = _pair(
     f"""WITH {_SPARK_LINES}
 SELECT doc_id,
-       sum(CASE WHEN line RLIKE '^[ \\t]*$' THEN 0 ELSE 1 END) AS nonblank_lines,
+       CAST(sum(CASE WHEN line RLIKE '^[ \\t]*$' THEN 0 ELSE 1 END) AS BIGINT) AS nonblank_lines,
        count(*) AS total_lines
 FROM lines GROUP BY doc_id""",
     f"""WITH {_DUCK_LINES}
 SELECT doc_id,
-       sum(CASE WHEN regexp_matches(line, '^[ \t]*$') THEN 0 ELSE 1 END) AS nonblank_lines,
+       CAST(sum(CASE WHEN regexp_matches(line, '^[ \t]*$') THEN 0 ELSE 1 END) AS BIGINT) AS nonblank_lines,
        count(*) AS total_lines
 FROM lines GROUP BY doc_id""",
 )
@@ -673,22 +673,69 @@ def names() -> list[str]:
 # Embedding near-dup + bucketed ANN (the LSH "scale path" variants)
 # ---------------------------------------------------------------------------
 
-# sign-bucket (coordinate-hyperplane LSH): 8 sign bits of the first 8 dims.
+# Banded random-hyperplane LSH (sign bits of sparse ±1 projections).
 # The brute-force cosine (ann_cosine_topk) is the baseline; these bucketed
 # variants are the path that survives 10^9 vectors: candidate generation is
-# an equi-join on the bucket key, never a cross join.
-_SIGNKEY_SPARK = (
-    "concat(" + ", ".join(
-        f"CASE WHEN element_at(embedding, {i}) >= 0 THEN '1' ELSE '0' END"
-        for i in range(1, 9)
-    ) + ")"
+# an equi-join on (band, band_key), never a cross join. B independent bands
+# recover the recall a single key loses, the key space is 2^bits per band
+# (not a fixed 256), and the same mega-bucket cap as dedup_lsh_pairs bounds
+# the within-bucket pairing on skewed corpora. Hyperplanes come from
+# similarity.hyperplane_terms (md5-seeded), so both dialects — and the
+# DataFrame API in operators/similarity.py — bucket identically.
+from fast_pdf_parser_spark.operators.similarity import (  # noqa: E402
+    LSH_BANDS as _EMB_BANDS,
+    LSH_BITS as _EMB_BITS,
+    LSH_BUCKET_CAP as _EMB_CAP,
+    hyperplane_terms as _hp_terms,
 )
-_SIGNKEY_DUCK = (
-    "concat(" + ", ".join(
-        f"CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END"
-        for i in range(1, 9)
-    ) + ")"
-)
+
+
+def _band_key_sql(band: int, elem: str) -> str:
+    """One band's key as portable SQL; ``elem`` formats a 1-based element
+    access (Spark: element_at(embedding, {i}); DuckDB: embedding[{i}]).
+    The projection sum is written in one fixed order so both engines
+    produce bit-identical doubles."""
+    bits = []
+    for bit in range(_EMB_BITS):
+        proj = "CAST(0.0 AS DOUBLE)"
+        for d, sign in _hp_terms(band, bit):
+            op = "+" if sign > 0 else "-"
+            proj += f" {op} CAST({elem.format(i=d)} AS DOUBLE)"
+        bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _emb_bands_cte(elem: str) -> str:
+    """CTE chain: v (vectors + band keys) → bands (exploded via UNION ALL)
+    → small_buckets (the cap) → member (capped index rows)."""
+    keys = ",\n         ".join(
+        f"{_band_key_sql(b, elem)} AS k{b}" for b in range(_EMB_BANDS)
+    )
+    union = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, k{b} AS band_key FROM v"
+        for b in range(_EMB_BANDS)
+    )
+    return f"""v AS (
+  SELECT vec_id, embedding AS e,
+         {keys}
+  FROM embeddings
+),
+bands AS (
+  {union}
+),
+small_buckets AS (
+  SELECT band, band_key FROM bands
+  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND {_EMB_CAP}
+),
+member AS (
+  SELECT b.vec_id, b.band, b.band_key
+  FROM bands b JOIN small_buckets s
+    ON b.band = s.band AND b.band_key = s.band_key
+)"""
+
+
+_EMB_ELEM_SPARK = "element_at(embedding, {i})"
+_EMB_ELEM_DUCK = "embedding[{i}]"
 
 _COS_SPARK = """round(
   aggregate(zip_with(a.e, b.e, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
@@ -698,22 +745,28 @@ _COS_SPARK = """round(
      * sqrt(aggregate(transform(b.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                       CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))), 6)"""
 
+# candidate pairs: distinct (a, b) sharing ANY capped band bucket, then the
+# exact cosine verifies each candidate — linear index build, bounded buckets.
+_EMB_CAND_PAIRS = """cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM member a JOIN member b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+)"""
+
 QUERIES["dedup_embedding_cosine"] = _pair(
-    f"""WITH v AS (
-  SELECT vec_id, embedding AS e, {_SIGNKEY_SPARK} AS bucket FROM embeddings
-),
+    f"""WITH {_emb_bands_cte(_EMB_ELEM_SPARK)},
+{_EMB_CAND_PAIRS},
 pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_SPARK} AS cos
-  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT c.vec_a, c.vec_b, {_COS_SPARK} AS cos
+  FROM cand c JOIN v a ON a.vec_id = c.vec_a JOIN v b ON b.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b FROM pairs WHERE cos >= 0.1""",
-    f"""WITH v AS (
-  SELECT vec_id, embedding AS e, {_SIGNKEY_DUCK} AS bucket FROM embeddings
-),
+    f"""WITH {_emb_bands_cte(_EMB_ELEM_DUCK)},
+{_EMB_CAND_PAIRS},
 raw AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  SELECT c.vec_a, c.vec_b,
          unnest(list_zip(a.e, b.e)) AS z
-  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM cand c JOIN v a ON a.vec_id = c.vec_a JOIN v b ON b.vec_id = c.vec_b
 ),
 pairs AS (
   SELECT vec_a, vec_b,
@@ -725,14 +778,21 @@ pairs AS (
 SELECT vec_a, vec_b FROM pairs WHERE cos >= 0.1""",
 )
 
-QUERIES["ann_lsh_topk"] = _pair(
-    f"""WITH v AS (
-  SELECT vec_id, embedding AS e, {_SIGNKEY_SPARK} AS bucket FROM embeddings
-),
-scored AS (
-  SELECT a.vec_id AS query_id, b.vec_id, {_COS_SPARK} AS cos
-  FROM v a JOIN v b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+# ANN via the same banded index: queries are vec_id < 20; candidates are the
+# distinct ids sharing any capped band bucket with the query.
+_EMB_CAND_ANN = """cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS vec_id
+  FROM member a JOIN member b
+    ON a.band = b.band AND a.band_key = b.band_key AND b.vec_id <> a.vec_id
   WHERE a.vec_id < 20
+)"""
+
+QUERIES["ann_lsh_topk"] = _pair(
+    f"""WITH {_emb_bands_cte(_EMB_ELEM_SPARK)},
+{_EMB_CAND_ANN},
+scored AS (
+  SELECT c.query_id, c.vec_id, {_COS_SPARK} AS cos
+  FROM cand c JOIN v a ON a.vec_id = c.query_id JOIN v b ON b.vec_id = c.vec_id
 ),
 ranked AS (
   SELECT query_id, vec_id,
@@ -742,14 +802,12 @@ ranked AS (
 )
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
 FROM ranked WHERE rank <= 3""",
-    f"""WITH v AS (
-  SELECT vec_id, embedding AS e, {_SIGNKEY_DUCK} AS bucket FROM embeddings
-),
+    f"""WITH {_emb_bands_cte(_EMB_ELEM_DUCK)},
+{_EMB_CAND_ANN},
 raw AS (
-  SELECT a.vec_id AS query_id, b.vec_id,
+  SELECT c.query_id, c.vec_id,
          unnest(list_zip(a.e, b.e)) AS z
-  FROM v a JOIN v b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
-  WHERE a.vec_id < 20
+  FROM cand c JOIN v a ON a.vec_id = c.query_id JOIN v b ON b.vec_id = c.vec_id
 ),
 scored AS (
   SELECT query_id, vec_id,

@@ -6,8 +6,13 @@ path):
 - ``brute_force_topk`` — exact cosine top-k; the query side is broadcast
   (BroadcastNestedLoopJoin), the corpus streams. Baseline and the verifier
   for the approximate tiers. O(|queries| x |corpus|).
-- ``lsh_topk`` — coordinate-hyperplane sign buckets (operators/relational.py
-  ann_lsh_topk is the SQL twin): candidate generation becomes an equi-join.
+- ``lsh_topk`` — banded random-hyperplane LSH (operators/relational.py
+  ann_lsh_topk is the SQL twin): B independent bands of sign bits over
+  sparse ±1 hyperplanes; candidate generation is an equi-join on
+  (band, band_key) with a mega-bucket cap, so the within-bucket pairing
+  stays bounded no matter how skewed the corpus is. A single fixed key
+  (the round-1 design) caps the bucket count and goes quadratic at 1e9
+  vectors; banding + the cap is the same shape dedup_lsh_pairs uses.
 - ``ivf_topk`` — IVF with a KMeans coarse quantizer (pyspark.ml): corpus
   vectors are assigned to cells once; a query probes its ``n_probe``
   nearest cells only, so the scan cost drops by ~n_cells/n_probe. The cell
@@ -21,7 +26,40 @@ deterministic across partitionings.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window, functions as F
+
+# Banded random-hyperplane LSH parameters (shared with the SQL twins in
+# operators/relational.py so the DataFrame and SQL paths bucket identically).
+LSH_BANDS = 6
+LSH_BITS = 12
+LSH_TERMS = 8
+LSH_BUCKET_CAP = 100
+EMB_DIM = 64
+
+
+def hyperplane_terms(band: int, bit: int, dim: int = EMB_DIM,
+                     n_terms: int = LSH_TERMS) -> list[tuple[int, int]]:
+    """Deterministic sparse ±1 hyperplane for (band, bit): ``n_terms``
+    distinct 1-based dims with signs, derived from md5 so the Spark and
+    DuckDB SQL twins embed byte-identical literal expressions.
+
+    Sparse sign projections (Achlioptas-style) keep the unrolled SQL small
+    while preserving the sign-LSH collision geometry.
+    """
+    terms: list[tuple[int, int]] = []
+    used: set[int] = set()
+    k = 0
+    while len(terms) < n_terms:
+        h = hashlib.md5(f"hp:{band}:{bit}:{k}".encode("ascii")).digest()
+        k += 1
+        d = 1 + int.from_bytes(h[:4], "big") % dim
+        if d in used:
+            continue
+        used.add(d)
+        terms.append((d, 1 if h[4] % 2 == 0 else -1))
+    return terms
 
 
 def _cos(a, b):
@@ -66,23 +104,64 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10) -> Data
     return _rank_topk(scored, k)
 
 
-def sign_bucket(col, bits: int = 8):
-    """Coordinate-hyperplane LSH key: sign bits of the first ``bits`` dims."""
-    return F.concat(*[
-        F.when(F.element_at(col, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(bits)
+def band_key(col, band: int, bits: int = LSH_BITS):
+    """One band's LSH key: ``bits`` sign bits of sparse ±1 hyperplane
+    projections (hyperplane_terms picks the dims deterministically)."""
+    bit_cols = []
+    for bit in range(bits):
+        proj = F.lit(0.0).cast("double")
+        for d, sign in hyperplane_terms(band, bit):
+            term = F.element_at(col, d).cast("double")
+            proj = (proj + term) if sign > 0 else (proj - term)
+        bit_cols.append(
+            F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_cols)
+
+
+def banded_keys(df: DataFrame, id_col: str, emb_col: str,
+                n_bands: int = LSH_BANDS, bits: int = LSH_BITS) -> DataFrame:
+    """(id, embedding) → one row per (id, band, band_key): the LSH index
+    rows. Linear in |df| — a projection plus a ``bits``-way explode of
+    per-row computed keys, no shuffle."""
+    entries = F.array(*[
+        F.struct(F.lit(b).cast("int").alias("band"),
+                 band_key(F.col(emb_col), b, bits).alias("band_key"))
+        for b in range(n_bands)
     ])
+    return (
+        df.select(id_col, emb_col, F.explode(entries).alias("bk"))
+        .select(id_col, emb_col, F.col("bk.band").alias("band"),
+                F.col("bk.band_key").alias("band_key"))
+    )
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
-             bits: int = 8) -> DataFrame:
-    """Bucketed ANN: candidates share the query's sign bucket (equi-join)."""
-    q = queries.select("query_id", F.col("embedding").alias("qe"),
-                       sign_bucket(F.col("embedding"), bits).alias("bucket"))
-    c = corpus.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("embedding").alias("ce"),
-                      sign_bucket(F.col("embedding"), bits).alias("bucket"))
-    scored = c.join(F.broadcast(q), "bucket").select(
+             n_bands: int = LSH_BANDS, bits: int = LSH_BITS,
+             bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """Banded ANN: candidates share any of the query's band keys.
+
+    The equi-join runs on (band, band_key); corpus buckets larger than
+    ``bucket_cap`` are skipped first (a bucket that popular is degenerate
+    geometry, and pairing inside it is quadratic — same rule as
+    relational.py dedup_lsh_pairs), so per-bucket work is O(cap) however
+    skewed the corpus.
+    """
+    cb = banded_keys(
+        corpus.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("ce")),
+        "neighbor_id", "ce", n_bands, bits)
+    qb = banded_keys(queries.select("query_id",
+                                    F.col("embedding").alias("qe")),
+                     "query_id", "qe", n_bands, bits)
+    small = (cb.groupBy("band", "band_key")
+             .agg(F.count("*").alias("n"))
+             .filter(F.col("n") <= bucket_cap)
+             .select("band", "band_key"))
+    capped = cb.join(small, ["band", "band_key"])
+    cand = (capped.join(F.broadcast(qb), ["band", "band_key"])
+            .select("query_id", "qe", "neighbor_id", "ce")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    scored = cand.select(
         "query_id", "neighbor_id", _cos(F.col("qe"), F.col("ce")).alias("cos")
     )
     return _rank_topk(scored, k)

@@ -124,6 +124,27 @@ def test_page_limit_pushdown(spark):
     assert plan.index("slice") > plan.index("MapInPandas")  # child of the UDF
 
 
+def test_page_limit_pushdown_unordered_storage(spark):
+    # the pushdown slice must select by OFFSET order, not stored order:
+    # a doc whose span array is stored reversed yields the same output as
+    # the in-order doc, with and without page_limit
+    doc = make_doc(6, seed=7)
+    reversed_doc = {
+        "doc_id": doc["doc_id"],
+        "spans": list(reversed(doc["spans"])),
+    }
+    for opts in (ChunkOptions(page_limit=3), ChunkOptions()):
+        expected = golden_sequence(doc, opts)
+        df = spark.createDataFrame(
+            pd.DataFrame([reversed_doc]), schema=SPANS_DDL
+        )
+        actual = sorted(
+            (r.offset, r.kind, r.text, r.media_ref)
+            for r in extract_documents(df, opts).collect()
+        )
+        assert actual == expected
+
+
 def test_overlap_configured(spark):
     # FIXTURES.md edge_overlap_on: overlap populated, text unchanged
     # multi-unit pages (headings every few lines) so chunks stay under max

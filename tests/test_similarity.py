@@ -47,18 +47,76 @@ def test_brute_force_topk_exact_and_deterministic(spark, emb):
     assert "BroadcastNestedLoopJoin" in plan
 
 
-def test_lsh_topk_subset_of_bucket(spark, emb):
+def test_lsh_topk_candidates_share_a_band(spark, emb):
     corpus, queries = emb
-    out = lsh_topk(corpus, queries, k=5, bits=4)
-    # every returned neighbor shares the query's 4-bit sign bucket
-    from fast_pdf_parser_spark.operators.similarity import sign_bucket
+    out = lsh_topk(corpus, queries, k=5)
+    # every returned neighbor shares at least one band key with its query
+    from fast_pdf_parser_spark.operators.similarity import banded_keys
 
-    qb = {r.query_id: r.b for r in queries.select(
-        "query_id", sign_bucket(F.col("embedding"), 4).alias("b")).collect()}
-    cb = {r.vec_id: r.b for r in corpus.select(
-        "vec_id", sign_bucket(F.col("embedding"), 4).alias("b")).collect()}
-    for r in out.collect():
-        assert cb[r.neighbor_id] == qb[r.query_id]
+    qb = {}
+    for r in banded_keys(queries, "query_id", "embedding").collect():
+        qb.setdefault(r.query_id, set()).add((r.band, r.band_key))
+    cb = {}
+    for r in banded_keys(corpus, "vec_id", "embedding").collect():
+        cb.setdefault(r.vec_id, set()).add((r.band, r.band_key))
+    rows = out.collect()
+    assert rows, "banded LSH returned no candidates on clustered data"
+    for r in rows:
+        assert cb[r.neighbor_id] & qb[r.query_id]
+
+
+def test_lsh_finds_planted_near_duplicates(spark):
+    # sign-LSH's contract is NEAR-duplicates (cos ≈ 1), not weak neighbors:
+    # plant queries that are tiny perturbations of corpus vectors and require
+    # the banding to recover most planted pairs as rank-1 hits.
+    dim, n = 64, 200
+
+    def vec(i):
+        return [float(((i * 31 + j * 17) % 19) - 9) for j in range(dim)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(n)],
+        schema="vec_id bigint, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(i, [x + 0.01 * ((i + j) % 3 - 1) for j, x in enumerate(vec(i))])
+         for i in range(20)],
+        schema="query_id bigint, embedding array<float>")
+    out = lsh_topk(corpus, queries, k=1).collect()
+    hits = sum(1 for r in out
+               if r.rank == 1 and r.neighbor_id == r.query_id)
+    assert hits >= 16, f"only {hits}/20 planted near-dups recovered"
+
+
+def test_lsh_bucket_cap_bounds_skew(spark):
+    # a pathological corpus: 150 identical vectors (they collide in EVERY
+    # band) + a few distinct ones. With bucket_cap=50 the identical block's
+    # buckets are skipped, so no surviving bucket exceeds the cap and the
+    # within-bucket pairing stays bounded — the 100-TB skew guarantee.
+    from fast_pdf_parser_spark.operators.similarity import (
+        LSH_BANDS, banded_keys, lsh_topk as lsh,
+    )
+
+    dim = 64
+    same = [1.0] * dim
+    rows = [(i, same) for i in range(150)]
+    rows += [(200 + i, [float((i * 7 + j * 3) % 13 - 6) for j in range(dim)])
+             for i in range(20)]
+    corpus = spark.createDataFrame(
+        rows, schema="vec_id bigint, embedding array<float>")
+    cap = 50
+    cb = banded_keys(corpus.selectExpr("vec_id AS neighbor_id",
+                                       "embedding AS ce"),
+                     "neighbor_id", "ce")
+    surviving = (cb.groupBy("band", "band_key").count()
+                 .filter(F.col("count") <= cap))
+    # the identical block exceeded the cap in every band → filtered out
+    assert surviving.agg(F.max("count")).first()[0] <= cap
+    # and lsh_topk with that cap returns no member of the identical block
+    # as a candidate for an identical-vector query
+    queries = spark.createDataFrame(
+        [(0, same)], schema="query_id bigint, embedding array<float>")
+    out = lsh(corpus, queries, k=5, bucket_cap=cap).collect()
+    assert all(r.neighbor_id >= 200 for r in out)
 
 
 def test_ivf_recall_beats_probe_fraction(spark, emb):
