@@ -63,6 +63,16 @@ def _relational_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _dedup_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_lsh_pairs via the materialized-member DataFrame path (the
+    single SQL statement re-executes the signature chain 4×; see
+    relational.dedup_lsh_pairs_df). Same oracle, identical output."""
+    from fast_pdf_parser_spark.operators.relational import dedup_lsh_pairs_df
+
+    _prepare(spark, sf_dir)
+    return dedup_lsh_pairs_df(spark)
+
+
 def _pipeline_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1-G5: the full stateful extraction (rows-only check — its exact
     contract is pinned by the span-equality pytest fixtures)."""
@@ -82,21 +92,24 @@ def _pipeline_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return results_meta(_pipeline_spans(spark, sf_dir))
 
 
-def _pipeline_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 over REAL chunk token counts (distribution analysis,
-    hierarchical_chunker.cpp:464-533) — rows-only (depends on the stateful
-    pipeline)."""
-    from pyspark.sql import functions as F
-
-    out = _pipeline_spans(spark, sf_dir).filter(F.col("kind") == "chunk")
-    return out.agg(
-        F.min("token_count").alias("min_tokens"),
-        F.max("token_count").alias("max_tokens"),
-        F.floor(F.avg("token_count")).cast("bigint").alias("avg_tokens"),
-        F.count("*").alias("n_chunks"),
-        F.sum(F.when(F.col("token_count") < 150, 1).otherwise(0))
-        .cast("bigint").alias("below_min"),
+def _pipeline_meta_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked S4/A3 axis: the REAL pipeline's per-doc page/byte/failure
+    counters, projected to the columns a pure-SQL oracle can re-derive from
+    documents.text (relational.HYBRID_ORACLES). total_chunks stays in the
+    rows-only pipeline_results_meta — chunk boundaries aren't SQL."""
+    return _pipeline_meta(spark, sf_dir).select(
+        "doc_id", "total_pages", "parse_failures", "bytes_decoded"
     )
+
+
+def _pipeline_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 over REAL chunk token counts: the reference's FULL distribution
+    report (hierarchical_chunker.cpp:464-533) — count/min/max/avg, index
+    quintiles p20/40/60/80, the 9 token-range buckets, below-min count.
+    Rows-only (depends on the stateful pipeline)."""
+    from fast_pdf_parser_spark.operators.sinks import chunk_distribution
+
+    return chunk_distribution(_pipeline_spans(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -110,8 +123,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _relational_query(name) for name in names()
     }
+    out["dedup_lsh_pairs"] = _dedup_lsh_pairs_fast
     out["pipeline_extract_spans"] = _pipeline_spans
     out["pipeline_results_meta"] = _pipeline_meta
+    out["pipeline_meta_oracle"] = _pipeline_meta_oracle
     out["pipeline_chunk_distribution"] = _pipeline_distribution
     out["pipeline_docling_chunks"] = _pipeline_docling
     out["multimodal_media_features"] = _media_features
@@ -175,6 +190,11 @@ def oracle_sql() -> dict[str, str]:
     pipeline queries (G1-G5 territory) are intentionally absent — the driver
     records the weaker rows-only check for them and pytest carries their
     exact span-sequence contract."""
-    from fast_pdf_parser_spark.operators.relational import QUERIES
+    from fast_pdf_parser_spark.operators.relational import (
+        HYBRID_ORACLES,
+        QUERIES,
+    )
 
-    return {name: pair["duck"] for name, pair in QUERIES.items()}
+    out = {name: pair["duck"] for name, pair in QUERIES.items()}
+    out.update(HYBRID_ORACLES)
+    return out

@@ -78,6 +78,38 @@ _DEFAULT_VOCAB_PATH = os.path.join(
     "vocab_fixture.tiktoken",
 )
 
+# The reference embeds the REAL cl100k_base vocabulary (1.6 MB, xxd -i —
+# tiktoken_tokenizer.h:51,66-67) and claims 1-3% accuracy vs Python tiktoken
+# (tiktoken_tokenizer.h:38-39). This container ships no such blob, so the
+# default is a small deterministic fixture vocab — algorithmically exact,
+# but with unreal token counts. When a genuine cl100k_base.tiktoken IS
+# available (env var or drop-in file), it is preferred automatically.
+_REAL_VOCAB_ENV = "FAST_PDF_PARSER_SPARK_VOCAB"
+
+
+def find_real_vocab() -> str | None:
+    """Locate a genuine ``cl100k_base.tiktoken`` if one is present.
+
+    Resolution order: ``$FAST_PDF_PARSER_SPARK_VOCAB``, then drop-in
+    locations (the package data dir, ``~/.cache/fast_pdf_parser_spark``).
+    Returns None when absent — tests gate on this, mirroring the
+    reference's GTEST_SKIP pattern (tests/test_parser.cpp:37-39).
+    """
+    candidates = []
+    env = os.environ.get(_REAL_VOCAB_ENV)
+    if env:
+        candidates.append(env)
+    data_dir = os.path.dirname(_DEFAULT_VOCAB_PATH)
+    candidates += [
+        os.path.join(data_dir, "cl100k_base.tiktoken"),
+        os.path.expanduser(
+            "~/.cache/fast_pdf_parser_spark/cl100k_base.tiktoken"),
+    ]
+    for c in candidates:
+        if c and os.path.isfile(c):
+            return c
+    return None
+
 
 def parse_vocab_text(data: str) -> dict[bytes, int]:
     """Parse ``base64(token) id`` lines (tiktoken_tokenizer.h:126-135)."""
@@ -235,8 +267,14 @@ def _load_vocab_singleton(path: str) -> dict[bytes, int]:
 
 
 def get_tokenizer(vocab_path: str | None = None) -> TiktokenTokenizer:
-    """Shared tokenizer instance per vocab path (one per Python worker)."""
-    key = vocab_path or _DEFAULT_VOCAB_PATH
+    """Shared tokenizer instance per vocab path (one per Python worker).
+
+    With no explicit path, a real cl100k_base.tiktoken is preferred when
+    one is discoverable (find_real_vocab) — matching the reference, which
+    always tokenizes with the real vocabulary — and the deterministic
+    fixture vocab is the fallback.
+    """
+    key = vocab_path or find_real_vocab() or _DEFAULT_VOCAB_PATH
     tok = _TOKENIZERS.get(key)
     if tok is None:
         tok = TiktokenTokenizer(vocab_path=key)

@@ -27,9 +27,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 try:  # real decoder if ever available (not in this container)
-    from PIL import Image  # type: ignore  # noqa: F401
+    from PIL import Image  # type: ignore
     _HAS_PIL = True
 except ImportError:
+    Image = None  # type: ignore
     _HAS_PIL = False
 
 MEDIA_FEATURES_DDL = (
@@ -50,15 +51,31 @@ def media_type_of(ref: str) -> str:
     return "unknown"
 
 
-def decode_image(data: bytes):
-    """Real image decode — unavailable here; the plumbing around it is what
-    this module tests. Swap in PIL on a cluster image that has it."""
+_CHANNELS = {"1": 1, "L": 1, "P": 1, "LA": 2, "RGB": 3, "RGBA": 4, "CMYK": 4}
+
+
+def decode_image(data: bytes) -> dict:
+    """Real image decode via PIL when importable (cluster images that ship
+    it); raises NotImplementedError here, where no codec library exists —
+    use fake_decode_meta for plumbing tests. Returns the same metadata
+    shape fake_decode_meta produces for ``kind='image'``."""
     if not _HAS_PIL:
         raise NotImplementedError(
             "image decoding requires PIL, which is not installed; "
             "use fake_decode_meta for plumbing tests"
         )
-    raise NotImplementedError("real decode path intentionally stubbed")
+    import io
+
+    img = Image.open(io.BytesIO(data))
+    return {
+        "media_type": "image",
+        "width": int(img.width),
+        "height": int(img.height),
+        "channels": _CHANNELS.get(img.mode, len(img.getbands())),
+        "duration_ms": 0,
+        "bytes_sha256": hashlib.sha256(data).hexdigest(),
+        "n_bytes": len(data),
+    }
 
 
 def fake_decode_meta(ref: str, data: bytes | None) -> dict:

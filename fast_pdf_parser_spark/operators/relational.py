@@ -398,7 +398,7 @@ QUERIES["dedup_minhash_signatures"] = _pair(_MINHASH_SPARK, _MINHASH_DUCK)
 # pairing inside it is quadratic; exact-hash dedup (dedup_exact) already
 # catches identical docs. Standard LSH practice, applied identically in
 # both dialects so the oracle still matches.
-_LSH_TAIL = """
+_LSH_MEMBER_TAIL = """
 bands AS (
   SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
          {h_band} AS band_key
@@ -413,30 +413,81 @@ member AS (
   SELECT b.doc_id, b.band, b.band_key
   FROM bands b JOIN small_buckets s
     ON b.band = s.band AND b.band_key = s.band_key
-)
+)"""
+
+_LSH_PAIRS_SELECT = """
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM member a JOIN member b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
 
-_LSH_SPARK = (
-    "WITH sig AS (" + _MINHASH_SPARK + "), "
-    + _LSH_TAIL.format(
+# Spark member stage uses a WINDOW for the bucket cap instead of the
+# HAVING+join formulation: `bands` is then referenced exactly once, so the
+# expensive signature chain below it executes once (the HAVING+join shape
+# re-executes it for small_buckets AND member). The window partitioning
+# (band, band_key) is the same key the self-join shuffles on. Semantically
+# identical to the DuckDB HAVING formulation.
+_LSH_MEMBER_SPARK = (
+    "WITH sig AS (" + _MINHASH_SPARK + """),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+         {h_band} AS band_key
+  FROM (SELECT doc_id, seed, minhash FROM sig) s
+  GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+),
+member AS (
+  SELECT doc_id, band, band_key FROM (
+    SELECT doc_id, band, band_key,
+           count(*) OVER (PARTITION BY band, band_key) AS bsize
+    FROM bands) t
+  WHERE bsize BETWEEN 2 AND 100
+)
+SELECT doc_id, band, band_key FROM member""".format(
         h_band=_HASH60_SPARK.format(
             x="array_join(array_sort(collect_list("
               "concat(CAST(seed AS STRING), '=', CAST(minhash AS STRING)))), ',')"
         )
     )
 )
+_LSH_SPARK = _LSH_MEMBER_SPARK.replace(
+    "\nSELECT doc_id, band, band_key FROM member", _LSH_PAIRS_SELECT
+)
 _LSH_DUCK = (
     "WITH sig AS (" + _MINHASH_DUCK + "), "
-    + _LSH_TAIL.format(
+    + _LSH_MEMBER_TAIL.format(
         h_band=_HASH60_DUCK.format(
             x="array_to_string(list_sort(list("
               "concat(CAST(seed AS VARCHAR), '=', CAST(minhash AS VARCHAR)))), ',')"
         )
     )
+    + _LSH_PAIRS_SELECT
 )
 QUERIES["dedup_lsh_pairs"] = _pair(_LSH_SPARK, _LSH_DUCK)
+
+
+def dedup_lsh_pairs_df(spark):
+    """Faster Spark path for dedup_lsh_pairs — identical output.
+
+    As one SQL statement Catalyst executes the expensive signature chain
+    (word explode × 16 seeds → min-hash groupBy) FOUR times: small_buckets,
+    member's bands, and both self-join sides get their own scans (AQE's
+    per-side broadcast conversion defeats ReusedExchange). The member table
+    is tiny (≤4 rows/doc, a few strings) while the chain below it dominates
+    the cost, so materialize member once (localCheckpoint — at cluster
+    scale, a persist() to MEMORY_AND_DISK) and self-join the materialized
+    rows. Wall-time ~2× better at sf0.1; output is byte-identical.
+    """
+    from pyspark.sql import functions as F
+
+    member = spark.sql(_LSH_MEMBER_SPARK).localCheckpoint(eager=True)
+    a, b = member.alias("a"), member.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 # n-gram (word bigram) jaccard between adjacent doc ids — linear, exact
 _JACCARD_SPARK = """WITH grams AS (
@@ -657,6 +708,32 @@ FROM documents""",
 )
 
 
+# ---------------------------------------------------------------------------
+# Hybrid oracles: DuckDB SQL paired with a NON-SQL Spark side (the real
+# mapInPandas pipeline). These don't appear in QUERIES/names() — the Spark
+# callables live in __spark_entry__; the driver still hash-compares them.
+# ---------------------------------------------------------------------------
+
+# The S4/A3 axis of the pipeline made hash-checkable: for the text-only
+# derived corpus (sources/synth.interleaved_from_flat_documents), total_pages,
+# parse_failures and bytes_decoded are pure functions of documents.text —
+# re-derive the 8-word-line / 12-line-page model in DuckDB and count what the
+# pipeline counts (pages seen, utf-8 bytes decoded, zero failures).
+HYBRID_ORACLES: dict[str, str] = {
+    "pipeline_meta_oracle": f"""WITH {_DUCK_LINES},
+pages AS (
+  SELECT doc_id, CAST(line_no // 12 AS INT) AS page_no,
+         string_agg(line, chr(10) ORDER BY line_no) AS page_text
+  FROM lines GROUP BY doc_id, CAST(line_no // 12 AS INT)
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(count(*) AS INT) AS total_pages,
+       CAST(0 AS INT) AS parse_failures,
+       CAST(sum(strlen(page_text)) AS BIGINT) AS bytes_decoded
+FROM pages GROUP BY doc_id""",
+}
+
+
 def spark_sql(name: str) -> str:
     return QUERIES[name]["spark"]
 
@@ -866,11 +943,25 @@ FROM re r JOIN documents d ON r.doc_id = d.doc_id""",
 # fold over characters — JVM-side aggregate() in Spark, list_reduce in DuckDB.
 # Complements text_fingerprint's md5: incremental/rolling hashes are what a
 # streaming dedup shard would maintain.
+# Spark side folds 64-char CHUNKS (nested aggregate over chunk indices, the
+# inner fold reads chars via substring) — identical value to the per-char
+# fold, but peak allocation is a len/64 int array instead of one string
+# object per character (multi-MB docs would otherwise allocate millions of
+# tiny strings per row). The DuckDB oracle keeps the direct per-char
+# list_reduce: same semantics, and the oracle only ever runs at test scale.
 QUERIES["text_rolling_hash"] = _pair(
     """SELECT doc_id,
-       aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
-                 CAST(0 AS BIGINT),
-                 (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_hash
+       CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT) ELSE
+         aggregate(
+           sequence(0, CAST(ceil(length(text) / 64.0) AS INT) - 1),
+           CAST(0 AS BIGINT),
+           (acc, ci) -> aggregate(
+             sequence(1, least(64, length(text) - ci * 64)),
+             acc,
+             (a, i) -> (a * 31 +
+                        CAST(ascii(substring(text, ci * 64 + i, 1)) AS BIGINT))
+                       % 2147483647))
+       END AS rolling_hash
 FROM documents""",
     """SELECT doc_id,
        list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -70,6 +70,64 @@ def write_results(result: DataFrame, out_dir: str, fmt: str = "parquet") -> None
         result.write.mode("overwrite").parquet(out_dir)
 
 
+def chunk_distribution(result: DataFrame, min_tokens: int = 150) -> DataFrame:
+    """The reference's full distribution report as ONE row
+    (src/hierarchical_chunker.cpp:464-533): count/min/max/avg, index
+    quintiles p20/40/60/80 (``sorted[floor(p*(n-1))]``, :480-482), the 9
+    token-range buckets (:498-509), and the below-minimum count (:519-524).
+
+    Scale shape: token counts are bounded by ~1.1*max_tokens, so instead of
+    globally sorting 1e12 chunk rows the quintiles come from a VALUE
+    HISTOGRAM — groupBy(token_count) (bounded distinct values) + cumulative
+    sums over that tiny table. One shuffle of at most a few hundred rows
+    after the map-side combine, whatever the corpus size.
+    """
+    counts = result.filter(F.col("kind") == "chunk").select("token_count")
+    hist = counts.groupBy("token_count").agg(F.count("*").alias("cnt"))
+
+    wcum = Window.orderBy("token_count").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    total = cum.agg(F.sum("cnt").alias("n"))
+    joined = cum.crossJoin(F.broadcast(total))
+
+    def quintile(p: float):
+        # sorted[idx], idx = floor(p*(n-1)): the smallest value whose
+        # cumulative count exceeds idx (hierarchical_chunker.cpp:480-482)
+        idx = F.floor(F.lit(p) * (F.col("n") - 1))
+        return F.min(
+            F.when(F.col("cum") >= idx + 1, F.col("token_count")))
+
+    def bucket(lo: int, hi: int | None):
+        cond = F.col("token_count") >= lo if hi is None else (
+            (F.col("token_count") >= lo) & (F.col("token_count") <= hi))
+        return F.sum(F.when(cond, F.col("cnt")).otherwise(0)).cast("bigint")
+
+    return joined.agg(
+        F.first("n").cast("bigint").alias("n_chunks"),
+        F.min("token_count").alias("min_tokens"),
+        F.max("token_count").alias("max_tokens"),
+        # int sum / int n, truncating like the C++ integer division (:489)
+        F.floor(F.sum(F.col("token_count") * F.col("cnt")) / F.first("n"))
+        .cast("bigint").alias("avg_tokens"),
+        quintile(0.2).alias("p20"),
+        quintile(0.4).alias("p40"),
+        quintile(0.6).alias("p60"),
+        quintile(0.8).alias("p80"),
+        bucket(0, 50).alias("b1_50"),
+        bucket(51, 100).alias("b51_100"),
+        bucket(101, 150).alias("b101_150"),
+        bucket(151, 200).alias("b151_200"),
+        bucket(201, 300).alias("b201_300"),
+        bucket(301, 400).alias("b301_400"),
+        bucket(401, 500).alias("b401_500"),
+        bucket(501, 512).alias("b501_512"),
+        bucket(513, None).alias("b513_plus"),
+        F.sum(F.when(F.col("token_count") < min_tokens, F.col("cnt"))
+              .otherwise(0)).cast("bigint").alias("below_min"),
+    )
+
+
 def observed_extract(result: DataFrame):
     """A4 global parser stats via df.observe (src/fast_pdf_parser.cpp:161-175
     analogue): docs/pages/chunks/bytes/failures accumulated by the JVM during

@@ -76,3 +76,44 @@ def test_media_flow_from_pipeline(spark):
         1 for d in docs for s in d["spans"] if s["kind"] == "media"
     )
     assert len(got) == n_media
+
+
+def test_decode_image_branch_selection(monkeypatch):
+    """The import-gated real-decoder path must not be dead code: without
+    PIL it raises NotImplementedError; with a (faked) PIL module present it
+    decodes and returns the same metadata shape fake_decode_meta emits."""
+    import hashlib
+
+    import pytest
+
+    from fast_pdf_parser_spark.multimodal import media as M
+
+    monkeypatch.setattr(M, "_HAS_PIL", False)
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG...")
+
+    class FakeImg:
+        width, height, mode = 640, 480, "RGB"
+
+        def getbands(self):
+            return ("R", "G", "B")
+
+    class FakeImage:
+        @staticmethod
+        def open(buf):
+            assert buf.read(4) == b"\x89PNG"
+            return FakeImg()
+
+    monkeypatch.setattr(M, "_HAS_PIL", True)
+    monkeypatch.setattr(M, "Image", FakeImage)
+    data = b"\x89PNG fake payload"
+    meta = M.decode_image(data)
+    assert meta == {
+        "media_type": "image", "width": 640, "height": 480, "channels": 3,
+        "duration_ms": 0,
+        "bytes_sha256": hashlib.sha256(data).hexdigest(),
+        "n_bytes": len(data),
+    }
+    # unknown mode falls back to getbands()
+    FakeImg.mode = "YCbCr"
+    assert M.decode_image(data)["channels"] == 3

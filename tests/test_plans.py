@@ -68,10 +68,38 @@ def test_lsh_pairs_joins_broadcast(spark):
                for l in join_lines), join_lines
 
 
+def test_lsh_pairs_fast_path_single_scan(spark):
+    # the driver-facing path materializes the member table once: exactly ONE
+    # parquet scan of documents feeds the whole query (the single-statement
+    # SQL re-executes the signature chain 4x — the bug this path fixes)
+    from fast_pdf_parser_spark.operators.relational import (
+        _LSH_MEMBER_SPARK,
+        dedup_lsh_pairs_df,
+    )
+
+    entrymod._prepare(spark, SF_DIR)
+    member_plan = physical(spark.sql(_LSH_MEMBER_SPARK))
+    assert member_plan.count("Scan parquet") == 1, member_plan
+    # and the fast path agrees with the single-statement SQL exactly
+    fast = set(map(tuple, dedup_lsh_pairs_df(spark).collect()))
+    sql = set(map(tuple,
+                  spark.sql(spark_sql("dedup_lsh_pairs")).collect()))
+    assert fast == sql and fast
+
+
 def test_ann_broadcasts_query_side(spark):
     entrymod._prepare(spark, SF_DIR)
     plan = physical(spark.sql(spark_sql("ann_cosine_topk")))
     assert "BroadcastNestedLoopJoin" in plan  # 5 query vectors broadcast
+
+
+def test_rolling_hash_no_per_char_array(spark):
+    # the chunked fold must not materialize a one-string-per-character array
+    entrymod._prepare(spark, SF_DIR)
+    df = spark.sql(spark_sql("text_rolling_hash"))
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "split(text, , -1)" not in plan and "split('text" not in plan
+    assert "sequence" in plan  # int chunk indices instead
 
 
 def test_sessionize_single_shuffle(spark):

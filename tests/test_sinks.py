@@ -67,3 +67,38 @@ def test_iceberg_gate_falls_back_to_parquet(spark, tmp_path):
     write_results(res, out, mode="replace")
     back = read_documents(spark, out)
     assert back.count() == res.count()
+
+
+def test_chunk_distribution_reference_semantics(spark):
+    # hand-computed mirror of analyze_chunk_distribution
+    # (src/hierarchical_chunker.cpp:464-533) on a known token-count multiset
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.operators.sinks import chunk_distribution
+
+    counts = [40, 120, 120, 160, 250, 350, 450, 505, 512, 600]
+    pdf = pd.DataFrame({
+        "doc_id": [str(i) for i in range(len(counts))],
+        "kind": ["chunk"] * len(counts),
+        "token_count": counts,
+    })
+    # plus a media row that must be ignored
+    pdf.loc[len(pdf)] = ["m", "media", None]
+    df = spark.createDataFrame(
+        pdf, schema="doc_id string, kind string, token_count int")
+    row = chunk_distribution(df, min_tokens=150).first()
+
+    n = len(counts)
+    s = sorted(counts)
+    assert row.n_chunks == n
+    assert row.min_tokens == 40 and row.max_tokens == 600
+    assert row.avg_tokens == sum(counts) // n  # C++ integer division
+    # index quintiles: sorted[floor(p*(n-1))] (:480-482)
+    for p, col in [(0.2, "p20"), (0.4, "p40"), (0.6, "p60"), (0.8, "p80")]:
+        assert getattr(row, col) == s[int(p * (n - 1))], (p, col)
+    # the 9 buckets (:498-509)
+    assert (row.b1_50, row.b51_100, row.b101_150, row.b151_200,
+            row.b201_300, row.b301_400, row.b401_500, row.b501_512,
+            row.b513_plus) == (1, 0, 2, 1, 1, 1, 1, 2, 1)
+    assert row.below_min == 3  # tokens < 150 (:519-524)

@@ -4,6 +4,8 @@ search window, raw-byte fallback (ids 0-255)."""
 
 import base64
 
+import pytest
+
 from fast_pdf_parser_spark.functions.tokenizer import (
     TiktokenTokenizer,
     estimate_tokens,
@@ -92,3 +94,72 @@ def test_trie_regex_equals_walk_fuzz():
     # and counts equal encode() length on text
     for text in ["# Chapter 1", "the quick brown fox", "naïve — café"]:
         assert tok.count_tokens(text) == len(tok.encode(text))
+
+
+def test_find_real_vocab_env_and_dropin(tmp_path, monkeypatch):
+    from fast_pdf_parser_spark.functions import tokenizer as T
+
+    # absent everywhere → None (and get_tokenizer falls back to the fixture)
+    monkeypatch.delenv(T._REAL_VOCAB_ENV, raising=False)
+    monkeypatch.setattr(T.os.path, "isfile", lambda p: False)
+    assert T.find_real_vocab() is None
+    monkeypatch.undo()
+
+    # env var wins when the file exists
+    fake = tmp_path / "cl100k_base.tiktoken"
+    fake.write_text(f"{base64.b64encode(b'hello').decode()} 1000\n")
+    monkeypatch.setenv(T._REAL_VOCAB_ENV, str(fake))
+    assert T.find_real_vocab() == str(fake)
+    # and get_tokenizer() picks it up (fresh singleton key per path)
+    tok = T.get_tokenizer()
+    assert tok.count_tokens("hellohello") == 2  # vocab word, not byte-fallback
+    assert tok.count_tokens("zzz") == 3  # byte fallback for unknown text
+
+
+def test_real_cl100k_parity_when_present():
+    """Gated parity test — the mirror of the reference's GTEST_SKIP pattern
+    (tests/test_parser.cpp:37-39): runs only when a genuine
+    cl100k_base.tiktoken is available, asserting the reference's published
+    claims (tiktoken_tokenizer.h:12,38-39; chunk_test_summary.md:46-53)."""
+    from fast_pdf_parser_spark.functions.tokenizer import (
+        TiktokenTokenizer, find_real_vocab,
+    )
+
+    path = find_real_vocab()
+    if path is None:
+        pytest.skip("no real cl100k_base.tiktoken available in this env")
+    tok = TiktokenTokenizer(vocab_path=path)
+    # real-vocab shape: ~100k entries (minus >20-byte tokens, h:161)
+    assert len(tok._encoder) > 50_000
+    # common English words are single tokens with the real vocabulary
+    for w in [" the", " and", " of", "The"]:
+        assert tok.count_tokens(w) == 1, w
+    # 1-3% claim vs Python tiktoken, when tiktoken itself is importable
+    try:
+        import tiktoken  # noqa: F401
+        enc = tiktoken.get_encoding("cl100k_base")
+    except Exception:
+        enc = None
+    sample = ("The quick brown fox jumps over the lazy dog. " * 40 +
+              "Naïve café — résumé.\n" * 10)
+    ours = tok.count_tokens(sample)
+    if enc is not None:
+        ref = len(enc.encode(sample))
+        assert abs(ours - ref) / ref <= 0.03, (ours, ref)
+    else:
+        # sanity band: real-vocab counts land well below byte count and
+        # within 2x of the word count for plain English
+        n_words = len(sample.split())
+        assert n_words * 0.8 <= ours <= n_words * 2, (ours, n_words)
+    # chunk-count band (chunk_test_summary.md:46-53): with max=512/min=150
+    # most chunks pack into the 501-512 band on uniform prose
+    from fast_pdf_parser_spark.config import ChunkOptions
+    from fast_pdf_parser_spark.operators.chunker import chunk_pages
+
+    pages = [(f"paragraph {i}. " + "word salad tokens fill space. " * 80, i)
+             for i in range(30)]
+    chunks = chunk_pages(pages, tok, ChunkOptions(max_tokens=512,
+                                                  min_tokens=150))
+    sizes = [c.tokens for c in chunks if c.tokens <= 512]
+    dense = sum(1 for s in sizes if s > 450)
+    assert dense >= len(sizes) * 0.5, sizes
