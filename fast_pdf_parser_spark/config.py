@@ -15,7 +15,24 @@ Reference:
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, fields, replace
+
+
+class _PartialUpdate:
+    """setOptions-style partial update (src/binding.cc:136-161): only the
+    fields present in the update change, the rest keep their current
+    values; unknown names are rejected. Returns a NEW instance (these
+    dataclasses are frozen — the getOptions/setOptions pair of the
+    reference maps to value semantics here)."""
+
+    def updated(self, **changes):
+        known = {f.name for f in fields(self)}
+        unknown = set(changes) - known
+        if unknown:
+            raise TypeError(
+                f"unknown option(s): {sorted(unknown)}; valid: {sorted(known)}"
+            )
+        return replace(self, **changes)
 
 # src/hierarchical_chunker.cpp:19-21
 DEFAULT_MAX_TOKENS = 512
@@ -24,7 +41,7 @@ DEFAULT_MIN_TOKENS = 150
 
 
 @dataclass(frozen=True)
-class ChunkOptions:
+class ChunkOptions(_PartialUpdate):
     """Chunking configuration (hierarchical_chunker.h:11-16)."""
 
     max_tokens: int = 512
@@ -41,7 +58,7 @@ class ChunkOptions:
 
 
 @dataclass(frozen=True)
-class ParseOptions:
+class ParseOptions(_PartialUpdate):
     """Extraction/scale configuration (fast_pdf_parser.h:12-19), re-expressed
     as Spark knobs."""
 

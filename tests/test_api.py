@@ -52,3 +52,22 @@ def test_chunk_document_media_interleave():
     ]
     rows = chunk_document(spans, ChunkOptions(min_tokens=1))
     assert [r[2] for r in rows] == ["media", "chunk"]
+
+
+def test_options_partial_update():
+    # setOptions semantics (src/binding.cc:136-161): only provided fields
+    # change; unknown names rejected; original instance untouched (frozen)
+    import pytest
+
+    from fast_pdf_parser_spark.config import ChunkOptions, ParseOptions
+
+    base = ChunkOptions(max_tokens=400)
+    upd = base.updated(min_tokens=200)
+    assert upd == ChunkOptions(max_tokens=400, min_tokens=200)
+    assert base.min_tokens == 150
+    with pytest.raises(TypeError, match="threadCount"):
+        base.updated(threadCount=4)
+    upd.validate()
+    with pytest.raises(ValueError):
+        base.updated(min_tokens=500).validate()
+    assert ParseOptions().updated(num_partitions=8).num_partitions == 8
