@@ -143,6 +143,110 @@ def stream_sessionize_events(
     return query, name
 
 
+def tws_available() -> bool:
+    """True when the transformWithState Python driver worker can run: it
+    needs the protobuf runtime (pyspark imports google.protobuf.descriptor
+    in its state-server plumbing)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def stream_sessionize_tws(
+    spark: SparkSession,
+    events_path: str,
+    gap_seconds: int = 1800,
+    max_files_per_trigger: int = 4,
+):
+    """Incremental sessionization on Spark 4's ``transformWithStateInPandas``
+    (the successor of applyInPandasWithState: typed ValueState via a
+    StatefulProcessor handle, RocksDB-backed on a cluster, timers for TTL).
+
+    Same semantics as stream_sessionize_events — closed sessions are
+    emitted, the open session lives in state across micro-batches — so the
+    two stateful APIs can be A/B-verified against each other and against
+    the batch oracle twin (events_sessionize). Returns (query, sink name).
+
+    Requires a working protobuf runtime (the transformWithState driver
+    worker imports google.protobuf.descriptor); absent here, raises
+    NotImplementedError up front instead of crashing the streaming query —
+    applyInPandasWithState (stream_sessionize_events) is the fallback with
+    identical semantics.
+    """
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf, which this "
+            "environment lacks; use stream_sessionize_events instead"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    state_schema = StructType([
+        StructField("last_epoch", DoubleType()),
+        StructField("session_id", IntegerType()),
+        StructField("n_events", LongType()),
+    ])
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("session", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            if self._state.exists():
+                last_epoch, session_id, n_events = self._state.get()
+            else:
+                last_epoch, session_id, n_events = None, 0, 0
+            closed: list[tuple] = []
+            for pdf in rows:
+                pdf = pdf.sort_values("ts")
+                for ts in pdf["ts"]:
+                    epoch = ts.timestamp()
+                    if last_epoch is not None and \
+                            epoch - last_epoch > gap_seconds:
+                        closed.append((user_id, session_id, n_events))
+                        session_id += 1
+                        n_events = 0
+                    n_events += 1
+                    last_epoch = epoch
+            self._state.update((last_epoch, session_id, n_events))
+            yield pd.DataFrame(
+                closed, columns=["user_id", "session_id", "n_events"])
+
+        def close(self) -> None:
+            pass
+
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(events_path)
+    )
+    out = (
+        stream.groupBy("user_id")
+        .transformWithStateInPandas(
+            SessionProcessor(),
+            outputStructType="user_id bigint, session_id int, n_events bigint",
+            outputMode="append",
+            timeMode="none",
+        )
+    )
+    name = "stream_sessions_tws"
+    query = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    return query, name
+
+
 def stream_windowed_counts(
     spark: SparkSession,
     events_dir: str,

@@ -35,7 +35,8 @@ def test_queries_and_oracles_consistent():
 @pytest.mark.parametrize(
     "name",
     ["p6_line_classify", "f4_semantic_units", "a5_distribution",
-     "dedup_minhash_signatures", "ann_cosine_topk"],
+     "dedup_minhash_signatures", "ann_cosine_topk",
+     "pipeline_meta_oracle", "dedup_lsh_pairs"],
 )
 def test_oracle_parity_sample(spark, name):
     import duckdb
