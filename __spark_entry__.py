@@ -130,8 +130,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_chunk_distribution"] = _pipeline_distribution
     out["pipeline_docling_chunks"] = _pipeline_docling
     out["multimodal_media_features"] = _media_features
+    out["multimodal_resize"] = _media_resize
+    out["multimodal_frame_sample"] = _media_frames
     out["ann_ivf_topk"] = _ann_ivf
     return out
+
+
+def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage over the pipeline's media spans (rows-only;
+    geometry real, codec stubbed — multimodal/media.py policy)."""
+    from fast_pdf_parser_spark.multimodal.media import (
+        media_spans,
+        resize_images,
+    )
+
+    return resize_images(media_spans(_pipeline_spans(spark, sf_dir)))
+
+
+def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling stage (rows-only). The derived corpus has
+    image media only, so sample synthetic video refs derived from doc_ids —
+    the stage itself (explode shape, bounded multiplicity) is what runs."""
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.multimodal.media import sample_frames
+
+    _prepare(spark, sf_dir)
+    vids = spark.sql(
+        "SELECT CAST(doc_id AS STRING) AS doc_id, "
+        "concat('media://vid/', doc_id, '.mp4') AS media_ref "
+        "FROM documents WHERE doc_id % 10 = 0"
+    )
+    _ = F
+    return sample_frames(vids, every_ms=5000, max_frames=8)
 
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

