@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_meta_oracle"] = _pipeline_meta_oracle
     out["pipeline_chunk_distribution"] = _pipeline_distribution
     out["pipeline_docling_chunks"] = _pipeline_docling
+    out["pipeline_html_extract"] = _pipeline_html
     out["multimodal_media_features"] = _media_features
     out["multimodal_resize"] = _media_resize
     out["multimodal_frame_sample"] = _media_frames
@@ -185,6 +186,39 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, centroids = fit_ivf_cells(corpus, n_cells=16, seed=42)
     return ivf_topk(assigned, centroids, queries_df, k=10, n_probe=4) \
         .drop("cos")
+
+
+def _pipeline_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML member of the extraction family (north rule: 'HTML boilerplate
+    strip … DOM heuristics'): kind='html' spans — deterministic synthetic
+    pages wrapped in boilerplate HTML, keyed by doc_id — through the same
+    zero-shuffle pipeline. Rows-only; the exact strip/mapping contract is
+    pinned by tests/test_html_extractor.py."""
+    import pandas as pd
+
+    from fast_pdf_parser_spark.operators.pipeline import extract_documents
+    from fast_pdf_parser_spark.sources.synth import SPANS_DDL
+
+    _prepare(spark, sf_dir)
+    ids = spark.sql(
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
+        "WHERE doc_id % 5 = 0")
+
+    def gen(batches):
+        from fast_pdf_parser_spark.sources.synth import html_from_page
+
+        for pdf in batches:
+            rows = [{
+                "doc_id": str(i),
+                "spans": [{"kind": "html",
+                           "text": html_from_page(int(i) % 97, p),
+                           "media_ref": None, "offset": p}
+                          for p in range(1 + int(i) % 3)],
+            } for i in pdf["doc_id"]]
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    spans = ids.mapInPandas(gen, schema=SPANS_DDL)
+    return extract_documents(spans)
 
 
 def _pipeline_docling(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -125,6 +125,22 @@ def process_document(
             text = s["text"] or ""
             bytes_decoded += len(text.encode("utf-8"))
             run.append((text, s["offset"]))
+        elif kind == "html":
+            # HTML member of the main-content extraction family:
+            # boilerplate strip + DOM heuristics (sources/html_extractor),
+            # same per-span error containment as the pdf path
+            total_pages += 1
+            try:
+                from fast_pdf_parser_spark.sources.html_extractor import (
+                    html_main_content,
+                )
+                raw_html = s["text"] or ""
+                bytes_decoded += len(raw_html.encode("utf-8"))
+                run.append((html_main_content(raw_html), s["offset"]))
+            except Exception as exc:
+                parse_failures += 1
+                if first_error is None:
+                    first_error = f"page {s['offset']}: {exc}"
         else:
             # Unknown kinds pass through unmodified (forward-compat: never
             # reinterpret or drop data we don't understand at 10^12 docs).

@@ -70,12 +70,58 @@ def page_text(doc_idx: int, page_idx: int, seed: int = 42) -> str:
     return "\n".join(lines)
 
 
+def html_from_page(doc_idx: int, page_idx: int, seed: int = 42) -> str:
+    """Wrap a page's markdown lines in HTML plus deterministic boilerplate
+    (nav menu, header/footer, aside, script/style, a link-farm paragraph).
+    sources/html_extractor.html_main_content inverts this exactly: the
+    extracted text equals the page's non-blank lines (blank separator lines
+    do not exist as HTML elements — same contract as the PDF path)."""
+    import html as _h
+
+    md = page_text(doc_idx, page_idx, seed)
+    body: list[str] = []
+    for line in md.split("\n"):
+        if not line.strip():
+            continue
+        if line.startswith("### "):
+            body.append(f"<h3>{_h.escape(line[4:])}</h3>")
+        elif line.startswith("## "):
+            body.append(f"<h2>{_h.escape(line[3:])}</h2>")
+        elif line.startswith("# "):
+            body.append(f"<h1>{_h.escape(line[2:])}</h1>")
+        elif line.startswith("- "):
+            body.append(f"<li>{_h.escape(line[2:])}</li>")
+        elif line.startswith("  "):
+            body.append(f"<pre>{_h.escape(line)}</pre>")
+        else:
+            body.append(f"<p>{_h.escape(line)}</p>")
+    nav = ("<nav><ul>" + "".join(
+        f'<li><a href="/s/{i}">Section {i}</a></li>' for i in range(6))
+        + "</ul></nav>")
+    linkfarm = ("<p>" + " | ".join(
+        f'<a href="/t/{i}">tag{i}</a>' for i in range(8)) + "</p>")
+    return (
+        "<!DOCTYPE html><html><head><title>x</title>"
+        "<style>body{margin:0}</style>"
+        "<script>var t=1;</script></head><body>"
+        f"<header><h1><a href='/'>SiteName</a></h1></header>{nav}"
+        f"<aside><p><a href='/ad'>sponsored</a></p></aside>"
+        "<!-- main -->"
+        f"<main>{''.join(body)}</main>{linkfarm}"
+        f"<footer><p><a href='/about'>About</a> · "
+        f"<a href='/legal'>Legal</a></p></footer></body></html>"
+    )
+
+
 def make_doc(doc_idx: int, seed: int = 42, include_pdf: bool = False,
-             corrupt_doc_idx: int = -1) -> dict:
+             corrupt_doc_idx: int = -1, include_html: bool = False) -> dict:
     """One document row: {'doc_id', 'spans'} with interleaved spans.
 
     ``corrupt_doc_idx``: that document's first pdf span is built with a
     truncated stream (FIXTURES.md §3.3 — pins per-span error capture).
+    ``include_html``: ~35% of text pages become ``kind='html'`` spans
+    (html_from_page) — the extra rng draw happens only when enabled, so
+    default corpora are byte-identical to earlier rounds.
     """
     rng = random.Random(f"{seed}:{doc_idx}")
     n_pages = rng.choice(_BUCKET_CHOICES)
@@ -100,6 +146,11 @@ def make_doc(doc_idx: int, seed: int = 42, include_pdf: bool = False,
                  "text": build_pdf_span(doc_idx, p, seed, corrupt=corrupt),
                  "media_ref": None, "offset": offset}
             )
+        elif include_html and rng.random() < 0.35:
+            spans.append(
+                {"kind": "html", "text": html_from_page(doc_idx, p, seed),
+                 "media_ref": None, "offset": offset}
+            )
         else:
             spans.append(
                 {"kind": kind, "text": page_text(doc_idx, p, seed),
@@ -117,10 +168,10 @@ def make_doc(doc_idx: int, seed: int = 42, include_pdf: bool = False,
     return {"doc_id": f"doc_{doc_idx:08d}", "spans": spans}
 
 
-def iter_docs(n_docs: int, seed: int = 42,
-              include_pdf: bool = False) -> Iterator[dict]:
+def iter_docs(n_docs: int, seed: int = 42, include_pdf: bool = False,
+              include_html: bool = False) -> Iterator[dict]:
     for i in range(n_docs):
-        yield make_doc(i, seed, include_pdf)
+        yield make_doc(i, seed, include_pdf, include_html=include_html)
 
 
 SPANS_DDL = (
@@ -130,7 +181,8 @@ SPANS_DDL = (
 
 
 def spans_dataframe(spark, n_docs: int, seed: int = 42,
-                    include_pdf: bool = False, num_partitions: int = 0):
+                    include_pdf: bool = False, num_partitions: int = 0,
+                    include_html: bool = False):
     """Distributed deterministic generation: spark.range → mapInPandas.
 
     Reproducible regardless of partitioning because every doc depends only on
@@ -142,7 +194,8 @@ def spans_dataframe(spark, n_docs: int, seed: int = 42,
 
     def gen(batches):
         for pdf in batches:
-            rows = [make_doc(int(i), seed, include_pdf) for i in pdf["id"]]
+            rows = [make_doc(int(i), seed, include_pdf,
+                             include_html=include_html) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 
     return (
@@ -152,8 +205,10 @@ def spans_dataframe(spark, n_docs: int, seed: int = 42,
 
 
 def write_corpus(spark, path: str, n_docs: int, seed: int = 42,
-                 include_pdf: bool = False, num_partitions: int = 0) -> str:
-    df = spans_dataframe(spark, n_docs, seed, include_pdf, num_partitions)
+                 include_pdf: bool = False, num_partitions: int = 0,
+                 include_html: bool = False) -> str:
+    df = spans_dataframe(spark, n_docs, seed, include_pdf, num_partitions,
+                         include_html=include_html)
     df.write.mode("overwrite").parquet(path)
     return path
 

@@ -1,0 +1,128 @@
+"""HTML main-content extraction tests: boilerplate strip, link-density
+heuristic, markdown mapping, builder roundtrip, pipeline e2e."""
+
+import pandas as pd
+
+from fast_pdf_parser_spark.sources.html_extractor import (
+    html_main_content,
+)
+from fast_pdf_parser_spark.sources.synth import (
+    SPANS_DDL,
+    html_from_page,
+    iter_docs,
+    make_doc,
+    page_text,
+)
+
+
+def test_boilerplate_containers_dropped():
+    html = (
+        "<html><head><style>p{}</style><script>x<y</script></head><body>"
+        "<header><h1>Site</h1></header>"
+        "<nav><ul><li><a href='/a'>A</a></li></ul></nav>"
+        "<p>Real content paragraph that should survive extraction.</p>"
+        "<aside><p>ad ad ad</p></aside>"
+        "<footer><p>contact</p></footer></body></html>"
+    )
+    assert html_main_content(html) == \
+        "Real content paragraph that should survive extraction."
+
+
+def test_link_density_heuristic():
+    farm = "<p>" + " ".join(
+        f"<a href='/t{i}'>tag{i}</a>" for i in range(10)) + "</p>"
+    real = ("<p>This paragraph has a single <a href='/x'>inline link</a> "
+            "inside a lot of ordinary prose, so its link density is low "
+            "and it must be kept by the extractor as main content.</p>")
+    out = html_main_content(farm + real)
+    assert "tag3" not in out
+    assert "inline link" in out and out.count("\n") == 0
+
+
+def test_markdown_mapping_and_entities():
+    html = ("<h1>Top &amp; Title</h1><h2>Sec</h2><h3>Sub</h3>"
+            "<li>item &lt;one&gt;</li><pre>  code()  </pre>"
+            "<p>body   text\nwrapped</p>")
+    assert html_main_content(html).split("\n") == [
+        "# Top & Title", "## Sec", "### Sub", "- item <one>",
+        "  code()  ", "body text wrapped",
+    ]
+
+
+def test_nested_containers_unwound():
+    html = ("<footer><nav><a href='/'>x</a></nav><p>legal</p></footer>"
+            "<p>kept</p>")
+    assert html_main_content(html) == "kept"
+
+
+def test_builder_roundtrip_exact():
+    # html_from_page wraps a synthetic page; extraction must return exactly
+    # the page's non-blank lines — the golden contract the pipeline relies on
+    for doc_idx in (0, 3, 7):
+        md = page_text(doc_idx, 0)
+        expected = "\n".join(l for l in md.split("\n") if l.strip())
+        got = html_main_content(html_from_page(doc_idx, 0))
+        assert got == expected
+
+
+def test_pipeline_html_spans_e2e(spark):
+    from fast_pdf_parser_spark.config import ChunkOptions
+    from fast_pdf_parser_spark.functions.tokenizer import get_tokenizer
+    from fast_pdf_parser_spark.operators.pipeline import (
+        extract_documents,
+        process_document,
+    )
+
+    docs = [make_doc(i, seed=11, include_html=True) for i in range(25)]
+    html_docs = [d for d in docs
+                 if any(s["kind"] == "html" for s in d["spans"])]
+    assert html_docs, "corpus must actually contain html spans"
+    df = spark.createDataFrame(pd.DataFrame(docs), schema=SPANS_DDL)
+    result = extract_documents(df)
+    got = {}
+    for row in result.collect():
+        got.setdefault(row.doc_id, []).append(
+            (row.offset, row.kind, row.text, row.media_ref))
+    tok = get_tokenizer()
+    for d in docs:
+        expected = [
+            (r[1], r[2], r[3], r[4])
+            for r in process_document(d["doc_id"], d["spans"], tok,
+                                      ChunkOptions())
+        ]
+        assert sorted(got.get(d["doc_id"], [])) == expected, d["doc_id"]
+    # html pages count as pages; none fail
+    metas = {r.doc_id: r for r in result.select(
+        "doc_id", "doc_total_pages", "doc_parse_failures").distinct().collect()}
+    for d in html_docs:
+        n_pages = sum(1 for s in d["spans"] if s["kind"] in ("text", "html"))
+        assert metas[d["doc_id"]].doc_total_pages == n_pages
+        assert metas[d["doc_id"]].doc_parse_failures == 0
+
+
+def test_html_and_text_page_chunk_identically_modulo_blanks():
+    # an html page and its source text page produce the same chunk TEXT
+    # stream except for the blank separator lines (absent in HTML, exactly
+    # like the PDF path) — pins that the heading-break rule still segments
+    from fast_pdf_parser_spark.config import ChunkOptions
+    from fast_pdf_parser_spark.functions.tokenizer import get_tokenizer
+    from fast_pdf_parser_spark.operators.pipeline import process_document
+
+    tok = get_tokenizer()
+    spans_html = [{"kind": "html", "text": html_from_page(2, 0),
+                   "media_ref": None, "offset": 0}]
+    rows = process_document("d", spans_html, tok, ChunkOptions())
+    text_all = "".join(r[3] for r in rows if r[2] == "chunk")
+    md_nonblank = "\n".join(
+        l for l in page_text(2, 0).split("\n") if l.strip())
+    # chunker joins lines back with '\n' inside units; content preserved
+    assert text_all.replace("\n", " ") .split() == \
+        md_nonblank.replace("\n", " ").split()
+
+
+def test_iter_docs_default_unchanged():
+    # include_html must not perturb default corpora (fixture stability)
+    a = [make_doc(i, seed=42) for i in range(8)]
+    b = list(iter_docs(8, seed=42))
+    assert a == b
+    assert all(s["kind"] in ("text", "media") for d in a for s in d["spans"])
