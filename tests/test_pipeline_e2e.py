@@ -124,6 +124,23 @@ def test_page_limit_pushdown(spark):
     assert plan.index("slice") > plan.index("MapInPandas")  # child of the UDF
 
 
+def test_span_sequence_equality_all_kinds(spark):
+    # the "everything" corpus: pdf + html + text + media spans interleaved
+    # in the same documents — the full north-rule invariant in one run
+    docs = [make_doc(i, seed=99, include_pdf=True, include_html=True)
+            for i in range(30)]
+    kinds = {s["kind"] for d in docs for s in d["spans"]}
+    assert {"text", "pdf", "html", "media"} <= kinds
+    df = spark.createDataFrame(pd.DataFrame(docs), schema=SPANS_DDL)
+    got = {}
+    for row in extract_documents(df).collect():
+        got.setdefault(row.doc_id, []).append(
+            (row.offset, row.kind, row.text, row.media_ref))
+    for doc in docs:
+        expected = golden_sequence(doc)
+        assert sorted(got.get(doc["doc_id"], [])) == expected, doc["doc_id"]
+
+
 def test_page_limit_pushdown_unordered_storage(spark):
     # the pushdown slice must select by OFFSET order, not stored order:
     # a doc whose span array is stored reversed yields the same output as
