@@ -96,4 +96,10 @@ def html_main_content(html: str) -> str:
             lines.append("- " + text)
         else:
             lines.append(text)
-    return "\n".join(lines)
+    if lines:
+        return "\n".join(lines)
+    # No recognized block elements (div-soup pages, bare fragments): never
+    # silently drop the document — strip every tag and return the visible
+    # text, boilerplate containers already removed above. Tags become
+    # spaces (adjacent divs must not concatenate words) and runs collapse.
+    return _WS_RUN.sub(" ", _html.unescape(_INLINE_TAG.sub(" ", s))).strip()

@@ -126,3 +126,17 @@ def test_iter_docs_default_unchanged():
     b = list(iter_docs(8, seed=42))
     assert a == b
     assert all(s["kind"] in ("text", "media") for d in a for s in d["spans"])
+
+
+def test_div_soup_fallback_never_drops_document():
+    # pages built from divs (no p/h/li/pre) must still extract their text
+    html = ("<html><body><nav><a href='/'>menu</a></nav>"
+            "<div>First part of the content.</div>"
+            "<div>Second <b>part</b> here.</div></body></html>")
+    assert html_main_content(html) == \
+        "First part of the content. Second part here."
+    # bare text fragment, no tags at all
+    assert html_main_content("just plain text") == "just plain text"
+    # empty / None-ish input stays empty
+    assert html_main_content("") == ""
+    assert html_main_content("<html><body></body></html>") == ""
