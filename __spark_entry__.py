@@ -73,6 +73,25 @@ def _dedup_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lsh_pairs_df(spark)
 
 
+def _dedup_embedding_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_embedding_cosine via the materialized banded-vector view (the
+    inline CTE re-executes the scan + hyperplane keys ~8x). Same oracle."""
+    from fast_pdf_parser_spark.operators.relational import (
+        dedup_embedding_cosine_df,
+    )
+
+    _prepare(spark, sf_dir)
+    return dedup_embedding_cosine_df(spark)
+
+
+def _ann_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_lsh_topk via the materialized banded-vector view. Same oracle."""
+    from fast_pdf_parser_spark.operators.relational import ann_lsh_topk_df
+
+    _prepare(spark, sf_dir)
+    return ann_lsh_topk_df(spark)
+
+
 def _pipeline_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1-G5: the full stateful extraction (rows-only check — its exact
     contract is pinned by the span-equality pytest fixtures)."""
@@ -124,6 +143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         name: _relational_query(name) for name in names()
     }
     out["dedup_lsh_pairs"] = _dedup_lsh_pairs_fast
+    out["dedup_embedding_cosine"] = _dedup_embedding_fast
+    out["ann_lsh_topk"] = _ann_lsh_fast
     out["pipeline_extract_spans"] = _pipeline_spans
     out["pipeline_results_meta"] = _pipeline_meta
     out["pipeline_meta_oracle"] = _pipeline_meta_oracle

@@ -90,21 +90,23 @@ _REAL_VOCAB_ENV = "FAST_PDF_PARSER_SPARK_VOCAB"
 def find_real_vocab() -> str | None:
     """Locate a genuine ``cl100k_base.tiktoken`` if one is present.
 
-    Resolution order: ``$FAST_PDF_PARSER_SPARK_VOCAB``, then drop-in
-    locations (the package data dir, ``~/.cache/fast_pdf_parser_spark``).
-    Returns None when absent — tests gate on this, mirroring the
-    reference's GTEST_SKIP pattern (tests/test_parser.cpp:37-39).
+    Resolution order: ``$FAST_PDF_PARSER_SPARK_VOCAB``, then the package
+    DATA DIR drop-in. Both are locations that stay consistent between the
+    driver and executors — the data dir ships inside the --py-files zip,
+    and the env var is forwarded with ``spark.executorEnv.*`` — so one job
+    never mixes two tokenizations. Deliberately NOT searched: per-user
+    cache dirs and other machine-local paths, which could resolve on the
+    driver but not on executors (or differ across machines) and silently
+    change every pinned token count. Returns None when absent — tests gate
+    on this, mirroring the reference's GTEST_SKIP pattern
+    (tests/test_parser.cpp:37-39).
     """
     candidates = []
     env = os.environ.get(_REAL_VOCAB_ENV)
     if env:
         candidates.append(env)
     data_dir = os.path.dirname(_DEFAULT_VOCAB_PATH)
-    candidates += [
-        os.path.join(data_dir, "cl100k_base.tiktoken"),
-        os.path.expanduser(
-            "~/.cache/fast_pdf_parser_spark/cl100k_base.tiktoken"),
-    ]
+    candidates.append(os.path.join(data_dir, "cl100k_base.tiktoken"))
     for c in candidates:
         if c and os.path.isfile(c):
             return c

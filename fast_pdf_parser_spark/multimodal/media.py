@@ -148,24 +148,29 @@ RESIZED_DDL = (
 )
 
 
+_RESIZED_COLS = ["doc_id", "media_ref", "src_width", "src_height",
+                 "out_width", "out_height", "resized_sha256"]
+
+
 def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
-    """Image resize stage: (doc_id, media_ref[, content]) → target geometry
-    + a deterministic digest of the (stub-)resized payload.
+    """Image resize stage: (doc_id, media_ref) → target geometry + a
+    deterministic digest of the (stub-)resized payload.
 
     Real plumbing, stubbed codec (same policy as decode): the
     aspect-preserving target geometry is computed exactly as a real resize
-    would, and the payload digest comes from PIL when importable, else a
-    deterministic stand-in keyed by (ref, geometry). Zero-shuffle
-    mapInPandas — at 100 TB the binary column never moves between
-    executors for this stage.
+    would; the payload digest is a deterministic stand-in keyed by
+    (ref, geometry). Only the two string columns enter the stage — with a
+    stubbed codec, pulling the binary payload across the Arrow boundary
+    would be pure waste, and at 100 TB the binary column dominates bytes
+    moved (a real-codec variant would add `content` back and resize it).
+    Output is yielded per Arrow batch, so worker memory is bounded by
+    batch size, not partition size.
     """
-    has_content = "content" in df.columns
-    cols = ["doc_id", "media_ref"] + (["content"] if has_content else [])
-    pruned = df.select(*cols)
+    pruned = df.select("doc_id", "media_ref")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = []
         for pdf in batches:
+            rows = []
             for i in range(len(pdf)):
                 ref = pdf["media_ref"].iloc[i]
                 meta = fake_decode_meta(ref, None)
@@ -182,9 +187,7 @@ def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
                     "out_width": ow, "out_height": oh,
                     "resized_sha256": digest,
                 })
-        yield pd.DataFrame(
-            rows, columns=["doc_id", "media_ref", "src_width", "src_height",
-                           "out_width", "out_height", "resized_sha256"])
+            yield pd.DataFrame(rows, columns=_RESIZED_COLS)
 
     return pruned.mapInPandas(run, schema=RESIZED_DDL)
 
@@ -205,10 +208,14 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
     the output multiplicity, bounded by max_frames per video.
     """
     pruned = df.select("doc_id", "media_ref")
+    frame_cols = ["doc_id", "media_ref", "frame_index", "timestamp_ms",
+                  "frame_sha256"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = []
+        # per-batch yield: worker memory is bounded by
+        # arrow_batch_rows x max_frames, never by partition size
         for pdf in batches:
+            rows = []
             for i in range(len(pdf)):
                 ref = pdf["media_ref"].iloc[i]
                 meta = fake_decode_meta(ref, None)
@@ -223,9 +230,7 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                         "frame_sha256": hashlib.sha256(
                             f"frame:{ref}:{ts}".encode()).hexdigest(),
                     })
-        yield pd.DataFrame(
-            rows, columns=["doc_id", "media_ref", "frame_index",
-                           "timestamp_ms", "frame_sha256"])
+            yield pd.DataFrame(rows, columns=frame_cols)
 
     return pruned.mapInPandas(run, schema=FRAMES_DDL)
 

@@ -782,22 +782,26 @@ def _band_key_sql(band: int, elem: str) -> str:
     return "concat(" + ", ".join(bits) + ")"
 
 
-def _emb_bands_cte(elem: str) -> str:
-    """CTE chain: v (vectors + band keys) → bands (exploded via UNION ALL)
-    → small_buckets (the cap) → member (capped index rows)."""
+def _emb_v_sql(elem: str) -> str:
+    """The banded-vector projection: (vec_id, e, k0..k{B-1})."""
     keys = ",\n         ".join(
         f"{_band_key_sql(b, elem)} AS k{b}" for b in range(_EMB_BANDS)
     )
+    return f"""SELECT vec_id, embedding AS e,
+         {keys}
+  FROM embeddings"""
+
+
+def _emb_tail_cte(source: str) -> str:
+    """bands (exploded via UNION ALL over ``source``) → small_buckets (the
+    cap) → member (capped index rows). ``source`` is either the inline `v`
+    CTE (oracle form) or a materialized temp view (fast Spark path — the
+    inline form re-executes the scan+key projection once per band)."""
     union = "\n  UNION ALL ".join(
-        f"SELECT vec_id, {b} AS band, k{b} AS band_key FROM v"
+        f"SELECT vec_id, {b} AS band, k{b} AS band_key FROM {source}"
         for b in range(_EMB_BANDS)
     )
-    return f"""v AS (
-  SELECT vec_id, embedding AS e,
-         {keys}
-  FROM embeddings
-),
-bands AS (
+    return f"""bands AS (
   {union}
 ),
 small_buckets AS (
@@ -809,6 +813,11 @@ member AS (
   FROM bands b JOIN small_buckets s
     ON b.band = s.band AND b.band_key = s.band_key
 )"""
+
+
+def _emb_bands_cte(elem: str) -> str:
+    """Full inline CTE chain (v → bands → small_buckets → member)."""
+    return f"v AS (\n  {_emb_v_sql(elem)}\n),\n" + _emb_tail_cte("v")
 
 
 _EMB_ELEM_SPARK = "element_at(embedding, {i})"
@@ -830,14 +839,26 @@ _EMB_CAND_PAIRS = """cand AS (
     ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
 )"""
 
-QUERIES["dedup_embedding_cosine"] = _pair(
-    f"""WITH {_emb_bands_cte(_EMB_ELEM_SPARK)},
+
+def _emb_dedup_tail_spark(source: str) -> str:
+    """Everything after the banded-vector table: bands → member → distinct
+    candidate pairs → exact-cosine verify. ``source`` = 'v' (inline oracle
+    form) or a materialized temp view (fast path)."""
+    return f"""{_emb_tail_cte(source)},
 {_EMB_CAND_PAIRS},
 pairs AS (
   SELECT c.vec_a, c.vec_b, {_COS_SPARK} AS cos
-  FROM cand c JOIN v a ON a.vec_id = c.vec_a JOIN v b ON b.vec_id = c.vec_b
+  FROM cand c JOIN {source} a ON a.vec_id = c.vec_a
+              JOIN {source} b ON b.vec_id = c.vec_b
 )
-SELECT vec_a, vec_b FROM pairs WHERE cos >= 0.1""",
+SELECT vec_a, vec_b FROM pairs WHERE cos >= 0.1"""
+
+
+QUERIES["dedup_embedding_cosine"] = _pair(
+    f"""WITH v AS (
+  {_emb_v_sql(_EMB_ELEM_SPARK)}
+),
+{_emb_dedup_tail_spark("v")}""",
     f"""WITH {_emb_bands_cte(_EMB_ELEM_DUCK)},
 {_EMB_CAND_PAIRS},
 raw AS (
@@ -864,12 +885,13 @@ _EMB_CAND_ANN = """cand AS (
   WHERE a.vec_id < 20
 )"""
 
-QUERIES["ann_lsh_topk"] = _pair(
-    f"""WITH {_emb_bands_cte(_EMB_ELEM_SPARK)},
+def _emb_ann_tail_spark(source: str) -> str:
+    return f"""{_emb_tail_cte(source)},
 {_EMB_CAND_ANN},
 scored AS (
   SELECT c.query_id, c.vec_id, {_COS_SPARK} AS cos
-  FROM cand c JOIN v a ON a.vec_id = c.query_id JOIN v b ON b.vec_id = c.vec_id
+  FROM cand c JOIN {source} a ON a.vec_id = c.query_id
+              JOIN {source} b ON b.vec_id = c.vec_id
 ),
 ranked AS (
   SELECT query_id, vec_id,
@@ -878,7 +900,14 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
-FROM ranked WHERE rank <= 3""",
+FROM ranked WHERE rank <= 3"""
+
+
+QUERIES["ann_lsh_topk"] = _pair(
+    f"""WITH v AS (
+  {_emb_v_sql(_EMB_ELEM_SPARK)}
+),
+{_emb_ann_tail_spark("v")}""",
     f"""WITH {_emb_bands_cte(_EMB_ELEM_DUCK)},
 {_EMB_CAND_ANN},
 raw AS (
@@ -902,6 +931,32 @@ ranked AS (
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
 FROM ranked WHERE rank <= 3""",
 )
+
+
+def _emb_lsh_view(spark) -> str:
+    """Materialize the banded-vector table ONCE (localCheckpoint; persist
+    on a real cluster) and register it as a temp view. The tail SQL
+    references the vector table ~8 times (6 band branches + 2 cosine
+    joins); against the inline CTE each reference re-executes the parquet
+    scan and the 72 hyperplane sums — against the checkpointed view they
+    rescan in-memory rows. Same output, the linear index build runs once.
+    """
+    name = "emb_lsh_v"
+    v = spark.sql(_emb_v_sql(_EMB_ELEM_SPARK)).localCheckpoint(eager=True)
+    v.createOrReplaceTempView(name)
+    return name
+
+
+def dedup_embedding_cosine_df(spark):
+    """Fast Spark path for dedup_embedding_cosine — identical output to the
+    single-statement SQL (byte-identical tail expressions, materialized
+    vector table)."""
+    return spark.sql("WITH " + _emb_dedup_tail_spark(_emb_lsh_view(spark)))
+
+
+def ann_lsh_topk_df(spark):
+    """Fast Spark path for ann_lsh_topk (see dedup_embedding_cosine_df)."""
+    return spark.sql("WITH " + _emb_ann_tail_spark(_emb_lsh_view(spark)))
 
 
 # --- F1: ordered concat accumulation (char→line analogue) --------------------

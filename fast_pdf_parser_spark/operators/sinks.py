@@ -101,10 +101,15 @@ def chunk_distribution(result: DataFrame, min_tokens: int = 150) -> DataFrame:
     def bucket(lo: int, hi: int | None):
         cond = F.col("token_count") >= lo if hi is None else (
             (F.col("token_count") >= lo) & (F.col("token_count") <= hi))
-        return F.sum(F.when(cond, F.col("cnt")).otherwise(0)).cast("bigint")
+        # coalesce: a zero-chunk corpus must report 0 counts (the reference
+        # prints "No chunks to analyze"; NULL counts would break consumers),
+        # while min/max/quintiles stay legitimately NULL
+        return F.coalesce(
+            F.sum(F.when(cond, F.col("cnt")).otherwise(0)), F.lit(0)
+        ).cast("bigint")
 
     return joined.agg(
-        F.first("n").cast("bigint").alias("n_chunks"),
+        F.coalesce(F.first("n"), F.lit(0)).cast("bigint").alias("n_chunks"),
         F.min("token_count").alias("min_tokens"),
         F.max("token_count").alias("max_tokens"),
         # int sum / int n, truncating like the C++ integer division (:489)
@@ -123,8 +128,10 @@ def chunk_distribution(result: DataFrame, min_tokens: int = 150) -> DataFrame:
         bucket(401, 500).alias("b401_500"),
         bucket(501, 512).alias("b501_512"),
         bucket(513, None).alias("b513_plus"),
-        F.sum(F.when(F.col("token_count") < min_tokens, F.col("cnt"))
-              .otherwise(0)).cast("bigint").alias("below_min"),
+        F.coalesce(
+            F.sum(F.when(F.col("token_count") < min_tokens, F.col("cnt"))
+                  .otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("below_min"),
     )
 
 

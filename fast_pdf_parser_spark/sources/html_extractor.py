@@ -34,6 +34,7 @@ import html as _html
 import re
 
 _COMMENT = re.compile(r"<!--.*?-->", re.S)
+_HEAD = re.compile(r"<head\b[^>]*>.*?</head\s*>", re.S | re.I)
 _SCRIPT_STYLE = re.compile(
     r"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I)
 _DROP_CONTAINER = re.compile(
@@ -68,6 +69,7 @@ def html_main_content(html: str) -> str:
     ``pre`` verbatim). Boilerplate containers and high-link-density short
     blocks are dropped."""
     s = _COMMENT.sub("", html or "")
+    s = _HEAD.sub("", s)  # titles/meta are document metadata, not content
     s = _SCRIPT_STYLE.sub("", s)
     prev = None
     while prev != s:  # unwind simple container nesting
@@ -75,7 +77,9 @@ def html_main_content(html: str) -> str:
         s = _DROP_CONTAINER.sub("", s)
 
     lines: list[str] = []
+    saw_block = False
     for m in _BLOCK.finditer(s):
+        saw_block = True
         tag = m.group(1).lower()
         body = m.group(2)
         if tag == "pre":
@@ -96,10 +100,14 @@ def html_main_content(html: str) -> str:
             lines.append("- " + text)
         else:
             lines.append(text)
-    if lines:
+    if saw_block:
+        # block structure existed: an empty result here means every block
+        # was REJECTED as boilerplate — honor that verdict, do not resurrect
+        # the rejected text via the fallback
         return "\n".join(lines)
-    # No recognized block elements (div-soup pages, bare fragments): never
-    # silently drop the document — strip every tag and return the visible
-    # text, boilerplate containers already removed above. Tags become
-    # spaces (adjacent divs must not concatenate words) and runs collapse.
+    # No recognized block elements at all (div-soup pages, bare fragments):
+    # never silently drop the document — strip every tag and return the
+    # visible text, boilerplate containers already removed above. Tags
+    # become spaces (adjacent divs must not concatenate words), runs
+    # collapse.
     return _WS_RUN.sub(" ", _html.unescape(_INLINE_TAG.sub(" ", s))).strip()

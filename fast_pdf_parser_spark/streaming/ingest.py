@@ -74,6 +74,37 @@ def streaming_metrics(spark: SparkSession, result_dir: str):
     )
 
 
+def fold_user_sessions(user_id, ts_chunks, state, gap_seconds):
+    """Shared per-key session fold for both stateful APIs.
+
+    ``ts_chunks``: iterable of pandas-timestamp sequences (one per chunk of
+    the micro-batch). Timestamps are sorted across ALL chunks before
+    folding — a key's rows may arrive split over several chunks (multiple
+    files per trigger, Arrow batch boundaries) in arbitrary order, and a
+    per-chunk sort would fold out-of-order events into wrong sessions.
+    ``state``: (last_epoch, session_id, n_events) or None.
+    Returns (closed_sessions, new_state).
+    """
+    if state is not None:
+        last_epoch, session_id, n_events = state
+    else:
+        last_epoch, session_id, n_events = None, 0, 0
+    all_ts = []
+    for chunk in ts_chunks:
+        all_ts.extend(chunk)
+    all_ts.sort()
+    closed: list[tuple] = []
+    for ts in all_ts:
+        epoch = ts.timestamp()
+        if last_epoch is not None and epoch - last_epoch > gap_seconds:
+            closed.append((user_id, session_id, n_events))
+            session_id += 1
+            n_events = 0
+        n_events += 1
+        last_epoch = epoch
+    return closed, (last_epoch, session_id, n_events)
+
+
 def stream_sessionize_events(
     spark: SparkSession,
     events_path: str,
@@ -107,23 +138,10 @@ def stream_sessionize_events(
 
     def fold(key, batches, state: GroupState):
         (user_id,) = key
-        if state.exists:
-            last_epoch, session_id, n_events = state.get
-        else:
-            last_epoch, session_id, n_events = None, 0, 0
-
-        closed: list[tuple] = []
-        for pdf in batches:
-            pdf = pdf.sort_values("ts")
-            for ts in pdf["ts"]:
-                epoch = ts.timestamp()
-                if last_epoch is not None and epoch - last_epoch > gap_seconds:
-                    closed.append((user_id, session_id, n_events))
-                    session_id += 1
-                    n_events = 0
-                n_events += 1
-                last_epoch = epoch
-        state.update((last_epoch, session_id, n_events))
+        closed, new_state = fold_user_sessions(
+            user_id, (pdf["ts"].tolist() for pdf in batches),
+            state.get if state.exists else None, gap_seconds)
+        state.update(new_state)
         # emit closed sessions; the open session stays in state
         yield pd.DataFrame(closed,
                            columns=["user_id", "session_id", "n_events"])
@@ -201,23 +219,11 @@ def stream_sessionize_tws(
 
         def handleInputRows(self, key, rows, timerValues):
             (user_id,) = key
-            if self._state.exists():
-                last_epoch, session_id, n_events = self._state.get()
-            else:
-                last_epoch, session_id, n_events = None, 0, 0
-            closed: list[tuple] = []
-            for pdf in rows:
-                pdf = pdf.sort_values("ts")
-                for ts in pdf["ts"]:
-                    epoch = ts.timestamp()
-                    if last_epoch is not None and \
-                            epoch - last_epoch > gap_seconds:
-                        closed.append((user_id, session_id, n_events))
-                        session_id += 1
-                        n_events = 0
-                    n_events += 1
-                    last_epoch = epoch
-            self._state.update((last_epoch, session_id, n_events))
+            closed, new_state = fold_user_sessions(
+                user_id, (pdf["ts"].tolist() for pdf in rows),
+                self._state.get() if self._state.exists() else None,
+                gap_seconds)
+            self._state.update(new_state)
             yield pd.DataFrame(
                 closed, columns=["user_id", "session_id", "n_events"])
 

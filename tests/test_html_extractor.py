@@ -140,3 +140,12 @@ def test_div_soup_fallback_never_drops_document():
     # empty / None-ish input stays empty
     assert html_main_content("") == ""
     assert html_main_content("<html><body></body></html>") == ""
+
+
+def test_all_boilerplate_page_stays_empty():
+    # a page whose only blocks are link farms must NOT resurrect them via
+    # the fallback; head/title text is metadata, never content
+    html = ("<html><head><title>T</title></head><body>"
+            "<p><a href='/x'>click</a> <a href='/y'>here</a></p>"
+            "</body></html>")
+    assert html_main_content(html) == ""

@@ -102,3 +102,16 @@ def test_chunk_distribution_reference_semantics(spark):
             row.b201_300, row.b301_400, row.b401_500, row.b501_512,
             row.b513_plus) == (1, 0, 2, 1, 1, 1, 1, 2, 1)
     assert row.below_min == 3  # tokens < 150 (:519-524)
+
+
+def test_chunk_distribution_empty_input_zero_counts(spark):
+    # zero-chunk corpus: counts are 0 (not NULL); min/max/quintiles NULL
+    from fast_pdf_parser_spark.operators.sinks import chunk_distribution
+
+    df = spark.createDataFrame(
+        [("d", "media", None)],
+        schema="doc_id string, kind string, token_count int")
+    row = chunk_distribution(df).first()
+    assert row.n_chunks == 0 and row.below_min == 0
+    assert row.b1_50 == 0 and row.b513_plus == 0
+    assert row.min_tokens is None and row.p20 is None

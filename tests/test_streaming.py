@@ -156,3 +156,26 @@ def test_transform_with_state_sessionize_matches_batch(spark, tmp_path):
         for r in batch if r.session_id != last[r.user_id]
     }
     assert streamed == expected
+
+
+def test_fold_user_sessions_cross_chunk_order():
+    """The session fold must sort timestamps ACROSS chunks: out-of-order
+    chunks (multiple files / Arrow batches per trigger) fold identically to
+    one ordered stream."""
+    import pandas as pd
+
+    from fast_pdf_parser_spark.streaming.ingest import fold_user_sessions
+
+    t = [pd.Timestamp(s, unit="s", tz="UTC")
+         for s in (0, 100, 5000, 5100, 10_000)]
+    ordered, st_a = fold_user_sessions(7, [t], None, gap_seconds=1800)
+    # same events, later-ts chunk FIRST — a per-chunk sort would see a
+    # negative gap and never split the sessions
+    split, st_b = fold_user_sessions(
+        7, [[t[2], t[4]], [t[0], t[1], t[3]]], None, gap_seconds=1800)
+    assert ordered == split == [(7, 0, 2), (7, 1, 2)]
+    assert st_a == st_b
+    # state carries across micro-batches: next batch continues session 2
+    more, st_c = fold_user_sessions(
+        7, [[pd.Timestamp(10_100, unit="s", tz="UTC")]], st_a, 1800)
+    assert more == [] and st_c[1] == 2 and st_c[2] == 2

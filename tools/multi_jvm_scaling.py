@@ -73,11 +73,18 @@ spark.stop()
 def ensure_corpus(n_docs: int) -> str:
     path = f"/tmp/spark_graft_bench_corpus_sf0.1_{n_docs}_pdf"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # pin SPARK_GRAFT_PDF=1 so bench.py writes exactly this _pdf path
+        # even if the caller's environment set it to 0
         env = dict(os.environ, SPARK_GRAFT_NDOCS=str(n_docs),
-                   SPARK_GRAFT_SKIP_QUERIES="1",
+                   SPARK_GRAFT_SKIP_QUERIES="1", SPARK_GRAFT_PDF="1",
                    SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1")
-        subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                       env=env, capture_output=True, timeout=1200)
+        res = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=1200)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise RuntimeError(
+                f"bench.py did not produce {path} "
+                f"(rc={res.returncode}):\n{res.stderr[-2000:]}")
     return path
 
 
