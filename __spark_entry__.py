@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_chunk_distribution"] = _pipeline_distribution
     out["pipeline_docling_chunks"] = _pipeline_docling
     out["pipeline_html_extract"] = _pipeline_html
+    out["pipeline_html_meta_oracle"] = _pipeline_html_meta
     out["multimodal_media_features"] = _media_features
     out["multimodal_resize"] = _media_resize
     out["multimodal_frame_sample"] = _media_frames
@@ -240,6 +241,67 @@ def _pipeline_html(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spans = ids.mapInPandas(gen, schema=SPANS_DDL)
     return extract_documents(spans)
+
+
+def _pipeline_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked HTML-axis oracle: the derived span pages are wrapped in
+    boilerplate HTML entirely JVM-side (synth.HTML_PREFIX/SUFFIX + the
+    html_line CASE as Column expressions), the REAL pipeline extracts them
+    (boilerplate strip + chunking), and the per-doc page/byte/failure
+    counters must match DuckDB's pure-SQL re-derivation of the same wrap
+    (relational.HYBRID_ORACLES['pipeline_html_meta_oracle'])."""
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.operators.pipeline import (
+        extract_documents,
+        results_meta,
+    )
+    from fast_pdf_parser_spark.sources.synth import (
+        HTML_PREFIX,
+        HTML_SUFFIX,
+        interleaved_from_flat_documents,
+    )
+
+    _prepare(spark, sf_dir)
+
+    def line_el(line):
+        rest = lambda n: line.substr(F.lit(n), F.length(line))  # noqa: E731
+        return (
+            F.when(line.startswith("### "),
+                   F.concat(F.lit("<h3>"), rest(5), F.lit("</h3>")))
+            .when(line.startswith("## "),
+                  F.concat(F.lit("<h2>"), rest(4), F.lit("</h2>")))
+            .when(line.startswith("# "),
+                  F.concat(F.lit("<h1>"), rest(3), F.lit("</h1>")))
+            .when(line.startswith("- "),
+                  F.concat(F.lit("<li>"), rest(3), F.lit("</li>")))
+            .when(line.startswith("  "),
+                  F.concat(F.lit("<pre>"), line, F.lit("</pre>")))
+            .when(F.length(line) == 0, F.lit(""))
+            .otherwise(F.concat(F.lit("<p>"), line, F.lit("</p>")))
+        )
+
+    def wrap(text):
+        body = F.array_join(F.transform(F.split(text, "\n"), line_el), "")
+        return F.concat(F.lit(HTML_PREFIX), body, F.lit(HTML_SUFFIX))
+
+    spans = interleaved_from_flat_documents(spark, sf_dir).select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                F.when(s["kind"] == "text", F.lit("html"))
+                .otherwise(s["kind"]).alias("kind"),
+                F.when(s["kind"] == "text", wrap(s["text"]))
+                .otherwise(s["text"]).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return results_meta(extract_documents(spans)).select(
+        "doc_id", "total_pages", "parse_failures", "bytes_decoded"
+    )
 
 
 def _pipeline_docling(spark: SparkSession, sf_dir: str) -> DataFrame:

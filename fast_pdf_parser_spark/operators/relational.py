@@ -714,11 +714,56 @@ FROM documents""",
 # callables live in __spark_entry__; the driver still hash-compares them.
 # ---------------------------------------------------------------------------
 
+def _sql_str(s: str) -> str:
+    """Portable single-quoted SQL string literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _html_line_case_duck() -> str:
+    """DuckDB twin of sources/synth.html_line (corpus text contains no
+    &<>" so entity escaping is the identity here)."""
+    return """CASE
+           WHEN line LIKE '### %' THEN '<h3>' || substr(line, 5) || '</h3>'
+           WHEN line LIKE '## %' THEN '<h2>' || substr(line, 4) || '</h2>'
+           WHEN line LIKE '# %' THEN '<h1>' || substr(line, 3) || '</h1>'
+           WHEN line LIKE '- %' THEN '<li>' || substr(line, 3) || '</li>'
+           WHEN line LIKE '  %' THEN '<pre>' || line || '</pre>'
+           WHEN length(line) = 0 THEN ''
+           ELSE '<p>' || line || '</p>' END"""
+
+
+def _html_meta_oracle_duck() -> str:
+    from fast_pdf_parser_spark.sources.synth import HTML_PREFIX, HTML_SUFFIX
+
+    return f"""WITH {_DUCK_LINES},
+tagged AS (
+  SELECT doc_id, line_no, CAST(line_no // 12 AS INT) AS page_no,
+         {_html_line_case_duck()} AS el
+  FROM lines
+),
+pages AS (
+  SELECT doc_id, page_no,
+         {_sql_str(HTML_PREFIX)} || string_agg(el, '' ORDER BY line_no)
+           || {_sql_str(HTML_SUFFIX)} AS html
+  FROM tagged GROUP BY doc_id, page_no
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(count(*) AS INT) AS total_pages,
+       CAST(0 AS INT) AS parse_failures,
+       CAST(sum(strlen(html)) AS BIGINT) AS bytes_decoded
+FROM pages GROUP BY doc_id"""
+
+
 # The S4/A3 axis of the pipeline made hash-checkable: for the text-only
 # derived corpus (sources/synth.interleaved_from_flat_documents), total_pages,
 # parse_failures and bytes_decoded are pure functions of documents.text —
 # re-derive the 8-word-line / 12-line-page model in DuckDB and count what the
 # pipeline counts (pages seen, utf-8 bytes decoded, zero failures).
+# pipeline_html_meta_oracle does the same for the HTML path: the derived
+# pages are wrapped in boilerplate HTML (JVM-side on the Spark side, string
+# concat in DuckDB — both from synth.HTML_PREFIX/SUFFIX so they cannot
+# drift), run through the REAL extraction pipeline on the Spark side, and
+# the per-doc page/byte/failure counters must agree.
 HYBRID_ORACLES: dict[str, str] = {
     "pipeline_meta_oracle": f"""WITH {_DUCK_LINES},
 pages AS (
@@ -731,6 +776,7 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(0 AS INT) AS parse_failures,
        CAST(sum(strlen(page_text)) AS BIGINT) AS bytes_decoded
 FROM pages GROUP BY doc_id""",
+    "pipeline_html_meta_oracle": _html_meta_oracle_duck(),
 }
 
 

@@ -70,47 +70,58 @@ def page_text(doc_idx: int, page_idx: int, seed: int = 42) -> str:
     return "\n".join(lines)
 
 
+# Shared boilerplate wrappers for html fixtures — module constants so the
+# Python builder AND the SQL derivation in operators/relational.py (the
+# pipeline_html_meta_oracle pair) cannot drift.
+_HTML_NAV = ("<nav><ul>" + "".join(
+    f'<li><a href="/s/{i}">Section {i}</a></li>' for i in range(6))
+    + "</ul></nav>")
+_HTML_LINKFARM = ("<p>" + " | ".join(
+    f'<a href="/t/{i}">tag{i}</a>' for i in range(8)) + "</p>")
+HTML_PREFIX = (
+    "<!DOCTYPE html><html><head><title>x</title>"
+    "<style>body{margin:0}</style>"
+    "<script>var t=1;</script></head><body>"
+    f"<header><h1><a href='/'>SiteName</a></h1></header>{_HTML_NAV}"
+    "<aside><p><a href='/ad'>sponsored</a></p></aside>"
+    "<!-- main --><main>"
+)
+HTML_SUFFIX = (
+    f"</main>{_HTML_LINKFARM}"
+    "<footer><p><a href='/about'>About</a> · "
+    "<a href='/legal'>Legal</a></p></footer></body></html>"
+)
+
+
+def html_line(line: str) -> str:
+    """One markdown-ish line → its HTML element ('' for blank lines). The
+    SQL twins in relational.py replicate this CASE exactly."""
+    import html as _h
+
+    if not line.strip():
+        return ""
+    if line.startswith("### "):
+        return f"<h3>{_h.escape(line[4:])}</h3>"
+    if line.startswith("## "):
+        return f"<h2>{_h.escape(line[3:])}</h2>"
+    if line.startswith("# "):
+        return f"<h1>{_h.escape(line[2:])}</h1>"
+    if line.startswith("- "):
+        return f"<li>{_h.escape(line[2:])}</li>"
+    if line.startswith("  "):
+        return f"<pre>{_h.escape(line)}</pre>"
+    return f"<p>{_h.escape(line)}</p>"
+
+
 def html_from_page(doc_idx: int, page_idx: int, seed: int = 42) -> str:
     """Wrap a page's markdown lines in HTML plus deterministic boilerplate
     (nav menu, header/footer, aside, script/style, a link-farm paragraph).
     sources/html_extractor.html_main_content inverts this exactly: the
     extracted text equals the page's non-blank lines (blank separator lines
     do not exist as HTML elements — same contract as the PDF path)."""
-    import html as _h
-
     md = page_text(doc_idx, page_idx, seed)
-    body: list[str] = []
-    for line in md.split("\n"):
-        if not line.strip():
-            continue
-        if line.startswith("### "):
-            body.append(f"<h3>{_h.escape(line[4:])}</h3>")
-        elif line.startswith("## "):
-            body.append(f"<h2>{_h.escape(line[3:])}</h2>")
-        elif line.startswith("# "):
-            body.append(f"<h1>{_h.escape(line[2:])}</h1>")
-        elif line.startswith("- "):
-            body.append(f"<li>{_h.escape(line[2:])}</li>")
-        elif line.startswith("  "):
-            body.append(f"<pre>{_h.escape(line)}</pre>")
-        else:
-            body.append(f"<p>{_h.escape(line)}</p>")
-    nav = ("<nav><ul>" + "".join(
-        f'<li><a href="/s/{i}">Section {i}</a></li>' for i in range(6))
-        + "</ul></nav>")
-    linkfarm = ("<p>" + " | ".join(
-        f'<a href="/t/{i}">tag{i}</a>' for i in range(8)) + "</p>")
-    return (
-        "<!DOCTYPE html><html><head><title>x</title>"
-        "<style>body{margin:0}</style>"
-        "<script>var t=1;</script></head><body>"
-        f"<header><h1><a href='/'>SiteName</a></h1></header>{nav}"
-        f"<aside><p><a href='/ad'>sponsored</a></p></aside>"
-        "<!-- main -->"
-        f"<main>{''.join(body)}</main>{linkfarm}"
-        f"<footer><p><a href='/about'>About</a> · "
-        f"<a href='/legal'>Legal</a></p></footer></body></html>"
-    )
+    body = "".join(html_line(line) for line in md.split("\n"))
+    return HTML_PREFIX + body + HTML_SUFFIX
 
 
 def make_doc(doc_idx: int, seed: int = 42, include_pdf: bool = False,
