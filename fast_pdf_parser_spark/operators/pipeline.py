@@ -108,15 +108,22 @@ def process_document(
                  None, None, None, None, None, None, None)
             )
         elif kind == "pdf":
-            total_pages += 1
             try:
                 from fast_pdf_parser_spark.sources.pdf_lexer import (
-                    extract_pdf_page_text,
+                    extract_pdf_pages,
                 )
                 raw = base64.b64decode(s["text"])
                 bytes_decoded += len(raw)
-                run.append((extract_pdf_page_text(raw), s["offset"]))
+                pdf_pages = extract_pdf_pages(raw)
+                # total_pages counts REAL pdf pages (ChunkingResult
+                # semantics, hierarchical_chunker.h:29-35): a multi-page
+                # pdf span contributes each page as its own chunking page
+                # (page-boundary units), all sharing the span's offset
+                total_pages += max(1, len(pdf_pages))
+                for page_text in pdf_pages:
+                    run.append((page_text, s["offset"]))
             except Exception as exc:  # error containment per page
+                total_pages += 1
                 parse_failures += 1
                 if first_error is None:
                     first_error = f"page {s['offset']}: {exc}"

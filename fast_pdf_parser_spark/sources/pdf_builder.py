@@ -281,6 +281,39 @@ def build_pdf(text: str, seed_key: str = "0", corrupt: bool = False,
     return _emit_classic(objects)
 
 
+def build_pdf_multi(texts: list[str], seed_key: str = "0") -> bytes:
+    """A complete MULTI-page PDF (classic layout): /Pages with one Kid per
+    text, each page with its own FlateDecode content stream, fonts shared.
+    Object layout: 1 catalog, 2 pages, 5/6 fonts, 7 cmap, then page i →
+    obj 8+2i, its content → obj 9+2i."""
+    rng = random.Random(f"pdfm:{seed_key}")
+    kids = b" ".join(f"{8 + 2 * i} 0 R".encode() for i in range(len(texts)))
+    objects: dict[int, bytes] = {}
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[2] = (b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+                  + str(len(texts)).encode() + b" >>")
+    base = _base_objects(b"")  # reuse the shared font/cmap objects
+    objects[5], objects[6], objects[7] = base[5], base[6], base[7]
+    # 3 and 4 are unused in this layout; keep numbering dense for the
+    # classic xref emitter (harmless placeholder objects)
+    objects[3] = b"<< >>"
+    objects[4] = b"<< >>"
+    for i, text in enumerate(texts):
+        content, _font = _content_stream(text, rng)
+        flate = zlib.compress(content)
+        pnum, cnum = 8 + 2 * i, 9 + 2 * i
+        objects[pnum] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> "
+            b"/Contents " + str(cnum).encode() + b" 0 R >>"
+        )
+        objects[cnum] = (
+            b"<< /Length " + str(len(flate)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + flate + b"\nendstream"
+        )
+    return _emit_classic(objects)
+
+
 def build_pdf_span(doc_idx: int, page_idx: int, seed: int = 42,
                    corrupt: bool = False) -> str:
     """Base64 PDF payload for a ``kind='pdf'`` span (FIXTURES.md §1)."""

@@ -149,3 +149,24 @@ def test_all_boilerplate_page_stays_empty():
             "<p><a href='/x'>click</a> <a href='/y'>here</a></p>"
             "</body></html>")
     assert html_main_content(html) == ""
+
+
+def test_fuzz_never_raises_no_tags_leak():
+    """Arbitrary tag soup: html_main_content never raises and block-mode
+    output lines never contain raw tags."""
+    import random
+
+    rnd = random.Random(77)
+    frags = ["<p>", "</p>", "<div>", "</div>", "<nav>", "</nav>", "<h2>",
+             "</h2>", "<li>", "</li>", "<pre>", "</pre>", "<a href='/x'>",
+             "</a>", "<script>", "</script>", "word", "two words", "&amp;",
+             "&", "<", ">", "<!--", "-->", "\n", "  ", "<h9>", "<<>>",
+             "<p class='x y\" z'>", "\x00", "é€"]
+    for _ in range(300):
+        soup = "".join(rnd.choice(frags) for _ in range(rnd.randint(0, 40)))
+        out = html_main_content(soup)
+        assert isinstance(out, str)
+    # well-formed block docs never leak markup
+    for i in range(10):
+        out = html_main_content(html_from_page(i, 0))
+        assert "<" not in out and ">" not in out

@@ -227,3 +227,39 @@ def test_fast_scanner_equals_generic():
     for s in pdf_spans[:6]:
         raw = base64.b64decode(s["text"])
         assert L.extract_pdf_page_text(raw)
+
+
+def test_multi_page_pdf_roundtrip_and_pipeline():
+    """build_pdf_multi → extract_pdf_pages returns each page's text
+    exactly; the pipeline counts real pdf pages and chunks them as
+    page-boundary units."""
+    from fast_pdf_parser_spark.config import ChunkOptions
+    from fast_pdf_parser_spark.functions.tokenizer import get_tokenizer
+    from fast_pdf_parser_spark.operators.pipeline import process_document
+    from fast_pdf_parser_spark.sources.pdf_builder import build_pdf_multi
+    from fast_pdf_parser_spark.sources.pdf_lexer import (
+        extract_pdf_pages,
+    )
+    from fast_pdf_parser_spark.sources.synth import page_text
+
+    texts = [page_text(5, p) for p in range(3)]
+    raw = build_pdf_multi(texts, seed_key="mp")
+    pages = extract_pdf_pages(raw)
+    assert len(pages) == 3
+    for got, src in zip(pages, texts):
+        # blank source lines do not exist as PDF text (module contract)
+        expected = "\n".join(l for l in src.split("\n") if l.strip())
+        assert got == expected
+
+    import base64
+
+    spans = [{"kind": "pdf", "text": base64.b64encode(raw).decode(),
+              "media_ref": None, "offset": 0}]
+    rows = process_document("mp", spans, get_tokenizer(), ChunkOptions())
+    meta_pages = rows[0][-4]  # doc_total_pages
+    assert meta_pages == 3
+    assert rows[0][-3] == 0  # no failures
+    chunk_text = " ".join(r[3] for r in rows if r[2] == "chunk")
+    for src in texts:
+        first_words = src.split("\n")[0]
+        assert first_words in chunk_text
