@@ -7,10 +7,14 @@ UDF, built-ins only) and runs the zero-shuffle mapInPandas extraction
 HierarchicalChunker::chunk_file (src/hierarchical_chunker.cpp:552-634).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
-SURVEY.md §2 plus the training-data operators; SQL-expressible ones carry a
-DuckDB oracle (operators/relational.py pairs the dialects), the stateful
-7-pass extraction ops are rows-only (their correctness gate is the
-span-sequence-equality pytest suite instead).
+SURVEY.md §2 plus the training-data operators (38 queries, 29 with DuckDB
+oracles); SQL-expressible ones carry a DuckDB oracle
+(operators/relational.py pairs the dialects; HYBRID_ORACLES pair the real
+pipeline's meta counters with pure-SQL re-derivations for the text and
+html axes), the stateful 7-pass extraction ops are rows-only (their
+correctness gate is the span-sequence-equality pytest suite instead).
+Three queries (dedup_lsh_pairs, dedup_embedding_cosine, ann_lsh_topk) use
+materialized fast paths with byte-identical output to their SQL forms.
 """
 
 from __future__ import annotations

@@ -35,7 +35,10 @@ Error semantics: a pdf span that fails to lex never fails the document or the
 job — the page is skipped for chunking (src/fast_pdf_parser.cpp:84-91
 semantics), the error is counted in ``doc_parse_failures`` and the first
 message kept in ``doc_error`` (analogue of the per-page error rows,
-src/text_extractor.cpp:108-114).
+src/text_extractor.cpp:108-114). A document whose spans produce NO output
+(every page failed, or blank/zero-page inputs only) emits a single
+``kind='meta'`` row so its counters still reach ``results_meta`` — a doc
+never silently vanishes.
 """
 
 from __future__ import annotations
@@ -157,6 +160,14 @@ def process_document(
                  None, None, None, None, None, None, None)
             )
     flush_run()
+
+    if not out and ordered:
+        # a document whose spans produced no output (every page failed to
+        # parse, or zero-page/blank pages only) must NOT vanish: its meta
+        # counters (pages seen, failures, first error) are the error-
+        # containment contract. One kind='meta' row carries them.
+        out.append((doc_id, -1, "meta", None, None,
+                    None, None, None, None, None, None, None))
 
     doc_meta = (total_pages, parse_failures, bytes_decoded, first_error)
     return [

@@ -94,23 +94,28 @@ HTML_SUFFIX = (
 
 
 def html_line(line: str) -> str:
-    """One markdown-ish line → its HTML element ('' for blank lines). The
-    SQL twins in relational.py replicate this CASE exactly."""
-    import html as _h
+    """One markdown-ish line → its HTML element ('' for the empty line).
 
-    if not line.strip():
+    EXACT twin of the Spark Column CASE (__spark_entry__._pipeline_html_meta)
+    and the DuckDB CASE (relational._html_line_case_duck) — same branch
+    order, empty-string (not whitespace) blank test, and NO entity
+    escaping. Precondition shared by all three: input lines contain no
+    raw ``&<>"`` (true for the synthetic corpora; the extractor's entity
+    unescape is then the identity, preserving the roundtrip contract).
+    """
+    if line == "":
         return ""
     if line.startswith("### "):
-        return f"<h3>{_h.escape(line[4:])}</h3>"
+        return f"<h3>{line[4:]}</h3>"
     if line.startswith("## "):
-        return f"<h2>{_h.escape(line[3:])}</h2>"
+        return f"<h2>{line[3:]}</h2>"
     if line.startswith("# "):
-        return f"<h1>{_h.escape(line[2:])}</h1>"
+        return f"<h1>{line[2:]}</h1>"
     if line.startswith("- "):
-        return f"<li>{_h.escape(line[2:])}</li>"
+        return f"<li>{line[2:]}</li>"
     if line.startswith("  "):
-        return f"<pre>{_h.escape(line)}</pre>"
-    return f"<p>{_h.escape(line)}</p>"
+        return f"<pre>{line}</pre>"
+    return f"<p>{line}</p>"
 
 
 def html_from_page(doc_idx: int, page_idx: int, seed: int = 42) -> str:

