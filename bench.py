@@ -97,12 +97,19 @@ def main() -> None:
             .groupBy("k").count().count()
         # cheapest first: the first query also pays residual one-time costs,
         # so don't let it distort an expensive operator's number
+        import gc
+
         for name in ["text_quality_score", "events_sessionize",
                      "ann_cosine_topk", "f4_semantic_units",
                      "dedup_minhash_signatures", "dedup_lsh_pairs"]:
             t0 = time.time()
             qmap[name](spark, sf_dir).count()
             queries[name] = round(time.time() - t0, 3)
+            # release cached/checkpointed blocks and dropped DataFrames so
+            # one query's heap pressure doesn't tax the next (shared
+            # local-mode JVM; real clusters isolate executors)
+            spark.catalog.clearCache()
+            gc.collect()
 
     # --- headline last: its ~GB of result strings pressures the shared
     # local-mode JVM heap, so the light queries run first
