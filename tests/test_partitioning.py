@@ -37,3 +37,57 @@ def test_bucket_estimate_uses_fast_token_estimate():
     from fast_pdf_parser_spark.functions.tokenizer import estimate_tokens
 
     assert estimate_tokens("x" * 400) == 100
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Bucketing = the co-located-join lever for repeated big joins at
+    100 TB: both fact tables written bucketBy the join key join WITHOUT a
+    shuffle (no Exchange above either scan), vs the plain-parquet plan
+    which must exchange both sides."""
+    import os
+
+    wh = str(tmp_path / "wh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckdemo LOCATION '{wh}'")
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet") \
+        .select("l_orderkey", "l_extendedprice")
+    od = spark.read.parquet("/root/testdata/sf0.01/orders.parquet") \
+        .select("o_orderkey", "o_custkey")
+    for name, df, key in [("li_b", li, "l_orderkey"),
+                          ("od_b", od, "o_orderkey")]:
+        df.write.mode("overwrite").bucketBy(8, key).sortBy(key) \
+            .saveAsTable(f"buckdemo.{name}")
+    # disable broadcast so the join strategy is the bucketed SMJ
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.sql(
+            "SELECT o_custkey, sum(l_extendedprice) AS s "
+            "FROM buckdemo.li_b JOIN buckdemo.od_b "
+            "ON l_orderkey = o_orderkey GROUP BY o_custkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("HashAggregate")[-1]
+        # the JOIN consumes bucket-partitioned scans directly: the only
+        # exchange in the whole plan is the one for the final groupBy
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_part, join_part[:500]
+        assert plan.count("Exchange hashpartitioning") == 1
+        # cross-check: same join over plain parquet needs two exchanges
+        li.createOrReplaceTempView("li_p")
+        od.createOrReplaceTempView("od_p")
+        p2 = spark.sql(
+            "SELECT o_custkey, sum(l_extendedprice) AS s FROM li_p "
+            "JOIN od_p ON l_orderkey = o_orderkey GROUP BY o_custkey"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert p2.count("Exchange hashpartitioning") >= 2
+        # and values agree
+        a = {(r.o_custkey, round(r.s, 2)) for r in j.collect()}
+        b = {(r.o_custkey, round(r.s, 2)) for r in spark.sql(
+            "SELECT o_custkey, sum(l_extendedprice) AS s FROM li_p "
+            "JOIN od_p ON l_orderkey = o_orderkey GROUP BY o_custkey"
+        ).collect()}
+        assert a == b
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS buckdemo.li_b")
+        spark.sql("DROP TABLE IF EXISTS buckdemo.od_b")
+        spark.sql("DROP DATABASE IF EXISTS buckdemo")
+        _ = os
