@@ -172,6 +172,68 @@ def test_fuzz_never_raises_no_tags_leak():
         assert "<" not in out and ">" not in out
 
 
+def test_unclosed_p_and_li_are_implied_closed():
+    # </p> and </li> are OPTIONAL in valid HTML and pervasively omitted on
+    # real pages; the round-2 regex parser silently dropped such blocks.
+    html = ("<ul><li>first item<li>second item<li>third item</ul>"
+            "<p>para one<p>para two"
+            "<h2>heading after unclosed p</h2>"
+            "<p>tail para")
+    assert html_main_content(html).split("\n") == [
+        "- first item", "- second item", "- third item",
+        "para one", "para two",
+        "## heading after unclosed p",
+        "tail para",
+    ]
+
+
+def test_mixed_closed_and_unclosed_blocks_keep_all():
+    # a page with SOME closed blocks must not lose the unclosed ones
+    html = ("<p>closed block</p>"
+            "<ul><li>unclosed item</ul>"
+            "<p>unclosed para"
+            "<div><p>implied close by parent</div>"
+            "<p>eof-unclosed")
+    assert html_main_content(html).split("\n") == [
+        "closed block", "- unclosed item", "unclosed para",
+        "implied close by parent", "eof-unclosed",
+    ]
+    # <p> inside an open <li> nests per the spec (li holds flow content):
+    # its text joins the item, once
+    assert html_main_content("<li>item<p>detail") == "- item detail"
+
+
+def test_nested_blocks_emit_once():
+    # <li><p>..</p></li> must not double-emit (the regex matched both)
+    html = "<ul><li><p>one</p></li><li>plain <p>two</p> tail</li></ul>"
+    assert html_main_content(html).split("\n") == [
+        "- one", "- plain two tail",
+    ]
+    # nested list items merge into their parent item, never duplicate
+    nested = "<ul><li>outer<ul><li>inner</li></ul></li></ul>"
+    assert html_main_content(nested) == "- outer inner"
+
+
+def test_unclosed_boilerplate_and_head_body_boundary():
+    # an unclosed <head> ends at <body>; content after it must survive
+    html = ("<html><head><title>T</title><body>"
+            "<p>kept after unclosed head</p></body></html>")
+    assert html_main_content(html) == "kept after unclosed head"
+    # link density still applies to implied-closed blocks
+    farm = ("<li><a href='/a'>aa</a> <a href='/b'>bb</a>"
+            "<li>real list item with enough plain prose to keep")
+    assert html_main_content(farm) == \
+        "- real list item with enough plain prose to keep"
+
+
+def test_stray_end_tags_and_heading_implied_close():
+    # stray close tags are ignored; a block opening inside a heading
+    # implies the heading's close (headings hold phrasing content only)
+    assert html_main_content("</p></li><p>ok</p></div>") == "ok"
+    assert html_main_content("<h1>title<p>body").split("\n") == [
+        "# title", "body"]
+
+
 def test_html_line_three_way_twin_equality(spark):
     """Python html_line == the Spark Column CASE == the DuckDB CASE on
     every branch, including the tricky ones (whitespace-only line, empty
