@@ -316,14 +316,17 @@ def _pipeline_docling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal: media passthrough spans → typed metadata + features
-    (decode stubbed deterministically; rows-only).
+    """Multimodal: media passthrough spans → typed metadata + features,
+    hash-checked against relational._media_features_oracle_duck (the fake
+    decode is pure sha256(ref) arithmetic, so DuckDB re-derives every
+    field from hex substrings).
 
-    The driver-facing projection is all-scalar: the canonicalizer sorts every
-    column and cannot sort ``array<float>``, so the feature vector is emitted
-    as ``md5(to_json(features))`` here; the library API
-    (multimodal.media.extract_media_features) keeps the real array column.
-    """
+    The driver-facing projection is all-scalar: the canonicalizer sorts
+    every column and cannot sort ``array<float>``, so the feature vector is
+    quantized per element (floor(v*1e4 + 0.5) — exact in double for float32
+    v, so both engines floor the same value) and joined into one string;
+    the library API (multimodal.media.extract_media_features) keeps the
+    real array column."""
     from pyspark.sql import functions as F
 
     from fast_pdf_parser_spark.multimodal.media import (
@@ -332,8 +335,13 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out = extract_media_features(media_spans(_pipeline_spans(spark, sf_dir)))
+    quant = F.transform(
+        F.col("features"),
+        lambda v: F.floor(v.cast("double") * 10000 + F.lit(0.5))
+        .cast("bigint").cast("string"),
+    )
     return out.withColumn(
-        "features_md5", F.md5(F.to_json(F.col("features")))
+        "features_q", F.array_join(quant, ",")
     ).drop("features")
 
 

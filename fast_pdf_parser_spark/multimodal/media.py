@@ -101,10 +101,18 @@ def fake_decode_meta(ref: str, data: bytes | None) -> dict:
 
 def fake_features(ref: str, dim: int = 16) -> list[float]:
     """Deterministic unit-norm feature vector from the ref hash (the shape a
-    real embedding model would produce)."""
+    real embedding model would produce).
+
+    Every float op here (subtract/divide/square/left-to-right sum/sqrt) is
+    mirrored term-for-term by the DuckDB oracle
+    (relational._media_features_oracle_duck), so both engines produce
+    bit-identical doubles; math.sqrt (not ``** 0.5``) keeps the square root
+    correctly rounded on every libm."""
+    import math
+
     h = hashlib.sha256(f"feat:{ref}".encode("utf-8")).digest()
     raw = [(h[i % 32] - 127.5) / 127.5 for i in range(dim)]
-    norm = sum(x * x for x in raw) ** 0.5 or 1.0
+    norm = math.sqrt(sum(x * x for x in raw)) or 1.0
     return [float(x / norm) for x in raw]
 
 
@@ -178,7 +186,11 @@ def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
                     continue
                 w, h = meta["width"], meta["height"]
                 scale = min(1.0, max_side / max(w, h, 1))
-                ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
+                # floor(x + 0.5), not round(): Python round() is banker's
+                # rounding, which no SQL dialect reproduces — half-up keeps
+                # the DuckDB oracle twin exact
+                ow = max(1, int(w * scale + 0.5))
+                oh = max(1, int(h * scale + 0.5))
                 digest = hashlib.sha256(
                     f"resized:{ref}:{ow}x{oh}".encode("utf-8")).hexdigest()
                 rows.append({

@@ -754,6 +754,136 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
 FROM pages GROUP BY doc_id"""
 
 
+# -- multimodal stage oracles ------------------------------------------------
+# The fake decode (multimodal/media.py fake_decode_meta / fake_features) is
+# pure sha256(ref) arithmetic and DuckDB has sha256(): every metadata field
+# is a hex-substring expression, and the feature vector is re-derived
+# term-for-term (same op order, float32 round-trip) then quantized at 1e4 —
+# so the REAL mapInPandas stages get hash-checked driver rows. The media
+# refs themselves are re-derived exactly as synth.interleaved_from_flat_
+# documents builds them ('media://img/<doc_id>_cover.png' for every 5th
+# doc; _media_frames uses 'media://vid/<doc_id>.mp4' for every 10th).
+
+_MEDIA_DIM = 16  # fake_features default, multimodal/media.py
+
+_DUCK_COVER_MEDIA = """media AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'media://img/' || CAST(doc_id AS VARCHAR) || '_cover.png' AS media_ref
+  FROM documents WHERE doc_id % 5 = 0
+)"""
+
+
+def _duck_hb(hex_expr: str, j: int) -> str:
+    """Byte ``j`` of a sha256 hex digest as an INT (digest()[j] in Python)."""
+    return f"CAST('0x' || substr({hex_expr}, {2 * j + 1}, 2) AS INT)"
+
+
+def _media_features_oracle_duck() -> str:
+    """DuckDB twin of multimodal.media.extract_media_features over the
+    pipeline's cover-image media spans (fake_decode_meta + fake_features,
+    multimodal/media.py:81-108). The feature quantization mirrors the Spark
+    projection in __spark_entry__._media_features: each float32 value v →
+    floor(v*1e4 + 0.5); v*1e4 is exact in double (24-bit mantissa × 10^4
+    fits 53 bits), so floor sees the same exact value both sides."""
+    d = "CAST({x} AS DOUBLE)"
+    raws = ",\n         ".join(
+        f"({d.format(x=_duck_hb('fh', i))} - {d.format(x='127.5')})"
+        f" / {d.format(x='127.5')} AS r{i}"
+        for i in range(_MEDIA_DIM)
+    )
+    sumsq = " + ".join(f"r{i} * r{i}" for i in range(_MEDIA_DIM))
+    qs = ", ".join(
+        "CAST(CAST(floor(CAST(CAST(r{i} / nrm AS FLOAT) AS DOUBLE) * 10000"
+        " + CAST(0.5 AS DOUBLE)) AS BIGINT) AS VARCHAR)".format(i=i)
+        for i in range(_MEDIA_DIM)
+    )
+    return f"""WITH {_DUCK_COVER_MEDIA},
+hashed AS (
+  SELECT doc_id, media_ref, sha256(media_ref) AS h,
+         sha256('feat:' || media_ref) AS fh
+  FROM media
+),
+raw AS (
+  SELECT doc_id, media_ref, h,
+         {raws}
+  FROM hashed
+),
+normed AS (
+  SELECT *, sqrt(CAST(0 AS DOUBLE) + {sumsq}) AS nrm FROM raw
+)
+SELECT doc_id, media_ref,
+       'image' AS media_type,
+       CAST(64 + {_duck_hb('h', 0)} * 8 AS INT) AS width,
+       CAST(64 + {_duck_hb('h', 1)} * 8 AS INT) AS height,
+       CAST(1 + {_duck_hb('h', 2)} % 4 AS INT) AS channels,
+       CAST(0 AS INT) AS duration_ms,
+       CAST(NULL AS VARCHAR) AS bytes_sha256,
+       CAST(0 AS BIGINT) AS n_bytes,
+       concat_ws(',', {qs}) AS features_q
+FROM normed"""
+
+
+def _media_resize_oracle_duck(max_side: int = 256) -> str:
+    """DuckDB twin of multimodal.media.resize_images (aspect-preserving
+    geometry, floor-half-up rounding, deterministic payload digest)."""
+    return f"""WITH {_DUCK_COVER_MEDIA},
+meta AS (
+  SELECT doc_id, media_ref,
+         CAST(64 + {_duck_hb('sha256(media_ref)', 0)} * 8 AS INT) AS w,
+         CAST(64 + {_duck_hb('sha256(media_ref)', 1)} * 8 AS INT) AS hh
+  FROM media
+),
+geom AS (
+  SELECT doc_id, media_ref, w, hh,
+         least(CAST(1 AS DOUBLE),
+               CAST({max_side} AS DOUBLE)
+                 / CAST(greatest(w, hh, 1) AS DOUBLE)) AS s
+  FROM meta
+),
+sized AS (
+  SELECT doc_id, media_ref, w, hh,
+         greatest(1, CAST(floor(CAST(w AS DOUBLE) * s
+                                + CAST(0.5 AS DOUBLE)) AS INT)) AS ow,
+         greatest(1, CAST(floor(CAST(hh AS DOUBLE) * s
+                                + CAST(0.5 AS DOUBLE)) AS INT)) AS oh
+  FROM geom
+)
+SELECT doc_id, media_ref, w AS src_width, hh AS src_height,
+       CAST(ow AS INT) AS out_width, CAST(oh AS INT) AS out_height,
+       sha256('resized:' || media_ref || ':'
+              || CAST(ow AS VARCHAR) || 'x' || CAST(oh AS VARCHAR))
+         AS resized_sha256
+FROM sized"""
+
+
+def _media_frames_oracle_duck(every_ms: int = 5000,
+                              max_frames: int = 8) -> str:
+    """DuckDB twin of multimodal.media.sample_frames over the synthetic
+    video refs __spark_entry__._media_frames derives (every 10th doc);
+    duration = 1000 + uint16-LE of digest bytes 3..4."""
+    return f"""WITH vids AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'media://vid/' || CAST(doc_id AS VARCHAR) || '.mp4' AS media_ref
+  FROM documents WHERE doc_id % 10 = 0
+),
+meta AS (
+  SELECT doc_id, media_ref,
+         1000 + {_duck_hb('sha256(media_ref)', 3)}
+              + 256 * {_duck_hb('sha256(media_ref)', 4)} AS duration
+  FROM vids
+),
+frames AS (
+  SELECT doc_id, media_ref,
+         unnest(range(least(duration // {every_ms} + 1, {max_frames}))) AS f
+  FROM meta
+)
+SELECT doc_id, media_ref, CAST(f AS INT) AS frame_index,
+       CAST(f * {every_ms} AS INT) AS timestamp_ms,
+       sha256('frame:' || media_ref || ':'
+              || CAST(f * {every_ms} AS VARCHAR)) AS frame_sha256
+FROM frames"""
+
+
 # The S4/A3 axis of the pipeline made hash-checkable: for the text-only
 # derived corpus (sources/synth.interleaved_from_flat_documents), total_pages,
 # parse_failures and bytes_decoded are pure functions of documents.text —
@@ -777,6 +907,9 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(sum(strlen(page_text)) AS BIGINT) AS bytes_decoded
 FROM pages GROUP BY doc_id""",
     "pipeline_html_meta_oracle": _html_meta_oracle_duck(),
+    "multimodal_media_features": _media_features_oracle_duck(),
+    "multimodal_resize": _media_resize_oracle_duck(),
+    "multimodal_frame_sample": _media_frames_oracle_duck(),
 }
 
 
