@@ -939,6 +939,8 @@ def names() -> list[str]:
 # similarity.hyperplane_terms (md5-seeded), so both dialects — and the
 # DataFrame API in operators/similarity.py — bucket identically.
 from fast_pdf_parser_spark.operators.similarity import (  # noqa: E402
+    GRID_BAND as _GRID_BAND,
+    GRID_BITS as _GRID_BITS,
     LSH_BANDS as _EMB_BANDS,
     LSH_BITS as _EMB_BITS,
     LSH_BUCKET_CAP as _EMB_CAP,
@@ -946,13 +948,13 @@ from fast_pdf_parser_spark.operators.similarity import (  # noqa: E402
 )
 
 
-def _band_key_sql(band: int, elem: str) -> str:
+def _band_key_sql(band: int, elem: str, n_bits: int = _EMB_BITS) -> str:
     """One band's key as portable SQL; ``elem`` formats a 1-based element
     access (Spark: element_at(embedding, {i}); DuckDB: embedding[{i}]).
     The projection sum is written in one fixed order so both engines
     produce bit-identical doubles."""
     bits = []
-    for bit in range(_EMB_BITS):
+    for bit in range(n_bits):
         proj = "CAST(0.0 AS DOUBLE)"
         for d, sign in _hp_terms(band, bit):
             op = "+" if sign > 0 else "-"
@@ -1109,6 +1111,78 @@ ranked AS (
 )
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
 FROM ranked WHERE rank <= 3""",
+)
+
+
+# Grid-IVF: the IVF *search* pattern (probe a handful of cells, equi-join on
+# cell id, exact-cosine verify) with a deterministic closed-form coarse
+# quantizer — GRID_BITS hyperplane sign bits — instead of KMeans, so the
+# whole query is SQL-expressible and hash-checks against DuckDB. Multi-probe:
+# each query searches its own cell plus the GRID_BITS cells at Hamming
+# distance 1. The KMeans tier (similarity.fit_ivf_cells/ivf_topk) stays the
+# data-adaptive variant with the rows-only gate.
+def _grid_flip_sql(i: int, n_bits: int) -> str:
+    """cell0 with bit ``i`` (0-based) flipped, as portable SQL."""
+    pre = f"substr(cell0, 1, {i})" if i > 0 else "''"
+    post = f"substr(cell0, {i + 2}, {n_bits - i - 1})" if i < n_bits - 1 \
+        else "''"
+    return (f"concat({pre}, CASE WHEN substr(cell0, {i + 1}, 1) = '1' "
+            f"THEN '0' ELSE '1' END, {post})")
+
+
+def _grid_probe_list() -> str:
+    return ", ".join(["cell0"] + [
+        _grid_flip_sql(i, _GRID_BITS) for i in range(_GRID_BITS)])
+
+
+def _grid_head(elem: str) -> str:
+    cell = _band_key_sql(_GRID_BAND, elem, _GRID_BITS)
+    return f"""c AS (
+  SELECT vec_id, embedding AS e, {cell} AS cell
+  FROM embeddings WHERE vec_id >= 5
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS e, {cell} AS cell0
+  FROM embeddings WHERE vec_id < 5
+)"""
+
+
+_GRID_RANKED_TAIL = """ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+FROM ranked WHERE rank <= 10"""
+
+QUERIES["ann_ivf_grid"] = _pair(
+    f"""WITH {_grid_head(_EMB_ELEM_SPARK)},
+probes AS (
+  SELECT query_id, e, probe AS cell
+  FROM q LATERAL VIEW explode(array({_grid_probe_list()})) t AS probe
+),
+scored AS (
+  SELECT a.query_id, b.vec_id, {_COS_SPARK} AS cos
+  FROM probes a JOIN c b ON b.cell = a.cell
+),
+{_GRID_RANKED_TAIL}""",
+    f"""WITH {_grid_head(_EMB_ELEM_DUCK)},
+probes AS (
+  SELECT query_id, e, unnest([{_grid_probe_list()}]) AS cell FROM q
+),
+raw AS (
+  SELECT a.query_id, b.vec_id, unnest(list_zip(a.e, b.e)) AS z
+  FROM probes a JOIN c b ON b.cell = a.cell
+),
+scored AS (
+  SELECT query_id, vec_id,
+         round(sum(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)) /
+               (sqrt(sum(CAST(z[1] AS DOUBLE) * CAST(z[1] AS DOUBLE))) *
+                sqrt(sum(CAST(z[2] AS DOUBLE) * CAST(z[2] AS DOUBLE)))), 6) AS cos
+  FROM raw GROUP BY query_id, vec_id
+),
+{_GRID_RANKED_TAIL}""",
 )
 
 

@@ -167,21 +167,40 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return _rank_topk(scored, k)
 
 
-def fit_ivf_cells(corpus: DataFrame, n_cells: int = 16, seed: int = 42):
-    """KMeans coarse quantizer: returns (assigned corpus, centroid rows).
+def ivf_fit_input(corpus: DataFrame, fit_max_rows: int = 100_000,
+                  seed: int = 42) -> DataFrame:
+    """Bounded KMeans fit input: the full corpus when small, else a
+    ``sample(fraction)`` targeting ``fit_max_rows`` rows. KMeans iterates
+    over its fit input several times — at 1e9 vectors that must be a
+    sample, never the corpus."""
+    n = corpus.count()
+    if n <= fit_max_rows:
+        return corpus
+    return corpus.sample(fraction=fit_max_rows / n, seed=seed)
 
-    At 1e9 vectors you fit on a sample and transform the full corpus — both
-    are single passes; the centroid table is tiny and broadcastable.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    vecs = corpus.withColumn(
+def _with_features(df: DataFrame) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn(
         "features", array_to_vector(F.col("embedding").cast("array<double>"))
     )
+
+
+def fit_ivf_cells(corpus: DataFrame, n_cells: int = 16, seed: int = 42,
+                  fit_max_rows: int = 100_000):
+    """KMeans coarse quantizer: returns (assigned corpus, centroid rows).
+
+    The multi-pass KMeans fit runs on a bounded sample (ivf_fit_input);
+    the single-pass transform assigns the FULL corpus. The centroid table
+    is tiny and broadcastable.
+    """
+    from pyspark.ml.clustering import KMeans
+
     model = KMeans(k=n_cells, seed=seed, featuresCol="features",
-                   predictionCol="cell").fit(vecs)
-    assigned = model.transform(vecs).select(
+                   predictionCol="cell").fit(
+        _with_features(ivf_fit_input(corpus, fit_max_rows, seed)))
+    assigned = model.transform(_with_features(corpus)).select(
         "vec_id", "embedding", F.col("cell").cast("int").alias("cell")
     )
     centers = [
@@ -190,7 +209,6 @@ def fit_ivf_cells(corpus: DataFrame, n_cells: int = 16, seed: int = 42):
     centroids = corpus.sparkSession.createDataFrame(
         centers, schema="cell int, centroid array<double>"
     )
-    _ = vector_to_array  # imported for parity with array_to_vector; unused
     return assigned, centroids
 
 
@@ -210,6 +228,62 @@ def ivf_topk(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
               .select("query_id", "qe", "cell"))
     c = assigned.select(F.col("vec_id").alias("neighbor_id"),
                         F.col("embedding").alias("ce"), "cell")
+    scored = c.join(F.broadcast(probes), "cell").select(
+        "query_id", "neighbor_id", _cos(F.col("qe"), F.col("ce")).alias("cos")
+    )
+    return _rank_topk(scored, k)
+
+
+# Deterministic coarse quantizer: GRID_BITS hyperplane sign bits = the cell
+# id (2^GRID_BITS cells). Same IVF *search* pattern as the KMeans tier —
+# probe a handful of cells, equi-join on cell id — but the quantizer is a
+# closed-form expression, so the whole query is SQL-expressible and gets a
+# DuckDB oracle (relational.py ann_ivf_grid); the KMeans tier stays the
+# data-adaptive variant. GRID_BAND is a hyperplane band index reserved for
+# the grid (the LSH tiers use bands 0..LSH_BANDS-1).
+GRID_BITS = 4
+GRID_BAND = LSH_BANDS
+
+
+def grid_cell(col, bits: int = GRID_BITS):
+    """The grid-quantizer cell id of an embedding column: ``bits`` sign
+    bits over hyperplane_terms(GRID_BAND, bit)."""
+    bit_cols = []
+    for bit in range(bits):
+        proj = F.lit(0.0).cast("double")
+        for d, sign in hyperplane_terms(GRID_BAND, bit):
+            term = F.element_at(col, d).cast("double")
+            proj = (proj + term) if sign > 0 else (proj - term)
+        bit_cols.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_cols)
+
+
+def ivf_grid_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                  bits: int = GRID_BITS) -> DataFrame:
+    """Grid-IVF search: each query probes its own cell plus the ``bits``
+    cells at Hamming distance 1 (multi-probe — sign bits near a hyperplane
+    are the ones most likely to flip for a true neighbor), so the scan
+    covers (bits+1)/2^bits of the corpus. Candidate generation is an
+    equi-join on cell id; exact cosine verifies."""
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("ce"),
+                      grid_cell(F.col("embedding"), bits).alias("cell"))
+    cell0 = grid_cell(F.col("embedding"), bits)
+    flips = [
+        F.concat(F.substring(F.col("cell0"), 1, i),
+                 F.when(F.substring(F.col("cell0"), i + 1, 1) == "1",
+                        F.lit("0")).otherwise(F.lit("1")),
+                 F.substring(F.col("cell0"), i + 2, bits - i - 1))
+        for i in range(bits)
+    ]
+    probes = (
+        queries.select("query_id", F.col("embedding").alias("qe"),
+                       cell0.alias("cell0"))
+        .select("query_id", "qe",
+                F.explode(F.array(F.col("cell0"), *flips)).alias("cell"))
+    )
+    # a corpus vector lives in exactly one cell and the probe list has no
+    # duplicates, so the join yields each (query, neighbor) pair at most once
     scored = c.join(F.broadcast(probes), "cell").select(
         "query_id", "neighbor_id", _cos(F.col("qe"), F.col("ce")).alias("cos")
     )

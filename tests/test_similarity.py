@@ -119,6 +119,56 @@ def test_lsh_bucket_cap_bounds_skew(spark):
     assert all(r.neighbor_id >= 200 for r in out)
 
 
+def test_ivf_fit_runs_on_sample_transform_on_full(spark, emb, monkeypatch):
+    # KMeans iterates over its fit input; at 1e9 vectors that must be a
+    # bounded sample while transform covers the full corpus. Spy on
+    # KMeans.fit to pin what actually reaches it.
+    from pyspark.ml.clustering import KMeans
+
+    corpus, _ = emb
+    n = corpus.count()
+    cap = max(8, n // 3)
+    seen = {}
+    orig_fit = KMeans.fit
+
+    def spy(self, dataset, *a, **kw):
+        seen["rows"] = dataset.count()
+        return orig_fit(self, dataset, *a, **kw)
+
+    monkeypatch.setattr(KMeans, "fit", spy)
+    assigned, centroids = fit_ivf_cells(corpus, n_cells=4, seed=42,
+                                        fit_max_rows=cap)
+    # sample(fraction) is binomial — allow slack, but it must be a real
+    # subset, and the transform side must still cover every vector
+    assert 4 <= seen["rows"] < n
+    assert assigned.count() == n
+    assert centroids.count() == 4
+    # small corpora skip sampling entirely
+    fit_ivf_cells(corpus, n_cells=4, seed=42, fit_max_rows=n)
+    assert seen["rows"] == n
+
+
+def test_ivf_grid_matches_sql_twin_and_recall(spark, emb):
+    # the DataFrame grid-IVF and the relational.py Spark-SQL twin must be
+    # row-identical (same quantizer geometry by construction), and probing
+    # 5/16 cells must beat the naive probe fraction on recall
+    from fast_pdf_parser_spark.operators.relational import spark_sql
+    from fast_pdf_parser_spark.operators.similarity import ivf_grid_topk
+
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = df.filter("vec_id >= 5")
+    queries = df.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = ivf_grid_topk(corpus, queries, k=10).drop("cos")
+    df.createOrReplaceTempView("embeddings")
+    want = spark.sql(spark_sql("ann_ivf_grid"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    exact = brute_force_topk(corpus, queries, k=10)
+    r = recall_at_k(got.withColumn("rank", F.col("rank")), exact, k=10)
+    assert r > 5 / 16, r
+
+
 def test_ivf_recall_beats_probe_fraction(spark, emb):
     corpus, queries = emb
     exact = brute_force_topk(corpus, queries, k=10)
