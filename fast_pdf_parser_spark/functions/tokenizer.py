@@ -91,10 +91,12 @@ def find_real_vocab() -> str | None:
     """Locate a genuine ``cl100k_base.tiktoken`` if one is present.
 
     Resolution order: ``$FAST_PDF_PARSER_SPARK_VOCAB``, then the package
-    DATA DIR drop-in. Both are locations that stay consistent between the
-    driver and executors — the data dir ships inside the --py-files zip,
-    and the env var is forwarded with ``spark.executorEnv.*`` — so one job
-    never mixes two tokenizations. Deliberately NOT searched: per-user
+    DATA DIR drop-in. Discovery is DRIVER-SIDE only: extract_documents
+    resolves this once and threads the explicit path into the UDF closure,
+    so one job never mixes two tokenizations — an executor that cannot
+    read the resolved path fails loudly (per-worker re-discovery could
+    silently fall back to the fixture vocab on executors where the env
+    var or drop-in is absent). Deliberately NOT searched: per-user
     cache dirs and other machine-local paths, which could resolve on the
     driver but not on executors (or differ across machines) and silently
     change every pinned token count. Returns None when absent — tests gate

@@ -77,7 +77,15 @@ def process_document(
     ``spans`` is an iterable of dict-like {kind, text, media_ref, offset}.
     Returns rows matching OUTPUT_DDL. Unit-testable without Spark.
     """
-    ordered = sorted(spans, key=lambda s: s["offset"])
+    # (offset, kind, text) — offset is THE document order; the null-safe
+    # kind/text tiebreak only matters for (out-of-contract) duplicate
+    # offsets and exists so the page-limit pushdown's comparator sort in
+    # extract_documents keeps byte-identical span subsets (Spark's
+    # comparator sort is not stable; Python's sorted() is)
+    ordered = sorted(
+        spans,
+        key=lambda s: (s["offset"], s["kind"] or "", s["text"] or ""),
+    )
     if chunk_options.page_limit > 0:
         ordered = ordered[: chunk_options.page_limit]
 
@@ -234,17 +242,37 @@ def extract_documents(
         # not guaranteed). Like process_document, the limit counts spans of
         # every kind including media: the limit bounds per-doc work, and a
         # media span occupies a document-order slot just as a page does.
-        by_offset = F.array_sort(
-            "spans",
-            lambda a, b: F.when(a["offset"] < b["offset"], F.lit(-1))
-            .when(a["offset"] > b["offset"], F.lit(1))
-            .otherwise(F.lit(0)),
-        )
+        def span_cmp(a, b):
+            # same (offset, kind, text) key as process_document's sorted():
+            # a deterministic tiebreak keeps the limited span subset
+            # byte-identical to the unlimited path even for duplicate
+            # offsets (comparator sorts are not stable)
+            ka, kb = (F.coalesce(x["kind"], F.lit("")) for x in (a, b))
+            ta, tb = (F.coalesce(x["text"], F.lit("")) for x in (a, b))
+            return (
+                F.when(a["offset"] < b["offset"], F.lit(-1))
+                .when(a["offset"] > b["offset"], F.lit(1))
+                .when(ka < kb, F.lit(-1)).when(ka > kb, F.lit(1))
+                .when(ta < tb, F.lit(-1)).when(ta > tb, F.lit(1))
+                .otherwise(F.lit(0))
+            )
+
+        by_offset = F.array_sort("spans", span_cmp)
         pruned = pruned.withColumn(
             "spans", F.slice(by_offset, 1, chunk_options.page_limit)
         )
     if parse_options.num_partitions > 0:
         pruned = repartition_for_skew(pruned, parse_options.num_partitions)
+
+    if vocab_path is None:
+        # resolve the vocab ONCE, on the driver, and thread the explicit
+        # path into the UDF closure: per-worker discovery (env var / data
+        # dir) can resolve differently on executors than on the driver,
+        # silently mixing two tokenizations within one job. An explicit
+        # path an executor cannot read fails loudly instead.
+        from fast_pdf_parser_spark.functions.tokenizer import find_real_vocab
+
+        vocab_path = find_real_vocab()
 
     return pruned.mapInPandas(
         _make_processor(chunk_options, vocab_path), schema=OUTPUT_DDL

@@ -451,6 +451,11 @@ SELECT doc_id, band, band_key FROM member""".format(
 _LSH_SPARK = _LSH_MEMBER_SPARK.replace(
     "\nSELECT doc_id, band, band_key FROM member", _LSH_PAIRS_SELECT
 )
+# the replace must actually fire: if a future edit reformats the member
+# SELECT tail, a silent no-op here would make dedup_lsh_pairs return member
+# rows instead of pairs and only be caught at oracle-run time
+assert _LSH_SPARK != _LSH_MEMBER_SPARK, \
+    "_LSH_MEMBER_SPARK tail marker not found; pairs SELECT was not spliced"
 _LSH_DUCK = (
     "WITH sig AS (" + _MINHASH_DUCK + "), "
     + _LSH_MEMBER_TAIL.format(

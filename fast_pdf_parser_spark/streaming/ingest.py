@@ -59,21 +59,6 @@ def stream_extract(
     )
 
 
-def streaming_metrics(spark: SparkSession, result_dir: str):
-    """Windowed doc-throughput aggregation over the streamed results —
-    the watermarking/windowed-agg pattern, demonstrated on our own output."""
-    spans = spark.read.parquet(os.path.join(result_dir, "spans"))
-    return (
-        spans.withColumn("ingest_ts", F.current_timestamp())
-        .groupBy(F.window("ingest_ts", "1 minute"))
-        .agg(
-            F.countDistinct("doc_id").alias("docs"),
-            F.sum(F.when(F.col("kind") == "chunk", 1).otherwise(0))
-            .alias("chunks"),
-        )
-    )
-
-
 def fold_user_sessions(user_id, ts_chunks, state, gap_seconds):
     """Shared per-key session fold for both stateful APIs.
 

@@ -211,12 +211,16 @@ def test_fast_scanner_equals_generic():
                 )
             fast = L._fast_text_items(content, tables)
             assert fast is not None, "fast path must engage on fixtures"
-            # force the generic path by prepending an op the fast scanner
-            # rejects; it is a no-op for the generic interpreter
-            generic = L._fast_text_items(b"0 0 0 rg " + content, tables)
-            assert generic is None  # proves the fallback trigger
-            items = L.extract_text_items(doc, page)
-            assert fast == items
+            # run the generic token interpreter EXPLICITLY on the same
+            # stream (extract_text_items would take the fast path itself,
+            # which would compare the fast scanner to itself)
+            generic = L._generic_text_items(content, tables)
+            assert fast == generic
+            # an op outside the recognized subset trips the fallback...
+            assert L._fast_text_items(b"0 0 0 rg " + content, tables) is None
+            # ...and is a no-op for the generic interpreter
+            assert L._generic_text_items(b"0 0 0 rg " + content, tables) \
+                == generic
             checked += 1
     assert checked >= 12
 

@@ -162,6 +162,31 @@ def test_page_limit_pushdown_unordered_storage(spark):
         assert actual == expected
 
 
+def test_page_limit_duplicate_offsets_deterministic(spark):
+    # (out-of-contract) duplicate offsets: the pushdown's comparator sort
+    # and process_document's stable sorted() share the (offset, kind, text)
+    # tiebreak, so the limited subset is byte-identical however the array
+    # is stored
+    spans = [
+        {"kind": "text", "text": "bbb page", "media_ref": None, "offset": 0},
+        {"kind": "text", "text": "aaa page", "media_ref": None, "offset": 0},
+        {"kind": "media", "text": None, "media_ref": "media://img/x.png",
+         "offset": 0},
+        {"kind": "text", "text": "ccc page", "media_ref": None, "offset": 1},
+    ]
+    opts = ChunkOptions(page_limit=2, min_tokens=1)
+    for order in (spans, list(reversed(spans))):
+        doc = {"doc_id": "dup", "spans": order}
+        expected = golden_sequence(
+            {"doc_id": "dup", "spans": spans}, opts)
+        df = spark.createDataFrame(pd.DataFrame([doc]), schema=SPANS_DDL)
+        actual = sorted(
+            (r.offset, r.kind, r.text, r.media_ref)
+            for r in extract_documents(df, opts).collect()
+        )
+        assert actual == expected
+
+
 def test_overlap_configured(spark):
     # FIXTURES.md edge_overlap_on: overlap populated, text unchanged
     # multi-unit pages (headings every few lines) so chunks stay under max
