@@ -142,6 +142,52 @@ def main() -> None:
         e2e, agg = e2e_b, agg_b
     queries["pipeline_extract"] = round(e2e, 3)
 
+    # --- chunk-size matrix: maxTokens ∈ {256, 512, 1024}, minTokens =
+    # floor(max*0.3), mirroring the reference's benchmark configs
+    # (test/benchmark.js:22-29,42) with its token-distribution stats
+    # (test/benchmark.js:78-92: min/max/avg/stddev/consistency)
+    chunk_matrix = {}
+    if os.environ.get("SPARK_GRAFT_MATRIX", "1") == "1" and \
+            os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "0") != "1":
+        from fast_pdf_parser_spark.config import ChunkOptions
+
+        for mt in (256, 512, 1024):
+            opts = ChunkOptions(max_tokens=mt, min_tokens=mt * 3 // 10)
+            t0 = time.time()
+            out = extract_documents(spans, opts, parse_options=popts)
+            row = out.agg(
+                F.sum(F.when(F.col("kind") == "chunk", 1).otherwise(0))
+                .alias("chunks"),
+                F.min(F.when(F.col("kind") == "chunk",
+                             F.col("token_count"))).alias("tmin"),
+                F.max(F.when(F.col("kind") == "chunk",
+                             F.col("token_count"))).alias("tmax"),
+                F.avg(F.when(F.col("kind") == "chunk",
+                             F.col("token_count"))).alias("tavg"),
+                F.stddev_pop(F.when(F.col("kind") == "chunk",
+                                    F.col("token_count"))).alias("tstd"),
+                F.sum(F.when((F.col("kind") == "chunk")
+                             & (F.col("token_count") >= opts.min_tokens),
+                             1).otherwise(0)).alias("ge_min"),
+                F.sum(F.when(F.col("offset") == 0,
+                             F.col("doc_total_pages")).otherwise(0))
+                .alias("pages"),
+            ).collect()[0]
+            wall = time.time() - t0
+            chunk_matrix[f"max{mt}"] = {
+                "max_tokens": mt, "min_tokens": opts.min_tokens,
+                "wall_sec": round(wall, 3),
+                "pages_per_sec": round(row["pages"] / wall, 1),
+                "chunks": int(row["chunks"]),
+                "tok_min": int(row["tmin"]), "tok_max": int(row["tmax"]),
+                "tok_avg": round(float(row["tavg"]), 1),
+                "tok_std": round(float(row["tstd"]), 1),
+                "consistency_pct": round(
+                    (1 - float(row["tstd"]) / float(row["tavg"])) * 100, 1),
+                "pct_ge_min": round(
+                    100.0 * int(row["ge_min"]) / int(row["chunks"]), 1),
+            }
+            spark.catalog.clearCache()
 
     result = {
         "metric": "e2e_interleaved_extraction_wall_sec",
@@ -159,6 +205,8 @@ def main() -> None:
         "pages_per_sec": round(agg["pages"] / e2e, 1),
         "decoded_mb_per_sec": round(agg["bytes"] / 1e6 / e2e, 2),
     }
+    if chunk_matrix:
+        result["chunk_matrix"] = chunk_matrix
     spark.stop()
     print(json.dumps(result))
 
