@@ -7,12 +7,14 @@ UDF, built-ins only) and runs the zero-shuffle mapInPandas extraction
 HierarchicalChunker::chunk_file (src/hierarchical_chunker.cpp:552-634).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
-SURVEY.md §2 plus the training-data operators (38 queries, 29 with DuckDB
+SURVEY.md §2 plus the training-data operators (39 queries, 33 with DuckDB
 oracles); SQL-expressible ones carry a DuckDB oracle
 (operators/relational.py pairs the dialects; HYBRID_ORACLES pair the real
-pipeline's meta counters with pure-SQL re-derivations for the text and
-html axes), the stateful 7-pass extraction ops are rows-only (their
-correctness gate is the span-sequence-equality pytest suite instead).
+mapInPandas stages with pure-SQL re-derivations: pipeline meta counters
+for the text and html axes, sha256-arithmetic twins for the three
+multimodal stages), the stateful 7-pass extraction ops are rows-only
+(their correctness gate is the span-sequence-equality pytest suite
+instead).
 Three queries (dedup_lsh_pairs, dedup_embedding_cosine, ann_lsh_topk) use
 materialized fast paths with byte-identical output to their SQL forms.
 """
@@ -194,8 +196,10 @@ def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (KMeans coarse quantizer, n_probe cells searched) — the
-    1e9-vector scale path; rows-only (clustering isn't SQL-expressible),
-    recall vs brute force is pinned by tests/test_similarity.py."""
+    1e9-vector scale path; rows-only (KMeans isn't SQL-expressible),
+    recall vs brute force is pinned by tests/test_similarity.py. The same
+    search pattern with a deterministic hyperplane-grid quantizer is the
+    hash-checked sibling (QUERIES['ann_ivf_grid'])."""
     from pyspark.sql import functions as F
 
     from fast_pdf_parser_spark.operators.similarity import (

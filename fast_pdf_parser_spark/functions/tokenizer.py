@@ -224,8 +224,10 @@ class TiktokenTokenizer:
     def _count_uncached(self, data: bytes) -> int:
         """Greedy longest-match count via the trie-structured regex —
         identical result to _count_walk (see _build_trie_regex), ~2-3x
-        faster (sre's C scan loop replaces the Python walk)."""
-        return len(self._trie_re.findall(data))
+        faster (sre's C scan loop replaces the Python walk). subn with an
+        empty replacement returns the non-overlapping match count without
+        materializing a bytes object per token (~1.6x over findall)."""
+        return self._trie_re.subn(b"", data)[1]
 
     def count_tokens(self, text: str) -> int:
         """tiktoken_tokenizer.h:213-215; memoized per distinct line."""
