@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_docling_chunks"] = _pipeline_docling
     out["pipeline_html_extract"] = _pipeline_html
     out["pipeline_html_meta_oracle"] = _pipeline_html_meta
+    out["pipeline_html_content_oracle"] = _pipeline_html_content
     out["multimodal_media_features"] = _media_features
     out["multimodal_resize"] = _media_resize
     out["multimodal_frame_sample"] = _media_frames
@@ -251,19 +252,12 @@ def _pipeline_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_documents(spans)
 
 
-def _pipeline_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-checked HTML-axis oracle: the derived span pages are wrapped in
-    boilerplate HTML entirely JVM-side (synth.HTML_PREFIX/SUFFIX + the
-    html_line CASE as Column expressions), the REAL pipeline extracts them
-    (boilerplate strip + chunking), and the per-doc page/byte/failure
-    counters must match DuckDB's pure-SQL re-derivation of the same wrap
-    (relational.HYBRID_ORACLES['pipeline_html_meta_oracle'])."""
+def _html_wrapped_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived span pages wrapped in boilerplate HTML entirely JVM-side
+    (synth.HTML_PREFIX/SUFFIX + the html_line CASE as Column expressions) —
+    shared input of the two hash-checked HTML-axis oracles."""
     from pyspark.sql import functions as F
 
-    from fast_pdf_parser_spark.operators.pipeline import (
-        extract_documents,
-        results_meta,
-    )
     from fast_pdf_parser_spark.sources.synth import (
         HTML_PREFIX,
         HTML_SUFFIX,
@@ -293,7 +287,7 @@ def _pipeline_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         body = F.array_join(F.transform(F.split(text, "\n"), line_el), "")
         return F.concat(F.lit(HTML_PREFIX), body, F.lit(HTML_SUFFIX))
 
-    spans = interleaved_from_flat_documents(spark, sf_dir).select(
+    return interleaved_from_flat_documents(spark, sf_dir).select(
         "doc_id",
         F.transform(
             "spans",
@@ -307,9 +301,56 @@ def _pipeline_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("spans"),
     )
+
+
+def _pipeline_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked HTML-axis oracle: the REAL pipeline extracts the
+    JVM-wrapped pages (boilerplate strip + chunking) and the per-doc
+    page/byte/failure counters must match DuckDB's pure-SQL re-derivation
+    of the same wrap (relational.HYBRID_ORACLES)."""
+    from fast_pdf_parser_spark.operators.pipeline import (
+        extract_documents,
+        results_meta,
+    )
+
+    spans = _html_wrapped_spans(spark, sf_dir)
     return results_meta(extract_documents(spans)).select(
         "doc_id", "total_pages", "parse_failures", "bytes_decoded"
     )
+
+
+def _pipeline_html_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-level HTML-axis oracle: the real html.parser extractor runs
+    per wrapped page (boilerplate containers, nav/link-farm, head/script
+    all present) and the extracted markdown text itself — not just byte
+    counters — must equal DuckDB's re-derivation (the page's non-blank
+    lines in order: the builder-roundtrip contract,
+    tests/test_html_extractor.py::test_builder_roundtrip_exact)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    flat = (
+        _html_wrapped_spans(spark, sf_dir)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "html")
+        .select("doc_id", F.col("s.offset").alias("page_no"),
+                F.col("s.text").alias("html"))
+    )
+
+    def run(batches):
+        from fast_pdf_parser_spark.sources.html_extractor import (
+            html_main_content,
+        )
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "page_no": pdf["page_no"],
+                "extracted": [html_main_content(h) for h in pdf["html"]],
+            })
+
+    return flat.mapInPandas(
+        run, schema="doc_id string, page_no int, extracted string")
 
 
 def _pipeline_docling(spark: SparkSession, sf_dir: str) -> DataFrame:

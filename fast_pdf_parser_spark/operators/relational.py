@@ -912,6 +912,19 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(sum(strlen(page_text)) AS BIGINT) AS bytes_decoded
 FROM pages GROUP BY doc_id""",
     "pipeline_html_meta_oracle": _html_meta_oracle_duck(),
+    # content-level HTML twin: extraction inverts the wrap exactly, so the
+    # extracted markdown per page equals the page's non-blank lines in
+    # line_no order (the builder-roundtrip contract; corpus text contains
+    # no '&<>"' or whitespace runs, so entity unescape and collapse are the
+    # identity). page_no is 1-based like the span offsets.
+    "pipeline_html_content_oracle": f"""WITH {_DUCK_LINES},
+nonblank AS (
+  SELECT doc_id, line_no, CAST(line_no // 12 AS INT) + 1 AS page_no, line
+  FROM lines WHERE line <> ''
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, page_no,
+       string_agg(line, chr(10) ORDER BY line_no) AS extracted
+FROM nonblank GROUP BY doc_id, page_no""",
     "multimodal_media_features": _media_features_oracle_duck(),
     "multimodal_resize": _media_resize_oracle_duck(),
     "multimodal_frame_sample": _media_frames_oracle_duck(),
