@@ -917,14 +917,15 @@ FROM pages GROUP BY doc_id""",
     # line_no order (the builder-roundtrip contract; corpus text contains
     # no '&<>"' or whitespace runs, so entity unescape and collapse are the
     # identity). page_no is 1-based like the span offsets.
-    "pipeline_html_content_oracle": f"""WITH {_DUCK_LINES},
-nonblank AS (
-  SELECT doc_id, line_no, CAST(line_no // 12 AS INT) + 1 AS page_no, line
-  FROM lines WHERE line <> ''
-)
-SELECT CAST(doc_id AS VARCHAR) AS doc_id, page_no,
-       string_agg(line, chr(10) ORDER BY line_no) AS extracted
-FROM nonblank GROUP BY doc_id, page_no""",
+    # blank lines drop out of the extraction but a page whose every line is
+    # blank (a short trailing page) still EXISTS — group all lines by page,
+    # filter blanks inside the aggregate so such pages yield extracted=''
+    "pipeline_html_content_oracle": f"""WITH {_DUCK_LINES}
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(line_no // 12 AS INT) + 1 AS page_no,
+       coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                  FILTER (line <> ''), '') AS extracted
+FROM lines GROUP BY doc_id, CAST(line_no // 12 AS INT)""",
     "multimodal_media_features": _media_features_oracle_duck(),
     "multimodal_resize": _media_resize_oracle_duck(),
     "multimodal_frame_sample": _media_frames_oracle_duck(),
