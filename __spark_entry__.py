@@ -167,8 +167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal resize stage over the pipeline's media spans (rows-only;
-    geometry real, codec stubbed — multimodal/media.py policy)."""
+    """Multimodal resize stage over the pipeline's media spans — hash-
+    checked against relational._media_resize_oracle_duck (geometry real,
+    codec stubbed — multimodal/media.py policy)."""
     from fast_pdf_parser_spark.multimodal.media import (
         media_spans,
         resize_images,
@@ -178,9 +179,10 @@ def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal frame-sampling stage (rows-only). The derived corpus has
-    image media only, so sample synthetic video refs derived from doc_ids —
-    the stage itself (explode shape, bounded multiplicity) is what runs."""
+    """Multimodal frame-sampling stage — hash-checked against
+    relational._media_frames_oracle_duck. The derived corpus has image
+    media only, so sample synthetic video refs derived from doc_ids — the
+    stage itself (explode shape, bounded multiplicity) is what runs."""
     from pyspark.sql import functions as F
 
     from fast_pdf_parser_spark.multimodal.media import sample_frames
