@@ -36,7 +36,9 @@ def test_queries_and_oracles_consistent():
     "name",
     ["p6_line_classify", "f4_semantic_units", "a5_distribution",
      "dedup_minhash_signatures", "ann_cosine_topk",
-     "pipeline_meta_oracle", "dedup_lsh_pairs"],
+     "pipeline_meta_oracle", "dedup_lsh_pairs",
+     "multimodal_media_features", "ann_ivf_grid",
+     "pipeline_html_content_oracle"],
 )
 def test_oracle_parity_sample(spark, name):
     import duckdb
