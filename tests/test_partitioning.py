@@ -91,3 +91,51 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS buckdemo.od_b")
         spark.sql("DROP DATABASE IF EXISTS buckdemo")
         _ = os
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The north rule names AQE skew-join splitting as the explicit skew
+    lever for joins: with one pathologically hot key, AQE must mark the
+    sort-merge join skew-handled and split the hot partition at runtime
+    (thresholds lowered to trip at test scale; at 100 TB the defaults
+    trip the same way)."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        n_hot = 120_000
+        # pad must be id-derived (a literal is constant-folded out of the
+        # shuffle) and incompressible (the hot partition's bytes are what
+        # trips the threshold — 120k copies of a constant lz4 to ~nothing)
+        left = spark.range(n_hot + 800).selectExpr(
+            f"CASE WHEN id < {n_hot} THEN CAST(0 AS BIGINT) ELSE id END AS k",
+            "concat(md5(CAST(id AS STRING)), md5(CAST(id + 1 AS STRING))) "
+            "AS pad",
+        )
+        right = spark.range(64).selectExpr("id AS k", "id * 2 AS v")
+        joined = left.join(right, "k")
+        # collect() executes THIS DataFrame's own QueryExecution (count()
+        # would run a different aggregate query), so the adaptive plan
+        # below is final and carries the runtime skew marker.
+        # Only the hot key matches the dim (tail ids exceed the dim range).
+        assert len(joined.collect()) == n_hot
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
