@@ -157,6 +157,12 @@ class _MainContent(HTMLParser):
         if self._block:
             if tag == "a":
                 self._anchor += 1
+            elif tag in ("br", "img"):
+                # a line break / replaced image is visual separation:
+                # 'one<br>two' must not read as 'onetwo'
+                self._buf.append(" ")
+                if self._anchor:
+                    self._abuf.append(" ")
             elif tag in _BLOCK_LEVEL:
                 self._buf.append(" ")  # block boundary = word boundary
                 if tag not in _VOID:

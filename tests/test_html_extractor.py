@@ -226,6 +226,15 @@ def test_unclosed_boilerplate_and_head_body_boundary():
         "- real list item with enough plain prose to keep"
 
 
+def test_br_and_img_are_word_boundaries():
+    # a line break / replaced image renders as separation — the words
+    # around it must not concatenate
+    assert html_main_content("<p>one<br>two</p>") == "one two"
+    assert html_main_content("<p>txt<img src='x.png'>more</p>") == "txt more"
+    # other inline markup still joins seamlessly
+    assert html_main_content("<p>a<b>c</b></p>") == "ac"
+
+
 def test_stray_end_tags_and_heading_implied_close():
     # stray close tags are ignored; a block opening inside a heading
     # implies the heading's close (headings hold phrasing content only)
