@@ -713,6 +713,103 @@ FROM documents""",
 )
 
 
+# PII scrubbing — a staple stage of public LLM-data pipelines (CCNet /
+# RefinedWeb / FineWeb all redact emails+IPs before training). The corpus
+# contains no PII, so deterministic doc_id-derived email+IP tokens are
+# injected first and the operator must find and redact exactly those:
+# match counts AND the hash of the scrubbed text are compared. Patterns
+# are written to the common Java-regex/RE2 subset so both engines match
+# identically (leftmost non-overlapping global replace in both).
+_PII_EMAIL_SPARK = r"[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\\.[A-Za-z]{2,}"
+_PII_EMAIL_DUCK = r"[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\.[A-Za-z]{2,}"
+_PII_IP_SPARK = r"[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+_PII_IP_DUCK = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+_PII_AUG = (
+    "'reach ' || CAST(doc_id AS {str_t}) || '@ex-' || "
+    "CAST(doc_id % 7 AS {str_t}) || '.example.com or 10.' || "
+    "CAST(doc_id % 256 AS {str_t}) || '.0.1 re: ' || text"
+)
+
+_PII_BODY = """WITH aug AS (
+  SELECT doc_id, {aug} AS text FROM documents
+)
+SELECT doc_id,
+       CAST({len_f}(regexp_extract_all(text, '{email}'{extract_idx})) AS INT)
+         AS n_emails,
+       CAST({len_f}(regexp_extract_all(text, '{ip}'{extract_idx})) AS INT)
+         AS n_ips,
+       {h} AS scrubbed_hash
+FROM aug"""
+
+_PII_SCRUB = ("regexp_replace(regexp_replace(text, '{email}', "
+              "'<EMAIL>'{g}), '{ip}', '<IP>'{g})")
+
+QUERIES["text_pii_scrub"] = _pair(
+    _PII_BODY.format(
+        aug=_PII_AUG.format(str_t="STRING"),
+        len_f="size", extract_idx=", 0",
+        email=_PII_EMAIL_SPARK, ip=_PII_IP_SPARK,
+        h=_HASH60_SPARK.format(x=_PII_SCRUB.format(
+            email=_PII_EMAIL_SPARK, ip=_PII_IP_SPARK, g="")),
+    ),
+    _PII_BODY.format(
+        aug=_PII_AUG.format(str_t="VARCHAR"),
+        len_f="length", extract_idx="",
+        email=_PII_EMAIL_DUCK, ip=_PII_IP_DUCK,
+        h=_HASH60_DUCK.format(x=_PII_SCRUB.format(
+            email=_PII_EMAIL_DUCK, ip=_PII_IP_DUCK, g=", 'g'")),
+    ),
+)
+
+
+# Repetition signals over the derived line model — the Gopher quality
+# rules' shape (public: Rae et al. 2021 §A1.1): duplicate-line fraction,
+# most-repeated line, and top word-bigram share. Identical SQL text in
+# both dialects modulo the lines/words CTE prefix.
+_REPETITION_TAIL = """,
+nb AS (SELECT doc_id, line FROM lines WHERE line <> ''),
+per AS (
+  SELECT doc_id, count(*) AS n_lines,
+         count(DISTINCT line) AS n_distinct
+  FROM nb GROUP BY doc_id
+),
+topline AS (
+  SELECT doc_id, max(c) AS top_line FROM (
+    SELECT doc_id, line, count(*) AS c FROM nb GROUP BY doc_id, line) t
+  GROUP BY doc_id
+),
+big AS (
+  SELECT doc_id,
+         word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos)
+           AS bg
+  FROM words
+),
+bigc AS (
+  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram FROM (
+    SELECT doc_id, bg, count(*) AS c FROM big WHERE bg IS NOT NULL
+    GROUP BY doc_id, bg) t
+  GROUP BY doc_id
+)
+SELECT p.doc_id, CAST(n_lines AS INT) AS n_lines,
+       CAST(n_lines - n_distinct AS INT) AS n_dup_lines,
+       CAST(floor((n_lines - n_distinct) * CAST(10000.0 AS DOUBLE) / n_lines
+                  + 0.5) AS BIGINT) AS dup_line_ratio_x1e4,
+       CAST(t.top_line AS INT) AS top_line_count,
+       CAST(b.top_bigram AS INT) AS top_bigram_count,
+       CAST(floor(b.top_bigram * CAST(10000.0 AS DOUBLE) / b.n_bigrams + 0.5)
+            AS BIGINT) AS top_bigram_share_x1e4,
+       CASE WHEN (n_lines - n_distinct) * CAST(1.0 AS DOUBLE) / n_lines > 0.3
+            THEN 'flag' ELSE 'keep' END AS repetition_gate
+FROM per p JOIN topline t ON p.doc_id = t.doc_id
+           JOIN bigc b ON p.doc_id = b.doc_id"""
+
+QUERIES["text_repetition"] = _pair(
+    "WITH " + _SPARK_LINES.strip() + _REPETITION_TAIL,
+    "WITH " + _DUCK_LINES.strip() + _REPETITION_TAIL,
+)
+
+
 # ---------------------------------------------------------------------------
 # Hybrid oracles: DuckDB SQL paired with a NON-SQL Spark side (the real
 # mapInPandas pipeline). These don't appear in QUERIES/names() — the Spark
