@@ -810,6 +810,50 @@ QUERIES["text_repetition"] = _pair(
 )
 
 
+# Benchmark decontamination — the n-gram-overlap gate every public training
+# pipeline runs before training (flag any document sharing a word 8-gram
+# with the eval/benchmark set). The benchmark set is derived
+# deterministically here (every 50th doc — which therefore flags itself);
+# the scale shape is the right one: linear 8-gram explode, equi-join on a
+# 60-bit gram hash (never strings), benchmark side distinct + broadcastable.
+def _decon_tail(h: str) -> str:
+    leads = " || ' ' || ".join(
+        f"lead(word, {i}) OVER w" for i in range(1, 8))
+    return f""",
+grams AS (
+  SELECT doc_id, {h} AS g FROM (
+    SELECT doc_id, word || ' ' || {leads} AS gram8
+    FROM words
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) t
+  WHERE gram8 IS NOT NULL
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_hits
+  FROM grams g JOIN bench b ON g.g = b.g
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS INT) AS contaminated_grams,
+       CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 'drop' ELSE 'keep' END
+         AS decon_gate
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"""
+
+
+_WORDS_SPARK = _SPARK_LINES.strip().split(",\nlines0")[0]
+_WORDS_DUCK = _DUCK_LINES.strip().split(",\nlines0")[0]
+# the split must actually isolate the words CTE (same import-time guard
+# discipline as the _LSH_SPARK splice): a reformatted marker would embed
+# the whole lines chain and produce an unparseable statement
+assert _WORDS_SPARK.endswith(")") and "lines0" not in _WORDS_SPARK
+assert _WORDS_DUCK.endswith(")") and "lines0" not in _WORDS_DUCK
+
+QUERIES["text_decontaminate"] = _pair(
+    "WITH " + _WORDS_SPARK + _decon_tail(_HASH60_SPARK.format(x="gram8")),
+    "WITH " + _WORDS_DUCK + _decon_tail(_HASH60_DUCK.format(x="gram8")),
+)
+
+
 # ---------------------------------------------------------------------------
 # Hybrid oracles: DuckDB SQL paired with a NON-SQL Spark side (the real
 # mapInPandas pipeline). These don't appear in QUERIES/names() — the Spark
