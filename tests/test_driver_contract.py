@@ -38,7 +38,8 @@ def test_queries_and_oracles_consistent():
      "dedup_minhash_signatures", "ann_cosine_topk",
      "pipeline_meta_oracle", "dedup_lsh_pairs",
      "multimodal_media_features", "ann_ivf_grid",
-     "pipeline_html_content_oracle"],
+     "pipeline_html_content_oracle", "text_pii_scrub",
+     "text_decontaminate"],
 )
 def test_oracle_parity_sample(spark, name):
     import duckdb
