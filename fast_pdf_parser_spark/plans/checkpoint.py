@@ -70,6 +70,7 @@ def run_with_checkpoint(
     parse_options: ParseOptions = ParseOptions(),
     fail_on_bucket: int | None = None,  # test hook: simulate a crash
     max_concurrent_buckets: int = 4,
+    stage_input: bool = True,
 ) -> DataFrame:
     """Process the corpus bucket-by-bucket, appending lineage rows; on
     re-invocation with the same run_id, already-'done' buckets are skipped
@@ -84,6 +85,11 @@ def run_with_checkpoint(
     per-bucket job overhead no longer serializes the whole run."""
     spans_dir = os.path.join(out_dir, "spans")
     checkpoint_path = os.path.join(out_dir, "checkpoint")
+    if max_concurrent_buckets <= 0:
+        # auto: overlap enough bucket jobs to keep every core busy — per-
+        # bucket fixed cost (job scheduling, lineage write, read-back) is
+        # what bounds CLI scaling when buckets serialize
+        max_concurrent_buckets = max(4, spark.sparkContext.defaultParallelism)
 
     bucketed = with_bucket(input_df, num_buckets)
     done = completed_buckets(spark, checkpoint_path, run_id)
@@ -102,13 +108,32 @@ def run_with_checkpoint(
         .orderBy("bucket").collect()
     ]
 
+    # Stage the bucketed input ONCE, partitioned by bucket: the bucket id
+    # is a computed column (pmod(xxhash64)), so per-bucket filters cannot
+    # push down and every bucket job would otherwise re-scan the ENTIRE
+    # input — B full scans. Staged, the total input work is one scan + one
+    # write + one partition-pruned read, at any bucket count. The staged
+    # directory is content-addressed by (run_id, num_buckets) and reused on
+    # resume when its _SUCCESS marker is durable.
+    staged = os.path.join(out_dir, "staged", f"{run_id}_b{num_buckets}")
+    if stage_input and pending:
+        if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+            bucketed.write.mode("overwrite").partitionBy("bucket") \
+                .parquet(staged)
+
     lineage_lock = threading.Lock()
 
     def process_bucket(bucket: int) -> None:
         if fail_on_bucket is not None and bucket == fail_on_bucket:
             raise RuntimeError(f"simulated failure at bucket {bucket}")
         t0 = time.time()
-        part = bucketed.filter(F.col("bucket") == bucket).drop("bucket")
+        if stage_input:
+            bdir = os.path.join(staged, f"bucket={bucket}")
+            # an empty bucket writes no partition directory
+            part = spark.read.parquet(bdir) if os.path.exists(bdir) \
+                else bucketed.drop("bucket").limit(0)
+        else:
+            part = bucketed.filter(F.col("bucket") == bucket).drop("bucket")
         result = extract_documents(part, chunk_options, parse_options)
         result.write.mode("overwrite").parquet(
             os.path.join(spans_dir, f"bucket={bucket}")

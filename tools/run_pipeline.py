@@ -38,6 +38,8 @@ def parse_args(argv=None):
     p.add_argument("--page-limit", type=int, default=0)
     p.add_argument("--format", choices=["parquet", "json"], default="parquet")
     p.add_argument("--arrow-batch", type=int, default=64)
+    p.add_argument("--concurrent-buckets", type=int, default=0,
+                   help="bucket jobs to overlap; 0 = auto (cluster cores)")
     p.add_argument("--quiet", action="store_true")
     return p.parse_args(argv)
 
@@ -76,6 +78,7 @@ def main(argv=None) -> int:
         spark, df, args.output, run_id=args.run_id,
         num_buckets=args.num_buckets,
         chunk_options=chunk_opts, parse_options=parse_opts,
+        max_concurrent_buckets=args.concurrent_buckets,
     )
     if args.format == "json":
         write_results(result, os.path.join(args.output, "docling_json"),
