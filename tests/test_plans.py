@@ -107,3 +107,27 @@ def test_sessionize_single_shuffle(spark):
     plan = physical(spark.sql(spark_sql("events_sessionize")))
     # window partitioning is reused by the groupBy: exactly one hash exchange
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pii_scrub_single_scan_no_shuffle(spark):
+    """text_pii_scrub must stay a single pruned scan with zero exchanges —
+    redaction is pure per-row expression work (the 100 TB shape: one pass,
+    whole-stage codegen, no Python)."""
+    entrymod._prepare(spark, SF_DIR)
+    df = spark.sql(spark_sql("text_pii_scrub"))
+    df.collect()
+    plan = physical(df)
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_decontaminate_joins_broadcast(spark):
+    """text_decontaminate's gram-overlap joins must resolve to broadcast
+    joins (the distinct benchmark-gram side is small by construction) —
+    never a sort-merge join that shuffles the full gram explode."""
+    entrymod._prepare(spark, SF_DIR)
+    df = spark.sql(spark_sql("text_decontaminate"))
+    df.collect()
+    plan = physical(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
