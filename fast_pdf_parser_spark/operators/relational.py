@@ -854,6 +854,62 @@ QUERIES["text_decontaminate"] = _pair(
 )
 
 
+# Cross-document boilerplate removal by paragraph frequency — CCNet's
+# public trick (Wenzek et al. 2020): a line/paragraph occurring in >5% of
+# documents is boilerplate ('all rights reserved', cookie banners), drop
+# it everywhere. The synthetic corpus has no cross-doc duplicate lines, so
+# two boilerplate lines are injected into every doc and the operator must
+# find and strip exactly those (the kept-text hash proves the originals
+# survive untouched). Scale shape: frequency join runs on 60-bit line
+# hashes, never raw strings; the >5% table is small and broadcastable.
+def _boiler_body(h_line: str, kept: str) -> str:
+    return f""",
+aug AS (
+  SELECT doc_id, line_no, line FROM lines WHERE line <> ''
+  UNION ALL
+  SELECT doc_id, -2 AS line_no, 'subscribe to our newsletter' AS line
+  FROM documents
+  UNION ALL
+  SELECT doc_id, -1 AS line_no, 'all rights reserved' AS line
+  FROM documents
+),
+hashed AS (SELECT doc_id, line_no, line, {h_line} AS lh FROM aug),
+freq AS (
+  SELECT lh, count(DISTINCT doc_id) AS nd FROM hashed GROUP BY lh
+),
+tot AS (SELECT count(*) AS n_docs FROM documents),
+flags AS (
+  SELECT h.doc_id, h.line_no, h.line,
+         CASE WHEN f.nd * CAST(1.0 AS DOUBLE) / t.n_docs
+                   > CAST(0.05 AS DOUBLE)
+              THEN 1 ELSE 0 END AS is_boiler
+  FROM hashed h JOIN freq f ON h.lh = f.lh CROSS JOIN tot t
+)
+SELECT doc_id,
+       CAST(sum(is_boiler) AS INT) AS boiler_lines,
+       CAST(count(*) AS INT) AS total_lines,
+       {kept} AS kept_hash
+FROM flags GROUP BY doc_id"""
+
+
+_KEPT_SPARK = _HASH60_SPARK.format(
+    x="array_join(transform(array_sort("
+      "collect_list(struct(line_no, line)) FILTER (WHERE is_boiler = 0)), "
+      "x -> x.line), '\\n')"
+)
+_KEPT_DUCK = _HASH60_DUCK.format(
+    x="coalesce(string_agg(line, chr(10) ORDER BY line_no) "
+      "FILTER (is_boiler = 0), '')"
+)
+
+QUERIES["dedup_paragraph_boilerplate"] = _pair(
+    "WITH " + _SPARK_LINES.strip()
+    + _boiler_body(_HASH60_SPARK.format(x="line"), _KEPT_SPARK),
+    "WITH " + _DUCK_LINES.strip()
+    + _boiler_body(_HASH60_DUCK.format(x="line"), _KEPT_DUCK),
+)
+
+
 # ---------------------------------------------------------------------------
 # Hybrid oracles: DuckDB SQL paired with a NON-SQL Spark side (the real
 # mapInPandas pipeline). These don't appear in QUERIES/names() — the Spark
