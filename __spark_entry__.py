@@ -7,7 +7,7 @@ UDF, built-ins only) and runs the zero-shuffle mapInPandas extraction
 HierarchicalChunker::chunk_file (src/hierarchical_chunker.cpp:552-634).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
-SURVEY.md §2 plus the training-data operators (44 queries, 38 with DuckDB
+SURVEY.md §2 plus the training-data operators (45 queries, 39 with DuckDB
 oracles); SQL-expressible ones carry a DuckDB oracle
 (operators/relational.py pairs the dialects; HYBRID_ORACLES pair the real
 mapInPandas stages with pure-SQL re-derivations: pipeline meta counters

@@ -910,6 +910,44 @@ QUERIES["dedup_paragraph_boilerplate"] = _pair(
 )
 
 
+# Unigram-LM surprisal scoring — the perplexity-filter shape (CCNet scores
+# documents with a KenLM model; the unigram case is trainable from the
+# corpus itself and fully relational). Per-word surprisal -ln(c/N) is
+# quantized to an INTEGER (1e6 fixed point) BEFORE summing, so the
+# aggregation is exact integer math — immune to float summation order,
+# which differs across engines and partitionings. The model "fit" is a
+# word-count aggregate; the "score" is an equi-join of the corpus against
+# the (small, broadcastable) vocabulary table — the same fit-then-transform
+# shape as IVF, one pass each.
+_SURPRISAL_TAIL = """,
+cnt AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+tot AS (SELECT sum(c) AS n FROM cnt),
+sw AS (
+  SELECT word,
+         CAST(floor(-ln(c * CAST(1.0 AS DOUBLE) / t.n)
+                    * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              AS BIGINT) AS s
+  FROM cnt CROSS JOIN tot t
+),
+docsum AS (
+  SELECT w.doc_id, sum(s.s) AS tot_s, count(*) AS n_words
+  FROM words w JOIN sw s ON w.word = s.word
+  GROUP BY w.doc_id
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       CAST(floor(tot_s * CAST(1.0 AS DOUBLE) / n_words + CAST(0.5 AS DOUBLE))
+            AS BIGINT) AS avg_surprisal_x1e6,
+       CASE WHEN tot_s * CAST(1.0 AS DOUBLE) / n_words
+                 > CAST(9000000 AS DOUBLE)
+            THEN 'flag' ELSE 'keep' END AS surprisal_gate
+FROM docsum"""
+
+QUERIES["text_unigram_surprisal"] = _pair(
+    "WITH " + _WORDS_SPARK + _SURPRISAL_TAIL,
+    "WITH " + _WORDS_DUCK + _SURPRISAL_TAIL,
+)
+
+
 # ---------------------------------------------------------------------------
 # Hybrid oracles: DuckDB SQL paired with a NON-SQL Spark side (the real
 # mapInPandas pipeline). These don't appear in QUERIES/names() — the Spark
