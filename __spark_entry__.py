@@ -98,6 +98,19 @@ def _ann_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk_df(spark)
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the LSH
+    candidate pairs (iterative min-label propagation + pointer jumping,
+    operators/clusters.py) + deterministic canonical pick. Hash-checked
+    against a DuckDB recursive-CTE transitive closure."""
+    from fast_pdf_parser_spark.operators.clusters import resolve_clusters
+    from fast_pdf_parser_spark.operators.relational import dedup_lsh_pairs_df
+
+    _prepare(spark, sf_dir)
+    pairs = dedup_lsh_pairs_df(spark)
+    return resolve_clusters(pairs, spark.table("documents"))
+
+
 def _pipeline_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1-G5: the full stateful extraction (rows-only check — its exact
     contract is pinned by the span-equality pytest fixtures)."""
@@ -151,6 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_lsh_pairs"] = _dedup_lsh_pairs_fast
     out["dedup_embedding_cosine"] = _dedup_embedding_fast
     out["ann_lsh_topk"] = _ann_lsh_fast
+    out["dedup_clusters"] = _dedup_clusters
     out["pipeline_extract_spans"] = _pipeline_spans
     out["pipeline_results_meta"] = _pipeline_meta
     out["pipeline_meta_oracle"] = _pipeline_meta_oracle

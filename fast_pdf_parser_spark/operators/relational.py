@@ -494,6 +494,36 @@ def dedup_lsh_pairs_df(spark):
         .distinct()
     )
 
+# Duplicate-cluster resolution oracle: connected components over the LSH
+# candidate pairs via a recursive transitive-closure CTE (fine at oracle
+# scale; the Spark side is iterative min-label propagation —
+# operators/clusters.resolve_clusters — because closure materialization is
+# quadratic per component and a 10^12-doc corpus needs the log-round loop).
+# cluster_id = component-minimum doc_id; keep = 1 iff canonical survivor;
+# singletons (docs in no pair) keep their own id.
+_CLUSTERS_DUCK = f"""WITH RECURSIVE pairs AS (
+{_LSH_DUCK}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+       CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id"""
+
 # n-gram (word bigram) jaccard between adjacent doc ids — linear, exact
 _JACCARD_SPARK = """WITH grams AS (
   SELECT doc_id, collect_set(concat(w[0], ' ', w[1])) AS gs
@@ -1161,6 +1191,9 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        coalesce(string_agg(line, chr(10) ORDER BY line_no)
                   FILTER (line <> ''), '') AS extracted
 FROM lines GROUP BY doc_id, CAST(line_no // 12 AS INT)""",
+    # connected components + canonical pick over LSH pairs; the Spark side
+    # is operators/clusters.resolve_clusters (iterative, not SQL)
+    "dedup_clusters": _CLUSTERS_DUCK,
     "multimodal_media_features": _media_features_oracle_duck(),
     "multimodal_resize": _media_resize_oracle_duck(),
     "multimodal_frame_sample": _media_frames_oracle_duck(),

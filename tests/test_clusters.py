@@ -1,0 +1,108 @@
+"""Duplicate-cluster resolution (operators/clusters.py): ground-truth
+union-find comparison on random graphs + plan-shape pins."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from fast_pdf_parser_spark.operators.clusters import (
+    propagation_round_plan,
+    resolve_clusters,
+)
+
+
+def _union_find_clusters(n_docs, edges):
+    parent = list(range(n_docs))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min doc_id of component
+    root_min = {}
+    for v in range(n_docs):
+        r = find(v)
+        root_min[r] = min(root_min.get(r, v), v)
+    return {v: root_min[find(v)] for v in range(n_docs)}
+
+
+def _run(spark, n_docs, edges):
+    docs = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    if edges:
+        pairs = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges],
+            "doc_a long, doc_b long")
+    else:
+        pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in resolve_clusters(pairs, docs).collect()}
+    want = _union_find_clusters(n_docs, edges)
+    assert len(got) == n_docs
+    for v in range(n_docs):
+        assert got[v][0] == want[v], f"doc {v}: {got[v][0]} != {want[v]}"
+        assert got[v][1] == (1 if want[v] == v else 0)
+
+
+def test_chain_and_singletons(spark):
+    # chain 0-1-2-3 (diameter 3 — exercises multiple propagation rounds),
+    # pair 5-6, singletons 4 and 7
+    _run(spark, 8, [(0, 1), (1, 2), (2, 3), (5, 6)])
+
+
+def test_long_path_needs_pointer_jumping(spark):
+    # a 12-node path: naive neighbour-min needs 11 rounds; with pointer
+    # jumping it must converge within the max_iters=20 bound easily, and
+    # exactly (the union-find comparison catches premature stop)
+    edges = [(i, i + 1) for i in range(11)]
+    _run(spark, 14, edges)
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(2026)
+    for trial in range(3):
+        n = 40
+        n_edges = rng.randint(5, 60)
+        edges = [tuple(sorted(rng.sample(range(n), 2)))
+                 for _ in range(n_edges)]
+        _run(spark, n, edges)
+
+
+def test_no_pairs_all_singletons(spark):
+    docs = spark.range(5).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    rows = resolve_clusters(pairs, docs).collect()
+    assert all(r["cluster_id"] == r["doc_id"] and r["keep"] == 1
+               for r in rows)
+    assert len(rows) == 5
+
+
+def test_duplicate_edges_and_self_loops_tolerated(spark):
+    _run(spark, 6, [(0, 1), (0, 1), (1, 0), (2, 2), (3, 4)])
+
+
+def test_propagation_round_is_equi_join_only(spark):
+    """The 100TB-shape pin: one propagation round = hash equi-joins, never
+    a cartesian/nested-loop product, and no per-row Python."""
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "doc_a long, doc_b long")
+    docs = spark.range(5).withColumnRenamed("id", "doc_id")
+    plan = propagation_round_plan(pairs, docs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_keep_column_is_anti_joinable(spark):
+    """The intended consumption shape: corpus anti-join drop-list."""
+    docs = spark.range(6).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "doc_a long, doc_b long")
+    clusters = resolve_clusters(pairs, docs)
+    survivors = (docs.join(clusters.filter(F.col("keep") == 0),
+                           "doc_id", "left_anti"))
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [0, 3, 4, 5]
