@@ -18,8 +18,14 @@ BASELINE.json metric. The corpus is generated once per (sf, size) and cached
 under /tmp, pre-partitioned uniformly so the measured plan is scan →
 mapInPandas with no shuffle. A tiny warmup extract spawns/initializes the
 Python workers first, so the number is steady-state throughput (cold JVM +
-worker bootstrap is ~6s and amortizes away on any real-size run); the
-reported value is best-of-2.
+worker bootstrap is ~6s and amortizes away on any real-size run).
+
+Timing protocol: every reported number is the MEDIAN of
+SPARK_GRAFT_BENCH_REPS (default 5) runs, with min/max spread emitted
+alongside ("spread" keys) — single-shot wall times on a shared-JVM box
+swing ±15% run-to-run, which is wider than the effects being tracked
+round-over-round, so sub-spread deltas must not be read as regressions
+or wins (round-3 verdict, measurement item).
 """
 
 from __future__ import annotations
@@ -31,6 +37,12 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+
+
+def median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def corpus_docs_for(sf_dir: str) -> int:
@@ -84,7 +96,17 @@ def main() -> None:
         write_corpus(spark, corpus_path, n_docs, seed=42,
                      include_pdf=include_pdf, num_partitions=128)
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     queries: dict[str, float] = {}
+    queries_spread: dict[str, dict] = {}
+    import gc
+
+    def _cooldown():
+        # release cached/checkpointed blocks and dropped DataFrames so
+        # one run's heap pressure doesn't tax the next (shared
+        # local-mode JVM; real clusters isolate executors)
+        spark.catalog.clearCache()
+        gc.collect()
 
     # --- representative operator queries ------------------------------------
     if os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "0") != "1":
@@ -97,19 +119,19 @@ def main() -> None:
             .groupBy("k").count().count()
         # cheapest first: the first query also pays residual one-time costs,
         # so don't let it distort an expensive operator's number
-        import gc
-
         for name in ["text_quality_score", "events_sessionize",
                      "ann_cosine_topk", "f4_semantic_units",
                      "dedup_minhash_signatures", "dedup_lsh_pairs"]:
-            t0 = time.time()
-            qmap[name](spark, sf_dir).count()
-            queries[name] = round(time.time() - t0, 3)
-            # release cached/checkpointed blocks and dropped DataFrames so
-            # one query's heap pressure doesn't tax the next (shared
-            # local-mode JVM; real clusters isolate executors)
-            spark.catalog.clearCache()
-            gc.collect()
+            walls = []
+            for _ in range(reps):
+                t0 = time.time()
+                qmap[name](spark, sf_dir).count()
+                walls.append(time.time() - t0)
+                _cooldown()
+            queries[name] = round(median(walls), 3)
+            queries_spread[name] = {
+                "min": round(min(walls), 3), "max": round(max(walls), 3),
+                "n": reps}
 
     # --- headline last: its ~GB of result strings pressures the shared
     # local-mode JVM heap, so the light queries run first
@@ -136,11 +158,17 @@ def main() -> None:
         ).collect()[0]
         return time.time() - t0, agg
 
-    e2e, agg = timed_run()
-    e2e_b, agg_b = timed_run()
-    if e2e_b < e2e:
-        e2e, agg = e2e_b, agg_b
+    walls = []
+    agg = None
+    for _ in range(reps):
+        w, a = timed_run()
+        walls.append(w)
+        agg = a  # counts are identical across runs
+        _cooldown()
+    e2e = median(walls)
     queries["pipeline_extract"] = round(e2e, 3)
+    queries_spread["pipeline_extract"] = {
+        "min": round(min(walls), 3), "max": round(max(walls), 3), "n": reps}
 
     # --- chunk-size matrix: maxTokens ∈ {256, 512, 1024}, minTokens =
     # floor(max*0.3), mirroring the reference's benchmark configs
@@ -151,32 +179,42 @@ def main() -> None:
             os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "0") != "1":
         from fast_pdf_parser_spark.config import ChunkOptions
 
+        matrix_reps = int(os.environ.get("SPARK_GRAFT_MATRIX_REPS",
+                                         str(max(3, reps - 2))))
         for mt in (256, 512, 1024):
             opts = ChunkOptions(max_tokens=mt, min_tokens=mt * 3 // 10)
-            t0 = time.time()
-            out = extract_documents(spans, opts, parse_options=popts)
-            row = out.agg(
-                F.sum(F.when(F.col("kind") == "chunk", 1).otherwise(0))
-                .alias("chunks"),
-                F.min(F.when(F.col("kind") == "chunk",
-                             F.col("token_count"))).alias("tmin"),
-                F.max(F.when(F.col("kind") == "chunk",
-                             F.col("token_count"))).alias("tmax"),
-                F.avg(F.when(F.col("kind") == "chunk",
-                             F.col("token_count"))).alias("tavg"),
-                F.stddev_pop(F.when(F.col("kind") == "chunk",
-                                    F.col("token_count"))).alias("tstd"),
-                F.sum(F.when((F.col("kind") == "chunk")
-                             & (F.col("token_count") >= opts.min_tokens),
-                             1).otherwise(0)).alias("ge_min"),
-                F.sum(F.when(F.col("offset") == 0,
-                             F.col("doc_total_pages")).otherwise(0))
-                .alias("pages"),
-            ).collect()[0]
-            wall = time.time() - t0
+            mwalls = []
+            row = None
+            for _ in range(matrix_reps):
+                t0 = time.time()
+                out = extract_documents(spans, opts, parse_options=popts)
+                row = out.agg(
+                    F.sum(F.when(F.col("kind") == "chunk", 1).otherwise(0))
+                    .alias("chunks"),
+                    F.min(F.when(F.col("kind") == "chunk",
+                                 F.col("token_count"))).alias("tmin"),
+                    F.max(F.when(F.col("kind") == "chunk",
+                                 F.col("token_count"))).alias("tmax"),
+                    F.avg(F.when(F.col("kind") == "chunk",
+                                 F.col("token_count"))).alias("tavg"),
+                    F.stddev_pop(F.when(F.col("kind") == "chunk",
+                                        F.col("token_count"))).alias("tstd"),
+                    F.sum(F.when((F.col("kind") == "chunk")
+                                 & (F.col("token_count") >= opts.min_tokens),
+                                 1).otherwise(0)).alias("ge_min"),
+                    F.sum(F.when(F.col("offset") == 0,
+                                 F.col("doc_total_pages")).otherwise(0))
+                    .alias("pages"),
+                ).collect()[0]
+                mwalls.append(time.time() - t0)
+                _cooldown()
+            wall = median(mwalls)
             chunk_matrix[f"max{mt}"] = {
                 "max_tokens": mt, "min_tokens": opts.min_tokens,
                 "wall_sec": round(wall, 3),
+                "wall_spread": {"min": round(min(mwalls), 3),
+                                "max": round(max(mwalls), 3),
+                                "n": matrix_reps},
                 "pages_per_sec": round(row["pages"] / wall, 1),
                 "chunks": int(row["chunks"]),
                 "tok_min": int(row["tmin"]), "tok_max": int(row["tmax"]),
@@ -187,13 +225,14 @@ def main() -> None:
                 "pct_ge_min": round(
                     100.0 * int(row["ge_min"]) / int(row["chunks"]), 1),
             }
-            spark.catalog.clearCache()
 
     result = {
         "metric": "e2e_interleaved_extraction_wall_sec",
         "value": round(e2e, 3),
         "unit": "sec",
+        "bench_protocol": {"stat": "median", "reps": reps},
         "queries": queries,
+        "queries_spread": queries_spread,
         "sf": sf_name,
         "cpus": cpus,
         "corpus_docs": int(agg["docs"]),
