@@ -41,6 +41,47 @@ CHECKPOINT_SCHEMA = (
 )
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for *path's own scheme* — file:, hdfs:, s3a:, ...
+
+    Every existence probe in this module goes through the Hadoop FileSystem
+    API instead of os.path: a driver-local os.path.exists is always False
+    for HDFS/S3 paths, which on the staged-read path would silently treat
+    every bucket as empty, write empty output, and mark it 'done' — silent
+    data loss on exactly the deployments this module targets.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    fs, hpath = _hadoop_fs(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
+def _list_staged_buckets(spark: SparkSession, staged: str) -> set[int]:
+    """Bucket ids that actually have a staged partition directory, listed
+    ONCE via the FileSystem API. A bucket absent from this set is
+    *genuinely empty* (partitionBy writes no dir for an empty group) —
+    distinguishable from 'directory not visible to the driver', which with
+    os.path.exists on a remote FS was indistinguishable."""
+    fs, hpath = _hadoop_fs(spark, staged)
+    out: set[int] = set()
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if name.startswith("bucket="):
+            out.add(int(name.split("=", 1)[1]))
+    return out
+
+
 def with_bucket(df: DataFrame, num_buckets: int) -> DataFrame:
     """Stable content-derived bucket id (independent of physical layout)."""
     return df.withColumn(
@@ -50,7 +91,7 @@ def with_bucket(df: DataFrame, num_buckets: int) -> DataFrame:
 
 def completed_buckets(spark: SparkSession, checkpoint_path: str,
                       run_id: str) -> set[int]:
-    if not os.path.exists(checkpoint_path):
+    if not _fs_exists(spark, checkpoint_path):
         return set()
     cp = spark.read.schema(CHECKPOINT_SCHEMA).parquet(checkpoint_path)
     rows = (
@@ -116,10 +157,15 @@ def run_with_checkpoint(
     # directory is content-addressed by (run_id, num_buckets) and reused on
     # resume when its _SUCCESS marker is durable.
     staged = os.path.join(out_dir, "staged", f"{run_id}_b{num_buckets}")
+    staged_buckets: set[int] = set()
     if stage_input and pending:
-        if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        if not _fs_exists(spark, os.path.join(staged, "_SUCCESS")):
             bucketed.write.mode("overwrite").partitionBy("bucket") \
                 .parquet(staged)
+        # list the staged partitions ONCE (FileSystem API — scheme-correct
+        # on HDFS/S3); per-bucket reads consult this set, so a bucket with
+        # no dir is KNOWN empty rather than assumed empty
+        staged_buckets = _list_staged_buckets(spark, staged)
 
     lineage_lock = threading.Lock()
 
@@ -129,8 +175,8 @@ def run_with_checkpoint(
         t0 = time.time()
         if stage_input:
             bdir = os.path.join(staged, f"bucket={bucket}")
-            # an empty bucket writes no partition directory
-            part = spark.read.parquet(bdir) if os.path.exists(bdir) \
+            # a genuinely empty bucket writes no partition directory
+            part = spark.read.parquet(bdir) if bucket in staged_buckets \
                 else bucketed.drop("bucket").limit(0)
         else:
             part = bucketed.filter(F.col("bucket") == bucket).drop("bucket")
@@ -171,6 +217,16 @@ def run_with_checkpoint(
                     errors.append(exc)
             if errors:
                 raise errors[0]
+
+    # all pending buckets completed (errors raised above): the staged copy
+    # has served its purpose — drop it, or it permanently doubles
+    # input-sized storage under out_dir per run configuration
+    if stage_input and pending:
+        _fs_delete(spark, staged)
+        parent = os.path.dirname(staged)
+        fs, hparent = _hadoop_fs(spark, parent)
+        if fs.exists(hparent) and len(fs.listStatus(hparent)) == 0:
+            fs.delete(hparent, False)
 
     # partition discovery exposes the bucket= directory as a `bucket` column
     # — kept deliberately: downstream reads filtering on it get partition

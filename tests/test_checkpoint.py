@@ -95,3 +95,75 @@ def test_concurrent_crash_and_resume(spark, corpus, tmp_path):
     # exactly one lineage row per bucket despite concurrency
     lin = lineage(spark, out).filter("run_id = 'cc'")
     assert sorted(r.partition_id for r in lin.collect()) == [0, 1, 2, 3]
+
+
+def test_staged_copy_cleaned_up_after_completion(spark, corpus, tmp_path):
+    """ADVICE r3: the staged bucketed copy must not outlive the run — it
+    doubles input-sized storage per run configuration otherwise."""
+    import os
+
+    out = str(tmp_path / "run_clean")
+    run_with_checkpoint(spark, corpus, out, run_id="rc", num_buckets=2)
+    assert not os.path.exists(os.path.join(out, "staged", "rc_b2"))
+    # ...while the actual output and checkpoint remain durable
+    assert os.path.exists(os.path.join(out, "spans"))
+    assert os.path.exists(os.path.join(out, "checkpoint"))
+
+
+def test_staged_copy_survives_crash_for_resume(spark, corpus, tmp_path):
+    """Cleanup happens only after ALL pending buckets complete: a crashed
+    run keeps the staged copy so the resume doesn't pay a second full
+    scan+write of the input."""
+    import os
+
+    out = str(tmp_path / "run_crash_keep")
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        run_with_checkpoint(spark, corpus, out, run_id="rk", num_buckets=3,
+                            fail_on_bucket=1, max_concurrent_buckets=1)
+    assert os.path.exists(os.path.join(out, "staged", "rk_b3", "_SUCCESS"))
+    run_with_checkpoint(spark, corpus, out, run_id="rk", num_buckets=3)
+    assert not os.path.exists(os.path.join(out, "staged", "rk_b3"))
+
+
+def test_fs_probes_are_scheme_aware(spark, tmp_path):
+    """The existence probes go through the Hadoop FileSystem API (resolved
+    per path scheme) — a driver-local os.path check is blind on HDFS/S3
+    and turned missing-visibility into silent empty output (ADVICE r3)."""
+    from fast_pdf_parser_spark.plans.checkpoint import (
+        _fs_delete,
+        _fs_exists,
+        _list_staged_buckets,
+    )
+
+    d = tmp_path / "probe"
+    d.mkdir()
+    (d / "bucket=0").mkdir()
+    (d / "bucket=3").mkdir()
+    (d / "notabucket").mkdir()
+    # explicit scheme-qualified path exercises the scheme resolution path
+    uri = "file://" + str(d)
+    assert _fs_exists(spark, uri)
+    assert _list_staged_buckets(spark, uri) == {0, 3}
+    _fs_delete(spark, uri)
+    assert not d.exists()
+    assert not _fs_exists(spark, uri)
+
+
+def test_empty_bucket_is_known_empty_not_lost(spark, tmp_path):
+    """A bucket with no documents still gets a lineage row (docs=0) and
+    contributes no rows — distinguishable from data loss because every
+    document lands in exactly one bucket of the output."""
+    import pandas as pd
+
+    from fast_pdf_parser_spark.sources.synth import SPANS_DDL, iter_docs
+
+    docs = list(iter_docs(3, seed=11))  # 3 docs over 16 buckets
+    tiny = spark.createDataFrame(pd.DataFrame(docs), schema=SPANS_DDL)
+    out = str(tmp_path / "run_sparse")
+    result = run_with_checkpoint(spark, tiny, out, run_id="rs",
+                                 num_buckets=16)
+    assert result.select("doc_id").distinct().count() == 3
+    lin = lineage(spark, out).collect()
+    assert len(lin) == 16
+    assert sum(r.docs_parsed for r in lin) == 3
+    assert sum(1 for r in lin if r.docs_parsed == 0) == 13
