@@ -49,6 +49,9 @@ LINK_SHORT_CHARS = 200
 # containers removed entirely (with their content)
 _DROP_TAGS = frozenset({"script", "style", "head",
                         "nav", "header", "footer", "aside"})
+# the block-level drop containers: opening one implies </p> first (script/
+# style are phrasing content — they do NOT close an open paragraph)
+_BLOCK_DROP_TAGS = frozenset({"nav", "header", "footer", "aside"})
 # elements that become output lines
 _HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 _BLOCK_TAGS = _HEADINGS | {"p", "li", "pre"}
@@ -59,7 +62,7 @@ _BLOCK_LEVEL = _BLOCK_TAGS | {
     "address", "article", "blockquote", "details", "dialog", "dd", "div",
     "dl", "dt", "fieldset", "figcaption", "figure", "form", "hgroup", "hr",
     "main", "ol", "section", "table", "tbody", "td", "th", "thead", "tr",
-    "ul",
+    "ul", "nav", "header", "footer", "aside",
 }
 # closing one of these while a p/li is still open implies the block's close
 _CONTAINER_CLOSERS = frozenset({
@@ -92,16 +95,21 @@ class _MainContent(HTMLParser):
 
     # -- block lifecycle ---------------------------------------------------
 
-    def _end_anchor(self) -> None:
+    def _end_anchor(self, force: bool = False) -> None:
+        """One </a> unwinds ONE level of (malformed) <a> nesting; the
+        anchor's text counts as linked only when the outermost closes.
+        ``force`` closes all levels — used when the block itself ends."""
         if self._anchor:
-            self._anchor = 0
-            self._linked += len(_WS_RUN.sub(" ", "".join(self._abuf)).strip())
-            self._abuf = []
+            self._anchor = 0 if force else self._anchor - 1
+            if self._anchor == 0:
+                self._linked += len(
+                    _WS_RUN.sub(" ", "".join(self._abuf)).strip())
+                self._abuf = []
 
     def _flush(self) -> None:
         tag, parts = self._block, self._buf
         self._block, self._buf, self._nested = None, [], []
-        self._end_anchor()
+        self._end_anchor(force=True)
         linked, self._linked = self._linked, 0
         if tag == "pre":
             # verbatim: preserve internal spacing/newlines
@@ -141,6 +149,11 @@ class _MainContent(HTMLParser):
             # an unclosed <head> ends where <body> begins
             self._drop = [t for t in self._drop if t != "head"]
         if tag in _DROP_TAGS:
+            # a block-level boilerplate container (nav inside an open <p>)
+            # implies the block's close BEFORE dropping begins — otherwise
+            # pre- and post-container text would merge into one block
+            if not self._drop and tag in _BLOCK_DROP_TAGS:
+                self._imply_close(tag)
             self._drop.append(tag)
             return
         if self._drop:
@@ -169,6 +182,12 @@ class _MainContent(HTMLParser):
                     self._nested.append(tag)
 
     def handle_endtag(self, tag: str) -> None:
+        if tag in ("body", "html") and self._drop:
+            # spec implied end tags: </body> closes every open element —
+            # an unclosed <nav> in tag soup must not keep discarding the
+            # rest of the document (mirrors the unclosed-<head>-ends-at-
+            # <body> handling on the start-tag side)
+            self._drop.clear()
         if tag in _DROP_TAGS:
             if tag in self._drop:
                 for i in range(len(self._drop) - 1, -1, -1):

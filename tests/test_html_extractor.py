@@ -299,3 +299,43 @@ def test_empty_output_doc_keeps_meta_row():
     assert r[-1] and "page 0" in r[-1]  # doc_error surfaced
     # a truly empty span list still yields nothing (no doc, no meta)
     assert process_document("none", [], get_tokenizer(), ChunkOptions()) == []
+
+
+def test_unclosed_drop_container_cleared_at_body_end():
+    """ADVICE r3: an unclosed <nav> must not discard the rest of the
+    document — </body>/</html> imply every open element's close."""
+    html = ("<body><nav>menu menu menu"  # <nav> never closed
+            "</body><p>after body soup</p>")
+    assert html_main_content(html) == "after body soup"
+    # same via </html>
+    html2 = "<body><aside>junk</html><p>tail</p>"
+    assert html_main_content(html2) == "tail"
+    # no-blocks page: fallback text after the implied close still surfaces
+    html3 = "<body><nav>menu</body>plain tail words"
+    assert html_main_content(html3) == "plain tail words"
+
+
+def test_nested_anchor_depth_unwinds_one_level_per_close():
+    """ADVICE r3: the first </a> of a (malformed) nested <a> pair must not
+    zero the depth — text inside the still-open outer anchor counts as
+    linked, so a short link-farm row is still dropped."""
+    # 34 linked chars of 39 total (87% > 0.5, len < 200) → dropped
+    farm = ("<li><a href='/x'>outer start <a href='/y'>inner</a>"
+            " outer end tail</a> x</li>")
+    assert html_main_content(farm) == ""
+    # the same shape with enough unlinked prose survives
+    keep = ("<li><a href='/x'>start <a href='/y'>in</a> end</a> " +
+            "plain " * 40 + "</li>")
+    out = html_main_content(keep)
+    assert out.startswith("- start in end plain")
+
+
+def test_drop_container_implies_block_close():
+    """ADVICE r3: <nav> opening inside an open <p> closes the paragraph —
+    pre- and post-nav text are separate blocks, not one merged block."""
+    html = "<p>before menu<nav>drop me</nav><p>after menu"
+    assert html_main_content(html).split("\n") == [
+        "before menu", "after menu"]
+    # script/style are phrasing content: they do NOT close an open <p>
+    html2 = "<p>one<script>var x=1;</script> two</p>"
+    assert html_main_content(html2) == "one two"
