@@ -949,6 +949,19 @@ QUERIES["dedup_paragraph_boilerplate"] = _pair(
 # word-count aggregate; the "score" is an equi-join of the corpus against
 # the (small, broadcastable) vocabulary table — the same fit-then-transform
 # shape as IVF, one pass each.
+#
+# Cross-engine exactness assumption (ADVICE r3): the only non-exact step is
+# ln() — JVM Math.log and DuckDB's libm each guarantee <=1 ulp, so the two
+# engines' -ln(c/N)*1e6 can differ by ~2e-9 absolute; floor(x+0.5) flips
+# only if x+0.5 sits within that distance of an integer. Every OTHER float
+# op here (integer-to-double casts, c/N and tot_s/n_words divisions, *1e6)
+# is a single correctly-rounded IEEE-754 operation on exactly-representable
+# inputs — bit-identical across engines by the standard. The guard test
+# (tests/test_oracle_stability.py) scans the full corpus vocabulary and
+# asserts every quantization input keeps >=1e-3 distance from its rounding
+# boundary — six orders of magnitude above the ulp drift — so a corpus
+# regeneration that lands a word near a boundary fails loudly in pytest
+# instead of flaking the oracle gate.
 _SURPRISAL_TAIL = """,
 cnt AS (SELECT word, count(*) AS c FROM words GROUP BY word),
 tot AS (SELECT sum(c) AS n FROM cnt),

@@ -1,0 +1,73 @@
+"""Cross-engine numeric-stability guards for the oracle gate.
+
+The only non-exact float operation in any hash-checked query is ln() in
+text_unigram_surprisal (everything else is single correctly-rounded
+IEEE-754 ops on exactly-representable inputs — bit-identical by the
+standard). JVM Math.log and DuckDB's libm each guarantee <=1 ulp, so the
+engines can disagree by ~2e-9 absolute on -ln(c/N)*1e6; floor(x+0.5)
+then flips only within that distance of an integer. These tests scan the
+REAL corpus vocabulary at every driver scale factor and assert a >=1e-3
+margin from each rounding boundary — six orders of magnitude of headroom
+— so a corpus regeneration that lands near a boundary fails pytest
+loudly instead of flaking CORRECTNESS_r{N}.
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from fast_pdf_parser_spark.operators.relational import _WORDS_DUCK
+
+SF_DIRS = [d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                       "/root/testdata/sf0.1")
+           if os.path.exists(os.path.join(d, "documents.parquet"))]
+
+pytestmark = pytest.mark.skipif(not SF_DIRS,
+                                reason="driver testdata not present")
+
+MARGIN = 1e-3   # required distance from the floor(x+0.5) boundary
+ULP_DRIFT = 4e-9  # generous bound on cross-engine ln()*1e6 disagreement
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_surprisal_quantization_boundary_margin(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    counts = con.execute(
+        f"WITH {_WORDS_DUCK}, "
+        "cnt AS (SELECT word, count(*) AS c FROM words GROUP BY word) "
+        "SELECT c, count(*) AS n_words_at_c FROM cnt GROUP BY c"
+    ).fetchall()
+    n_total = sum(c * m for c, m in counts)
+    assert n_total > 0
+    worst = 1.0
+    for c, _m in counts:
+        x = -math.log(c / n_total) * 1e6 + 0.5
+        dist = abs(x - round(x))
+        worst = min(worst, dist)
+    assert worst > MARGIN, (
+        f"corpus {sf_dir}: a word's scaled surprisal sits {worst:.2e} from "
+        f"its rounding boundary — within cross-engine ln() drift risk; "
+        f"regenerate or adjust the quantization scale")
+    assert MARGIN > 100 * ULP_DRIFT  # the margin itself dwarfs the drift
+
+
+def test_integer_division_is_engine_exact():
+    """The OTHER quantization in the query, floor(tot_s/n_words + 0.5),
+    divides two exactly-representable integers: IEEE-754 division is
+    correctly rounded, so every engine produces the identical double.
+    Sanity-pin the claim with DuckDB vs Python over adversarial pairs
+    (including x.5-adjacent rationals)."""
+    con = duckdb.connect()
+    pairs = [(7, 2), (10**15 + 1, 3), (999999999999, 7), (1, 3),
+             (2**52 + 1, 2), (10**6 * 3 + 1, 2)]
+    for a, b in pairs:
+        duck = con.execute(
+            "SELECT CAST(floor(CAST(? AS DOUBLE) / ? + 0.5) AS BIGINT)",
+            [a, b]).fetchone()[0]
+        py = math.floor(a / b + 0.5)
+        assert duck == py, (a, b)
