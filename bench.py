@@ -104,9 +104,13 @@ def main() -> None:
     def _cooldown():
         # release cached/checkpointed blocks and dropped DataFrames so
         # one run's heap pressure doesn't tax the next (shared
-        # local-mode JVM; real clusters isolate executors)
+        # local-mode JVM; real clusters isolate executors), and take the
+        # JVM GC pause HERE between reps instead of letting it land inside
+        # a random timed rep (a single full GC is a large fraction of a
+        # rep's wall at this corpus size)
         spark.catalog.clearCache()
         gc.collect()
+        spark._jvm.System.gc()
 
     # --- representative operator queries ------------------------------------
     if os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "0") != "1":
@@ -157,6 +161,12 @@ def main() -> None:
                   .otherwise(0)).alias("failures"),
         ).collect()[0]
         return time.time() - t0, agg
+
+    # one full-size discarded pass: the first full run pays one-time costs
+    # (page cache, JIT at width, worker pool fill) that the limit(32)
+    # warmup cannot reach — the claim is steady-state throughput
+    timed_run()
+    _cooldown()
 
     walls = []
     agg = None

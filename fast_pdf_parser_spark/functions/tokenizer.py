@@ -35,6 +35,16 @@ from functools import lru_cache
 
 _MAX_TOKEN_BYTES = 20  # tiktoken_tokenizer.h:161
 
+# a newline followed by a non-newline byte inside one token would let a
+# greedy match cross line-unit boundaries (see _line_decomposable)
+import re as _re
+
+_NL_NONNL = _re.compile(rb"\n[^\n]")
+# split points of a multi-line text into countable units: after each
+# newline run (lookbehind \n, lookahead non-\n) — every unit is a content
+# segment plus its trailing newline run
+_UNIT_SPLIT = _re.compile(r"(?<=\n)(?!\n)")
+
 
 def _build_trie_regex(tokens: list[bytes]) -> "re.Pattern[bytes]":
     """Compile the vocabulary into a trie-structured regex whose matches are
@@ -153,6 +163,17 @@ class TiktokenTokenizer:
         self._prefixes = walk  # membership-compatible alias
         self._trie_re = _build_trie_regex(list(self._encoder))
         self._count_line_cached = lru_cache(maxsize=65536)(self._count_uncached)
+        # Line-decomposable counting is EXACT iff no token contains a
+        # newline followed by a non-newline byte: greedy matches then never
+        # cross a \n→non-\n boundary, so a multi-line text splits into
+        # independently countable "content + trailing newline run" units
+        # (each a stable cache key). Tokens like '.\n' or '\n\n' are fine —
+        # they stay inside one unit. Checked once per vocabulary here; a
+        # vocabulary that violates it silently falls back to whole-text
+        # counting (correct, just uncached).
+        self._line_decomposable = not any(
+            _NL_NONNL.search(t) for t in self._encoder
+        )
 
     # -- encode / decode -------------------------------------------------
 
@@ -230,13 +251,23 @@ class TiktokenTokenizer:
         return self._trie_re.subn(b"", data)[1]
 
     def count_tokens(self, text: str) -> int:
-        """tiktoken_tokenizer.h:213-215; memoized per distinct line."""
+        """tiktoken_tokenizer.h:213-215; memoized per distinct line.
+
+        Multi-line texts (chunk recounts — each a unique concatenation the
+        memo cache can never hit) are counted as the sum of their line
+        units, each unit individually memoized: lines repeat heavily across
+        chunks, passes, and documents, so the whole-text scan collapses to
+        dict probes. Bit-exact vs the whole-text scan whenever the
+        vocabulary is _line_decomposable (asserted at init; pinned by the
+        unit-sum fuzz test in tests/test_tokenizer.py)."""
+        if self._line_decomposable and "\n" in text:
+            f = self._count_line_cached
+            return sum(f(u.encode("utf-8")) for u in _UNIT_SPLIT.split(text))
         return self._count_line_cached(text.encode("utf-8"))
 
     def count_tokens_many(self, texts) -> list[int]:
         """Vectorized counting for a sequence of strings (pandas-friendly)."""
-        f = self._count_line_cached
-        return [f(t.encode("utf-8")) for t in texts]
+        return [self.count_tokens(t) for t in texts]
 
 
 def estimate_tokens(text: str) -> int:

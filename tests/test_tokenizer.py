@@ -163,3 +163,45 @@ def test_real_cl100k_parity_when_present():
     sizes = [c.tokens for c in chunks if c.tokens <= 512]
     dense = sum(1 for s in sizes if s > 450)
     assert dense >= len(sizes) * 0.5, sizes
+
+
+def test_unit_sum_count_equals_whole_text_scan_fuzz():
+    """count_tokens on multi-line text decomposes into per-line-unit counts
+    (the chunk-recount fast path). Must be BIT-EXACT vs the whole-text
+    greedy scan — adversarial inputs: boundary punctuation that forms
+    '.\\n'/',\\n'/':\\n' tokens, newline runs ('\\n\\n' token), leading/
+    trailing newlines, empty lines, invalid UTF-8 via high codepoints."""
+    import random
+
+    tok = get_tokenizer()
+    assert tok._line_decomposable  # the fixture vocab qualifies
+    rnd = random.Random(99)
+    frag = ["the", "quick.", "fox,", "end:", "", " ", "a.b", "#", "naïve",
+            "word", ".", ",", ":", "x" * 25]
+    for _ in range(500):
+        lines = [rnd.choice(frag) for _ in range(rnd.randint(0, 8))]
+        text = "\n".join(lines)
+        if rnd.random() < 0.3:
+            text = "\n" * rnd.randint(1, 3) + text
+        if rnd.random() < 0.5:
+            text += "\n" * rnd.randint(1, 3)
+        direct = tok._count_uncached(text.encode("utf-8"))
+        assert tok.count_tokens(text) == direct, repr(text)
+    # the exactness precondition itself: no token has \n followed by non-\n
+    for t in tok._encoder:
+        i = t.find(b"\n")
+        if i != -1:
+            assert set(t[i:]) == {0x0A}, t
+
+
+def test_non_decomposable_vocab_falls_back():
+    """A vocabulary with a newline-interior token must disable the unit-sum
+    path and still count correctly via the whole-text scan."""
+    from fast_pdf_parser_spark.functions.tokenizer import TiktokenTokenizer
+
+    enc = {b"a\nb": 1, b"a": 2, b"b": 3, b"\n": 4}
+    tok = TiktokenTokenizer(encoder=enc)
+    assert not tok._line_decomposable
+    # 'a\nb' must count as ONE token (the crossing match the unit-sum
+    # path would split into three)
+    assert tok.count_tokens("a\nb") == 1
