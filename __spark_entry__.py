@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_meta_oracle"] = _pipeline_meta_oracle
     out["pipeline_chunk_distribution"] = _pipeline_distribution
     out["pipeline_docling_chunks"] = _pipeline_docling
+    out["pipeline_docling_meta_oracle"] = _pipeline_docling_meta
     out["pipeline_html_extract"] = _pipeline_html
     out["pipeline_html_meta_oracle"] = _pipeline_html_meta
     out["pipeline_html_content_oracle"] = _pipeline_html_content
@@ -374,6 +375,39 @@ def _pipeline_docling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fast_pdf_parser_spark.operators.sinks import docling_chunks
 
     return docling_chunks(_pipeline_spans(spark, sf_dir))
+
+
+def _pipeline_docling_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked S6 axis: the docling sink's doc-level meta, parsed back
+    OUT OF the emitted chunk_json payloads (so the real to_json sink path
+    is what's verified): origin mimetype/filename, the portable 60-bit
+    binary_hash, and the chunk-indexing invariant total_chunks ==
+    max(chunk_index)+1 == row count, constant across a doc's chunks.
+    Chunk boundaries themselves stay rows-only (stateful chunker)."""
+    from pyspark.sql import functions as F
+
+    dj = _pipeline_docling(spark, sf_dir)
+    g = F.get_json_object
+    parsed = dj.select(
+        "doc_id",
+        g("chunk_json", "$.meta.chunk_index").cast("int").alias("ci"),
+        g("chunk_json", "$.meta.total_chunks").cast("int").alias("tc"),
+        g("chunk_json", "$.meta.origin.mimetype").alias("mimetype"),
+        g("chunk_json", "$.meta.origin.filename").alias("filename"),
+        g("chunk_json", "$.meta.origin.binary_hash").cast("bigint")
+        .alias("bh"),
+    )
+    return parsed.groupBy("doc_id").agg(
+        F.min("mimetype").alias("mimetype"),
+        F.min("filename").alias("filename"),
+        F.min("bh").alias("binary_hash"),
+        ((F.max("tc") == F.count(F.lit(1)))
+         & (F.min("tc") == F.max("tc"))
+         & (F.max("ci") + 1 == F.max("tc"))
+         & (F.min("filename") == F.col("doc_id"))
+         & (F.min("bh") == F.max("bh"))
+         ).cast("int").alias("chunks_consistent"),
+    )
 
 
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1189,6 +1189,20 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(0 AS INT) AS parse_failures,
        CAST(sum(strlen(page_text)) AS BIGINT) AS bytes_decoded
 FROM pages GROUP BY doc_id""",
+    # docling sink doc-level meta, parsed back out of the emitted JSON on
+    # the Spark side (__spark_entry__._pipeline_docling_meta): mimetype and
+    # filename are fixed functions of the doc, binary_hash is the portable
+    # 60-bit md5 (sinks.py docstring — std::hash is platform-dependent),
+    # and the indexing invariant is an always-true consistency bit the
+    # Spark side must PROVE from the real payloads
+    "pipeline_docling_meta_oracle": """SELECT
+  CAST(doc_id AS VARCHAR) AS doc_id,
+  'application/pdf' AS mimetype,
+  CAST(doc_id AS VARCHAR) AS filename,
+  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+    AS binary_hash,
+  CAST(1 AS INT) AS chunks_consistent
+FROM documents""",
     "pipeline_html_meta_oracle": _html_meta_oracle_duck(),
     # content-level HTML twin: extraction inverts the wrap exactly, so the
     # extracted markdown per page equals the page's non-blank lines in
@@ -1483,6 +1497,64 @@ scored AS (
   FROM raw GROUP BY query_id, vec_id
 ),
 {_GRID_RANKED_TAIL}""",
+)
+
+
+# Recall report for the approximate ANN tiers against the exact brute-force
+# baseline — deterministic tiers (banded LSH, hyperplane grid), so the
+# recall itself is a pure function of the data and DuckDB can re-derive it.
+# Makes the quality/speed tradeoff of the scale paths a per-round
+# CORRECTNESS row instead of a pytest-only number. One row per (tier,
+# query): hits, k, recall@k in 1e4 fixed point (exact integer division —
+# hits and k are integers, see the ulp note above text_unigram_surprisal).
+#
+# Expected values on the driver corpus — and why they are the RIGHT
+# values: the synthetic embeddings are unit-scale noise (best exact cosine
+# ~0.37), so "nearest neighbors" are statistical accidents. The grid tier
+# multi-probes 5 of 16 cells and recovers a corresponding fraction of the
+# accidental top-10 (recall@10 ~0.2-0.6); the banded-LSH tier requires a
+# full 12-bit sign-key collision, which noise pairs almost never produce —
+# recall 0 with ~1-2 arbitrary candidates per query. On data with REAL
+# similarity structure the same report shows LSH recovering planted
+# neighbors at rank 1 (tests/test_similarity.py pins this with a planted
+# corpus). That contrast is the point of the report: bucketed ANN is a
+# scale path for clustered data, not a substitute ranking on noise.
+def _recall_sql(exact: str, lsh: str, grid: str) -> str:
+    return f"""WITH exact AS (
+{exact}
+),
+lsh AS (
+{lsh}
+),
+grid AS (
+{grid}
+),
+per AS (
+  SELECT 'lsh' AS tier, e.query_id, CAST(3 AS INT) AS k,
+         CAST(count(l.neighbor_id) AS INT) AS hits
+  FROM (SELECT * FROM exact WHERE rank <= 3) e
+  LEFT JOIN lsh l
+    ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+  UNION ALL
+  SELECT 'grid' AS tier, e.query_id, CAST(10 AS INT) AS k,
+         CAST(count(g.neighbor_id) AS INT) AS hits
+  FROM exact e
+  LEFT JOIN grid g
+    ON g.query_id = e.query_id AND g.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT tier, query_id, k, hits,
+       CAST(floor(hits * CAST(10000.0 AS DOUBLE) / k
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS recall_x1e4
+FROM per"""
+
+
+QUERIES["ann_recall_report"] = _pair(
+    _recall_sql(_ANN_SPARK, QUERIES["ann_lsh_topk"]["spark"],
+                QUERIES["ann_ivf_grid"]["spark"]),
+    _recall_sql(_ANN_DUCK, QUERIES["ann_lsh_topk"]["duck"],
+                QUERIES["ann_ivf_grid"]["duck"]),
 )
 
 

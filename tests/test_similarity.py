@@ -181,3 +181,40 @@ def test_ivf_recall_beats_probe_fraction(spark, emb):
     assert r >= 0.4, r
     full = ivf_topk(assigned, centroids, queries, k=10, n_probe=8)
     assert recall_at_k(full, exact, k=10) == 1.0
+
+
+def test_recall_report_planted_structure_vs_noise(spark):
+    """ann_recall_report (the driver-visible quality row) must (a) show
+    LSH recovering planted near-duplicates when real similarity structure
+    exists, and (b) report the honest zero on the noise corpus, where a
+    12-bit sign-key collision almost never happens (relational.py comment
+    above the query)."""
+    from fast_pdf_parser_spark.operators.relational import spark_sql
+
+    # (a) planted: query i (vec_id i < 5) is a tiny perturbation of corpus
+    # vector vec_id = 100 + i -> exact rank-1 neighbor AND same LSH bucket
+    dim = 64
+
+    def vec(i):
+        return [float(((i * 31 + j * 17) % 19) - 9) for j in range(dim)]
+
+    rows = [(100 + i, vec(i)) for i in range(200)]  # corpus >= 5
+    rows += [(i, [x + 0.01 * ((i + j) % 3 - 1)
+                  for j, x in enumerate(vec(i))]) for i in range(5)]
+    spark.createDataFrame(
+        rows, schema="vec_id bigint, embedding array<float>"
+    ).createOrReplaceTempView("embeddings")
+    rep = {(r.tier, r.query_id): r.hits
+           for r in spark.sql(spark_sql("ann_recall_report")).collect()}
+    lsh_hits = sum(v for (t, _), v in rep.items() if t == "lsh")
+    assert lsh_hits >= 4, rep  # planted rank-1 neighbor found per query
+
+    # (b) noise (driver corpus): lsh 0, grid recovers a multi-probe share
+    spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .createOrReplaceTempView("embeddings")
+    rep = [(r.tier, r.query_id, r.hits, r.k)
+           for r in spark.sql(spark_sql("ann_recall_report")).collect()]
+    assert len(rep) == 10  # 2 tiers x 5 queries
+    assert all(h == 0 for t, _, h, _ in rep if t == "lsh")
+    grid = [h for t, _, h, _ in rep if t == "grid"]
+    assert sum(grid) > 0 and all(h <= 10 for h in grid)
