@@ -32,9 +32,20 @@ def stream_extract(
     chunk_options: ChunkOptions = ChunkOptions(),
     parse_options: ParseOptions = ParseOptions(),
     max_files_per_trigger: int = 8,
+    fail_at_epoch: int | None = None,  # test hook: crash mid-stream
 ) -> StreamingQuery:
     """Watch ``input_dir`` for span-document parquet files; extract each
-    micro-batch and append results exactly-once to ``output_dir/spans``."""
+    micro-batch and append results exactly-once to ``output_dir/spans``.
+
+    Exactly-once across RESTARTS, not just within a run: Spark's streaming
+    checkpoint (``checkpointLocation``) records committed batch ids, and
+    the sink write is idempotent per epoch (mode("overwrite") into the
+    epoch's own directory) — a batch replayed after a crash overwrites its
+    own partial output instead of duplicating it, and committed batches
+    are never re-offered. Pinned by
+    tests/test_streaming.py::test_restart_mid_stream_is_exactly_once,
+    which kills the query mid-stream and resumes on the same checkpoint.
+    """
     spans_out = os.path.join(output_dir, "spans")
     ckpt = os.path.join(output_dir, "_stream_checkpoint")
 
@@ -50,6 +61,11 @@ def stream_extract(
         result.write.mode("overwrite").parquet(
             os.path.join(spans_out, f"epoch={epoch_id}")
         )
+        if fail_at_epoch is not None and epoch_id >= fail_at_epoch:
+            # crash AFTER the data write but BEFORE Spark commits the
+            # batch — the worst-case window: the restarted query must
+            # replay this epoch over its own partial output
+            raise RuntimeError(f"simulated crash at epoch {epoch_id}")
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -4,6 +4,8 @@ results match the batch pipeline exactly."""
 import os
 
 import pandas as pd
+import pytest
+from pyspark.sql import functions as F
 
 from fast_pdf_parser_spark.operators.pipeline import extract_documents
 from fast_pdf_parser_spark.sources.synth import SPANS_DDL, iter_docs
@@ -179,3 +181,54 @@ def test_fold_user_sessions_cross_chunk_order():
     more, st_c = fold_user_sessions(
         7, [[pd.Timestamp(10_100, unit="s", tz="UTC")]], st_a, 1800)
     assert more == [] and st_c[1] == 2 and st_c[2] == 2
+
+
+def test_restart_mid_stream_is_exactly_once(spark, tmp_path):
+    """VERDICT r3 #6: a REAL restart, not just per-epoch idempotence — the
+    query is killed mid-stream (after an epoch's data write, before its
+    commit: the worst-case window), then restarted on the same
+    checkpointLocation. The replayed epoch must overwrite its own partial
+    output and committed epochs must not re-run; the final output equals
+    the batch result exactly, no duplicates, no gaps."""
+    docs = list(iter_docs(16, seed=6))
+    in_dir = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    # four arrivals -> four epochs at maxFilesPerTrigger=1
+    for i in range(4):
+        part = docs[i * 4:(i + 1) * 4]
+        spark.createDataFrame(pd.DataFrame(part), schema=SPANS_DDL) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(in_dir, f"arrival={i}"))
+
+    # first run crashes at epoch 2 (epochs 0,1 committed; 2's data is
+    # durable but uncommitted)
+    q = stream_extract(spark, in_dir + "/*", out_dir,
+                       max_files_per_trigger=1, fail_at_epoch=2)
+    with pytest.raises(Exception, match="simulated crash at epoch 2"):
+        q.awaitTermination(120)
+    # the crash left partial (uncommitted) epoch output on disk
+    partial = spark.read.parquet(os.path.join(out_dir, "spans"))
+    n_partial_docs = partial.select("doc_id").distinct().count()
+    assert 8 <= n_partial_docs <= 12  # epochs 0,1 (+ the uncommitted 2)
+
+    # restart on the SAME checkpoint, no failure injection
+    q2 = stream_extract(spark, in_dir + "/*", out_dir,
+                        max_files_per_trigger=1)
+    q2.awaitTermination(120)
+
+    streamed = spark.read.parquet(os.path.join(out_dir, "spans"))
+    batch = extract_documents(
+        spark.createDataFrame(pd.DataFrame(docs), schema=SPANS_DDL))
+    key = ["doc_id", "offset", "kind", "text", "media_ref"]
+    a = sorted(tuple(r) for r in streamed.select(*key).collect())
+    b = sorted(tuple(r) for r in batch.select(*key).collect())
+    assert a == b  # exact multiset equality: exactly-once across restart
+    assert streamed.select("doc_id").distinct().count() == len(docs)
+    # every doc appears in exactly ONE epoch directory (no replays left
+    # duplicate copies across epochs)
+    per_epoch = (streamed.select("doc_id", F.input_file_name().alias("f"))
+                 .withColumn("epoch", F.regexp_extract("f", r"epoch=(\d+)", 1))
+                 .select("doc_id", "epoch").distinct()
+                 .groupBy("doc_id").count().collect())
+    assert all(r["count"] == 1 for r in per_epoch)
