@@ -183,16 +183,36 @@ def process_document(
     ]
 
 
+# Output-side memory bound for the fold: accumulated result rows are
+# flushed as their own Arrow batch once their text payload crosses this
+# many characters (or _FLUSH_ROWS rows). Without it, a 64-doc input batch
+# of large documents holds EVERY doc's chunks in the Python worker until
+# the whole batch is folded — peak RSS proportional to batch payload, not
+# to the largest single document. The input side cannot be bounded below
+# one row (a document is one row by design — whole-doc locality); this
+# bounds everything the UDF itself adds on top. Measured by
+# tools/giant_doc_probe.py (BENCH/GIANT_DOC_r4.json).
+_FLUSH_CHARS = 32 << 20
+_FLUSH_ROWS = 20_000
+
+
 def _make_processor(chunk_options: ChunkOptions, vocab_path: str | None):
     def process_batches(batches):
         tokenizer = get_tokenizer(vocab_path)  # per-worker singleton
         for pdf in batches:
             rows: list[tuple] = []
+            pending_chars = 0
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                rows.extend(
-                    process_document(doc_id, spans, tokenizer, chunk_options)
+                doc_rows = process_document(
+                    doc_id, spans, tokenizer, chunk_options
                 )
-            yield pd.DataFrame(rows, columns=_COLUMNS)
+                rows.extend(doc_rows)
+                pending_chars += sum(len(r[3]) for r in doc_rows if r[3])
+                if pending_chars >= _FLUSH_CHARS or len(rows) >= _FLUSH_ROWS:
+                    yield pd.DataFrame(rows, columns=_COLUMNS)
+                    rows, pending_chars = [], 0
+            if rows:
+                yield pd.DataFrame(rows, columns=_COLUMNS)
 
     return process_batches
 

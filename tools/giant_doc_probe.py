@@ -1,0 +1,189 @@
+#!/usr/bin/env python3
+"""Giant-document Arrow memory probe (VERDICT r3 #7).
+
+A document is ONE row into the zero-shuffle mapInPandas fold (whole-doc
+locality is the design), so the skew tail's memory question is: what does
+one very large document cost the Python worker and the JVM? This probe
+synthesizes a single ~N-MB text document (default 256 MB of span text,
+SPARK_GRAFT_GIANT_MB to change), runs the real extraction at local[2],
+samples peak RSS of the JVM and every pyspark worker from /proc during the
+run, and appends one JSON line to BENCH/GIANT_DOC_r4.json.
+
+What bounds what:
+- input side: one row cannot be split below one document — peak input
+  memory per worker is the document's Arrow buffer (~doc bytes);
+- UDF side: operators/pipeline._FLUSH_CHARS flushes accumulated OUTPUT
+  rows as their own Arrow batches, so the fold adds at most
+  ~_FLUSH_CHARS + one document's pages/items on top of the input buffer,
+  regardless of how many docs share the batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _rss_kb(pid: int) -> int:
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return 0
+
+
+def _descendant_pids(root: int) -> list[int]:
+    """All live descendant pids of root (via /proc PPid chains)."""
+    ppid = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/status") as f:
+                for line in f:
+                    if line.startswith("PPid:"):
+                        ppid[int(d)] = int(line.split()[1])
+                        break
+        except OSError:
+            continue
+    out, frontier = [], {root}
+    while frontier:
+        nxt = {p for p, pp in ppid.items() if pp in frontier}
+        out.extend(nxt)
+        frontier = nxt
+    return out
+
+
+class PeakSampler(threading.Thread):
+    """Samples RSS of this process tree; tracks the peak total and the
+    peak single-process (the interesting number: one worker's high-water
+    mark while folding the giant doc)."""
+
+    def __init__(self, interval: float = 0.1) -> None:
+        super().__init__(daemon=True)
+        self.interval = interval
+        self.peak_total_kb = 0
+        self.peak_single_kb = 0
+        self._halt = threading.Event()
+
+    def run(self) -> None:
+        me = os.getpid()
+        while not self._halt.is_set():
+            pids = [me] + _descendant_pids(me)
+            sizes = [_rss_kb(p) for p in pids]
+            self.peak_total_kb = max(self.peak_total_kb, sum(sizes))
+            self.peak_single_kb = max(self.peak_single_kb,
+                                      max(sizes, default=0))
+            time.sleep(self.interval)
+
+    def stop(self) -> None:
+        self._halt.set()
+
+
+def main() -> None:
+    giant_mb = int(os.environ.get("SPARK_GRAFT_GIANT_MB", "256"))
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("giant_doc_probe")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_GIANT_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from fast_pdf_parser_spark.config import ParseOptions
+    from fast_pdf_parser_spark.operators.pipeline import extract_documents
+    from fast_pdf_parser_spark.util import ship_package
+
+    ship_package(spark)
+
+    # one giant doc: page-shaped text spans (~64 KB each) until ~giant_mb;
+    # built JVM-side (sequence + transform) so the driver python process
+    # doesn't hold the corpus. A small normal doc rides along to prove the
+    # fold still interleaves.
+    span_kb = 64
+    n_spans = giant_mb * 1024 // span_kb
+    line = "# heading\nwords " * 1  # seed text; repeated JVM-side below
+    page_expr = (
+        "concat('# h', CAST(i AS STRING), '\\n', "
+        f"repeat('w', {span_kb * 1024 - 24}))"
+    )
+    giant = spark.range(1).select(
+        F.lit("giant_doc").alias("doc_id"),
+        F.expr(
+            f"transform(sequence(0, {n_spans - 1}), i -> "
+            f"named_struct('kind', 'text', 'text', {page_expr}, "
+            "'media_ref', CAST(NULL AS STRING), 'offset', CAST(i AS INT)))"
+        ).alias("spans"),
+    )
+    small = spark.range(1).select(
+        F.lit("small_doc").alias("doc_id"),
+        F.expr(
+            "transform(sequence(0, 3), i -> named_struct("
+            "'kind', 'text', 'text', concat('# t', CAST(i AS STRING), "
+            "'\\nsome words here'), 'media_ref', CAST(NULL AS STRING), "
+            "'offset', CAST(i AS INT)))"
+        ).alias("spans"),
+    )
+    corpus = giant.union(small)
+    path = f"/tmp/spark_graft_giant_{giant_mb}mb"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        corpus.write.mode("overwrite").parquet(path)
+    spans = spark.read.parquet(path)
+    _ = line
+
+    sampler = PeakSampler()
+    sampler.start()
+    t0 = time.time()
+    out = extract_documents(spans, parse_options=ParseOptions(num_partitions=0))
+    agg = out.agg(
+        F.countDistinct("doc_id").alias("docs"),
+        F.sum(F.when(F.col("kind") == "chunk", 1).otherwise(0)).alias("chunks"),
+        F.max(F.when(F.col("offset") == 0, F.col("doc_total_pages")))
+        .alias("max_pages"),
+        F.sum(F.when(F.col("offset") == 0, F.col("doc_bytes_decoded"))
+              .otherwise(0)).alias("bytes"),
+    ).collect()[0]
+    wall = time.time() - t0
+    sampler.stop()
+    sampler.join(2)
+
+    result = {
+        "metric": "giant_doc_peak_rss",
+        "giant_mb": giant_mb,
+        "spans": n_spans,
+        "wall_sec": round(wall, 2),
+        "docs": int(agg["docs"]),
+        "chunks": int(agg["chunks"]),
+        "max_pages": int(agg["max_pages"]),
+        "decoded_mb": round(agg["bytes"] / 1e6, 1),
+        "peak_single_proc_gb": round(sampler.peak_single_kb / 1e6, 2),
+        "peak_tree_gb": round(sampler.peak_total_kb / 1e6, 2),
+        "flush_chars_mb": 32,
+        "cpus": 2,
+        "driver_mem": os.environ.get("SPARK_GRAFT_GIANT_MEM", "48g"),
+    }
+    spark.stop()
+    line = json.dumps(result)
+    print(line)
+    with open(os.path.join(REPO, "BENCH", "GIANT_DOC_r4.json"), "a") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
