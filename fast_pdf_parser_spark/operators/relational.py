@@ -884,6 +884,57 @@ QUERIES["text_decontaminate"] = _pair(
 )
 
 
+# Exact substring-window dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the suffix-array dedup's relational
+# re-expression): every 8-word window that appears MORE THAN ONCE in the
+# corpus marks its positions, and per-doc overlapping/adjacent marked
+# windows merge into removal intervals (gaps-and-islands over positions).
+# Output: doc_id → (start_word, end_word, n_windows) duplicated regions a
+# downstream job can cut. Scale shape: linear window explode, group on a
+# 60-bit hash (never strings — the dup table is the corpus's repeated-
+# window set, small and broadcastable for typical dup rates), then a
+# per-doc window function; no self-join, no quadratic term. Within-doc
+# repeats count: count(*)>1 is Lee et al.'s "appears elsewhere in the
+# training set" irrespective of which document.
+def _substr_tail(h: str) -> str:
+    leads = " || ' ' || ".join(
+        f"lead(word, {i}) OVER w" for i in range(1, 8))
+    return f""",
+wins AS (
+  SELECT doc_id, pos, {h} AS g FROM (
+    SELECT doc_id, pos, word || ' ' || {leads} AS gram8
+    FROM words
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) t
+  WHERE gram8 IS NOT NULL
+),
+dup AS (SELECT g FROM wins GROUP BY g HAVING count(*) > 1),
+marked AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup d ON w.g = d.g),
+brks AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= 8
+              THEN 0 ELSE 1 END AS brk
+  FROM marked
+),
+islands AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brks
+)
+SELECT doc_id, CAST(island AS INT) AS span_id,
+       CAST(min(pos) AS INT) AS start_word,
+       CAST(max(pos) + 7 AS INT) AS end_word,
+       CAST(count(*) AS INT) AS n_windows
+FROM islands GROUP BY doc_id, island"""
+
+
+QUERIES["dedup_substring_spans"] = _pair(
+    "WITH " + _WORDS_SPARK + _substr_tail(_HASH60_SPARK.format(x="gram8")),
+    "WITH " + _WORDS_DUCK + _substr_tail(_HASH60_DUCK.format(x="gram8")),
+)
+
+
 # Cross-document boilerplate removal by paragraph frequency — CCNet's
 # public trick (Wenzek et al. 2020): a line/paragraph occurring in >5% of
 # documents is boilerplate ('all rights reserved', cookie banners), drop

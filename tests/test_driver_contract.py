@@ -39,7 +39,8 @@ def test_queries_and_oracles_consistent():
      "pipeline_meta_oracle", "dedup_lsh_pairs",
      "multimodal_media_features", "ann_ivf_grid",
      "pipeline_html_content_oracle", "text_pii_scrub",
-     "text_decontaminate"],
+     "text_decontaminate", "dedup_clusters", "dedup_substring_spans",
+     "ann_recall_report", "pipeline_docling_meta_oracle"],
 )
 def test_oracle_parity_sample(spark, name):
     import duckdb
@@ -62,3 +63,27 @@ def test_oracle_parity_sample(spark, name):
     assert sorted(scols) == sorted(dcols)
     assert len(srows) == len(drows)
     assert norm_rows(srows, scols) == norm_rows(drows, dcols)
+
+
+def test_substring_dedup_interval_semantics(spark):
+    """Hand-built corpus: a known 8+-word run repeated across two docs must
+    come back as ONE merged interval per doc covering exactly the repeated
+    region; unique text produces no spans."""
+    from fast_pdf_parser_spark.operators.relational import spark_sql
+
+    dup_run = " ".join(f"dup{i}" for i in range(10))  # 10 shared words
+    rows = [
+        (0, dup_run + " " + " ".join(f"a{i}" for i in range(20))),
+        (1, " ".join(f"b{i}" for i in range(5)) + " " + dup_run),
+        (2, " ".join(f"c{i}" for i in range(30))),  # all unique
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("documents")
+    got = {(r.doc_id): (r.start_word, r.end_word, r.n_windows)
+           for r in spark.sql(spark_sql("dedup_substring_spans")).collect()}
+    # doc 0: windows at pos 0..2 (10-word run -> 3 full 8-grams) ->
+    # interval [0, 9]; doc 1: run starts at word 5 -> [5, 14]; doc 2: none
+    assert got[0] == (0, 9, 3), got
+    assert got[1] == (5, 14, 3), got
+    assert 2 not in got
+    assert len(got) == 2
