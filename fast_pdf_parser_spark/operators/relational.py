@@ -935,6 +935,31 @@ QUERIES["dedup_substring_spans"] = _pair(
 )
 
 
+# Per-domain cap (domain diversification — the C4/FineWeb-lineage rule
+# that no single site may dominate the training mix): keep at most K
+# documents per source, highest-quality first (n_chars as the quality
+# proxy here; swap in any scored column), deterministic tiebreak on
+# doc_id. Scale shape: ONE hash partition by domain + a rank window — no
+# join at all; a pathological mega-domain is still a single partition's
+# sort, bounded by AQE skew splitting upstream or a count-prefilter
+# (domains below the cap skip the sort entirely) if needed. Same SQL text
+# in both dialects.
+_DOMAIN_CAP = """WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS domain_rank,
+         count(*) OVER (PARTITION BY source) AS domain_total
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(domain_rank AS INT) AS domain_rank,
+       CAST(domain_total AS INT) AS domain_total,
+       CASE WHEN domain_rank <= 8 THEN 'keep' ELSE 'drop' END AS domain_gate
+FROM ranked"""
+
+QUERIES["text_domain_cap"] = _pair(_DOMAIN_CAP, _DOMAIN_CAP)
+
+
 # Cross-document boilerplate removal by paragraph frequency — CCNet's
 # public trick (Wenzek et al. 2020): a line/paragraph occurring in >5% of
 # documents is boilerplate ('all rights reserved', cookie banners), drop

@@ -87,3 +87,28 @@ def test_substring_dedup_interval_semantics(spark):
     assert got[1] == (5, 14, 3), got
     assert 2 not in got
     assert len(got) == 2
+
+
+def test_domain_cap_semantics(spark):
+    """Per-domain cap: at most 8 keeps per source, quality-ordered
+    (n_chars desc), deterministic doc_id tiebreak."""
+    from fast_pdf_parser_spark.operators.relational import spark_sql
+
+    rows = [(i, "w " * (i % 13), f"site{i % 3}", (i * 7) % 100)
+            for i in range(40)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).createOrReplaceTempView("documents")
+    out = spark.sql(spark_sql("text_domain_cap")).collect()
+    assert len(out) == 40
+    n_chars = {i: (i * 7) % 100 for i in range(40)}
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        keeps = [r for r in rs if r.domain_gate == "keep"]
+        assert len(keeps) == min(8, len(rs))
+        # keeps are exactly the top-8 by (n_chars desc, doc_id asc)
+        order = sorted(rs, key=lambda r: (-n_chars[r.doc_id], r.doc_id))
+        assert {r.doc_id for r in keeps} == {r.doc_id for r in order[:8]}
+        assert all(r.domain_total == len(rs) for r in rs)
