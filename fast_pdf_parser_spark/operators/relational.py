@@ -960,6 +960,104 @@ FROM ranked"""
 QUERIES["text_domain_cap"] = _pair(_DOMAIN_CAP, _DOMAIN_CAP)
 
 
+# Quality-weighted sampling + deterministic split (FineWeb-Edu-style
+# score-proportional retention, plus the hash-bucket train/val/test split
+# every pipeline needs): keep probability proportional to a quality score
+# (n_chars / corpus max as the proxy here), decided by a content-free
+# 60-bit hash coin so the choice is reproducible on any cluster layout
+# and any re-run — no rand(), no per-partition state. Scale shape: the
+# corpus max is a single broadcastable scalar (one partial-agg scan);
+# everything else is a single projection — no shuffle of the documents
+# table itself.
+_SAMPLE_BODY = """WITH stats AS (
+  SELECT max(n_chars) AS max_chars FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         CAST(floor(n_chars * CAST(9999.0 AS DOUBLE) / max_chars) AS BIGINT)
+           AS rate_bp,
+         {coin} % 10000 AS coin,
+         {split_coin} % 100 AS split_coin
+  FROM documents CROSS JOIN stats
+)
+SELECT doc_id, source,
+       CAST(rate_bp AS INT) AS sample_rate_bp,
+       CAST(CASE WHEN coin < rate_bp THEN 1 ELSE 0 END AS INT) AS kept,
+       CASE WHEN split_coin < 98 THEN 'train'
+            WHEN split_coin < 99 THEN 'val'
+            ELSE 'test' END AS split
+FROM scored"""
+
+QUERIES["text_quality_sample"] = _pair(
+    _SAMPLE_BODY.format(
+        coin=_HASH60_SPARK.format(x="concat('s:', CAST(doc_id AS STRING))"),
+        split_coin=_HASH60_SPARK.format(
+            x="concat('p:', CAST(doc_id AS STRING))"),
+    ),
+    _SAMPLE_BODY.format(
+        coin=_HASH60_DUCK.format(x="'s:' || CAST(doc_id AS VARCHAR)"),
+        split_coin=_HASH60_DUCK.format(x="'p:' || CAST(doc_id AS VARCHAR)"),
+    ),
+)
+
+
+# Sequence-packing manifest — the concat-then-split packing GPT-style
+# pretraining uses: lay every document's tokens end to end in a canonical
+# order and cut every SEQ tokens; emit, per document, where its tokens
+# land (global start/end offset, first/last training sequence, straddle
+# count). The global prefix sum is computed the way a 1000-executor
+# cluster must: per-shard cumulative sums in parallel (shards are
+# contiguous doc_id ranges, so shard order == global order), a tiny
+# one-row-per-shard totals relation turned into shard base offsets by a
+# second (trivially small) running sum, then a broadcastable equi-join
+# back — no single giant window over the whole corpus.
+_PACK_SEQ = 128
+_PACK_BODY = """WITH toks AS (
+  SELECT doc_id,
+         CAST(floor(doc_id / 100.0) AS BIGINT) AS shard,
+         CAST({nwords} AS BIGINT) AS n_tokens
+  FROM documents WHERE length(trim(text)) > 0
+),
+local_sums AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS local_end
+  FROM toks
+),
+shard_totals AS (
+  SELECT shard, sum(n_tokens) AS shard_tokens FROM toks GROUP BY shard
+),
+shard_offsets AS (
+  SELECT shard,
+         COALESCE(sum(shard_tokens) OVER (ORDER BY shard
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS shard_start
+  FROM shard_totals
+)
+SELECT l.doc_id,
+       CAST(l.n_tokens AS BIGINT) AS n_tokens,
+       CAST(o.shard_start + l.local_end - l.n_tokens AS BIGINT)
+         AS start_offset,
+       CAST(o.shard_start + l.local_end AS BIGINT) AS end_offset,
+       CAST(floor((o.shard_start + l.local_end - l.n_tokens) / {seq}.0)
+            AS BIGINT) AS first_seq,
+       CAST(floor((o.shard_start + l.local_end - 1) / {seq}.0)
+            AS BIGINT) AS last_seq,
+       CAST(floor((o.shard_start + l.local_end - 1) / {seq}.0)
+            - floor((o.shard_start + l.local_end - l.n_tokens) / {seq}.0)
+            + 1 AS BIGINT) AS n_seqs
+FROM local_sums l JOIN shard_offsets o ON l.shard = o.shard"""
+
+QUERIES["text_pack_manifest"] = _pair(
+    _PACK_BODY.format(
+        nwords="size(split(trim(text), '[ \\t\\n]+'))", seq=_PACK_SEQ),
+    _PACK_BODY.format(
+        nwords=r"length(regexp_split_to_array(trim(text), '[ \t\n]+'))",
+        seq=_PACK_SEQ),
+)
+
+
 # Cross-document boilerplate removal by paragraph frequency — CCNet's
 # public trick (Wenzek et al. 2020): a line/paragraph occurring in >5% of
 # documents is boilerplate ('all rights reserved', cookie banners), drop

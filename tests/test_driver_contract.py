@@ -112,3 +112,66 @@ def test_domain_cap_semantics(spark):
         order = sorted(rs, key=lambda r: (-n_chars[r.doc_id], r.doc_id))
         assert {r.doc_id for r in keeps} == {r.doc_id for r in order[:8]}
         assert all(r.domain_total == len(rs) for r in rs)
+
+
+def test_quality_sample_deterministic_and_rate_shaped(spark):
+    """Sampling decisions are pure functions of doc_id (re-run identical),
+    the keep rate tracks the quality score, and the split is 98/1/1 by an
+    independent hash coin."""
+    from fast_pdf_parser_spark.operators.relational import spark_sql
+
+    rows = [(i, "w " * 20, f"site{i % 3}", 10 + (i * 13) % 490)
+            for i in range(600)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).createOrReplaceTempView("documents")
+    a = sorted(spark.sql(spark_sql("text_quality_sample")).collect())
+    b = sorted(spark.sql(spark_sql("text_quality_sample")).collect())
+    assert a == b  # no rand() anywhere: bit-identical on re-run
+    assert len(a) == 600
+    assert {r.split for r in a} <= {"train", "val", "test"}
+    n_train = sum(r.split == "train" for r in a)
+    assert n_train > 0.9 * len(a)
+    # keep rate rises with quality: top score quartile keeps more than
+    # the bottom quartile (hash coins are uniform; 150 docs per quartile)
+    by_rate = sorted(a, key=lambda r: r.sample_rate_bp)
+    lo = sum(r.kept for r in by_rate[:150])
+    hi = sum(r.kept for r in by_rate[-150:])
+    assert hi > lo
+    # the decision is exactly coin < rate_bp, so rate_bp==max implies kept
+    for r in a:
+        assert r.kept in (0, 1)
+
+
+def test_pack_manifest_sharded_prefix_sum_equals_global_window(spark):
+    """The distributed (per-shard + base-offset) prefix sum must emit
+    byte-identical offsets to the naive single-window packing."""
+    from fast_pdf_parser_spark.operators.relational import spark_sql
+
+    rows = [(i, ("tok " * (1 + (i * 7) % 40)).strip(), "s", 0)
+            for i in range(350) if i % 11 != 3]  # doc_id gaps on purpose
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).createOrReplaceTempView("documents")
+    got = {r.doc_id: r for r in
+           spark.sql(spark_sql("text_pack_manifest")).collect()}
+    naive = spark.sql("""
+      WITH toks AS (
+        SELECT doc_id,
+               CAST(size(split(trim(text), '[ \\t\\n]+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents WHERE length(trim(text)) > 0
+      )
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_offset
+      FROM toks""").collect()
+    assert len(got) == len(naive) == len(rows)
+    for r in naive:
+        g = got[r.doc_id]
+        assert g.start_offset == r.start_offset, r.doc_id
+        assert g.end_offset == r.start_offset + r.n_tokens
+        assert g.first_seq == r.start_offset // 128
+        assert g.last_seq == (r.start_offset + r.n_tokens - 1) // 128
+        assert g.n_seqs == g.last_seq - g.first_seq + 1

@@ -131,3 +131,25 @@ def test_decontaminate_joins_broadcast(spark):
     plan = physical(df)
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pack_manifest_no_global_sort_exchange(spark):
+    """The packing prefix sum must parallelize: the documents-sized side
+    gets hash partitioning by shard — never a single-partition global
+    window or a rangepartitioning sort of the whole corpus — and the
+    tiny shard-offsets side comes back via broadcast or a join whose
+    build input is the shard-totals aggregate, not the corpus."""
+    entrymod._prepare(spark, SF_DIR)
+    plan = physical(spark.sql(spark_sql("text_pack_manifest")))
+    assert "hashpartitioning(shard" in plan  # per-shard window, parallel
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one single-partition stage is allowed: the shard-offsets
+    # running sum, whose input is the per-shard AGGREGATE (n_shards rows),
+    # never the raw corpus
+    singles = plan.split("Exchange SinglePartition")
+    assert len(singles) == 2, f"want exactly 1 single-partition exchange:\n{plan}"
+    below = singles[1]
+    agg_pos = below.find("HashAggregate")
+    scan_pos = below.find("Scan ")
+    assert agg_pos != -1 and (scan_pos == -1 or agg_pos < scan_pos), plan

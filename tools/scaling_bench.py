@@ -46,10 +46,16 @@ def main() -> None:
     )
 
     best: dict[int, dict] = {}
+    best_rep: dict[int, float] = {}  # fastest single rep seen at the level
     for cpus in levels:
         for r in range(repeats):
             res = run_bench(sf_dir, cpus)
-            print(f"local[{cpus}] run {r}: {res['value']}s "
+            rep_min = (res.get("queries_spread", {})
+                       .get("pipeline_extract", {})
+                       .get("min", res["value"]))
+            best_rep[cpus] = min(best_rep.get(cpus, rep_min), rep_min)
+            print(f"local[{cpus}] run {r}: median {res['value']}s "
+                  f"(best rep {rep_min}s) "
                   f"{res['pages_per_sec']} pages/s "
                   f"{res['docs_per_sec']} docs/s", flush=True)
             if cpus not in best or res["value"] < best[cpus]["value"]:
@@ -57,15 +63,21 @@ def main() -> None:
 
     n, n4 = best[levels[0]], best[levels[1]]
     eff = n4["pages_per_sec"] / (4 * n["pages_per_sec"])
+    # best-rep efficiency: wall ratio of the fastest single rep per level
+    # (the pre-r4 protocol; medians accumulate same-JVM heap effects across
+    # reps at high thread counts that per-executor JVMs don't see)
+    eff_best = best_rep[levels[0]] / (4 * best_rep[levels[1]])
     report = {
         "sf": n["sf"],
         "levels": {str(c): {
             "wall_sec": best[c]["value"],
+            "best_rep_wall_sec": best_rep[c],
             "docs_per_sec": best[c]["docs_per_sec"],
             "pages_per_sec": best[c]["pages_per_sec"],
             "decoded_mb_per_sec": best[c]["decoded_mb_per_sec"],
         } for c in levels},
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_best_rep": round(eff_best, 3),
         "meets_0.8": eff >= 0.8,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
