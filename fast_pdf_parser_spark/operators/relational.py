@@ -1058,6 +1058,84 @@ QUERIES["text_pack_manifest"] = _pair(
 )
 
 
+# Capstone: the composed cleaning pipeline — the DAG a user actually runs
+# on a raw crawl, as ONE query: exact-dedup keep (first occurrence per
+# 60-bit text hash) -> PII scrub (deterministic injected PII, as in
+# text_pii_scrub, so the stage provably redacts) -> quality gate on the
+# scrubbed text -> per-domain cap -> deterministic split, emitting every
+# gate plus the final cleaned-text hash. Every stage's semantics is
+# individually oracle-proven above; this row proves they COMPOSE in one
+# DAG. Scale shape: exactly two shuffles (window by text-hash, window by
+# source) — scrub, quality and split are inline projections; no joins.
+_CLEAN_BODY = """WITH raw AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, text
+  FROM documents WHERE doc_id % 50 = 0
+),
+hashed AS (
+  SELECT doc_id, source, text, {h_text} AS th FROM raw
+),
+deduped AS (
+  SELECT doc_id, source, text,
+         CASE WHEN row_number() OVER (PARTITION BY th ORDER BY doc_id) = 1
+              THEN 1 ELSE 0 END AS dedup_keep
+  FROM hashed
+),
+scrubbed AS (
+  SELECT doc_id, source, dedup_keep, {scrub} AS text
+  FROM (SELECT doc_id, source, dedup_keep, {aug} AS text FROM deduped) a
+),
+gated AS (
+  SELECT doc_id, source, dedup_keep, text,
+         CASE WHEN {nwords} >= 50
+                   AND {ndistinct} * CAST(1.0 AS DOUBLE) / {nwords}
+                       > CAST(0.1 AS DOUBLE)
+              THEN 1 ELSE 0 END AS quality_keep,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY length(text) DESC, doc_id ASC)
+           AS domain_rank
+  FROM scrubbed
+)
+SELECT doc_id, source,
+       CAST(dedup_keep AS INT) AS dedup_keep,
+       CAST(quality_keep AS INT) AS quality_keep,
+       CAST(CASE WHEN domain_rank <= 20 THEN 1 ELSE 0 END AS INT)
+         AS domain_keep,
+       CASE WHEN {split_coin} % 100 < 98 THEN 'train'
+            WHEN {split_coin} % 100 < 99 THEN 'val'
+            ELSE 'test' END AS split,
+       {h_clean} AS clean_hash,
+       CAST(CASE WHEN dedup_keep = 1 AND quality_keep = 1
+                      AND domain_rank <= 20
+                 THEN 1 ELSE 0 END AS INT) AS final_keep
+FROM gated"""
+
+QUERIES["pipeline_clean_corpus"] = _pair(
+    _CLEAN_BODY.format(
+        h_text=_HASH60_SPARK.format(x="text"),
+        aug=_PII_AUG.format(str_t="STRING"),
+        scrub=_PII_SCRUB.format(email=_PII_EMAIL_SPARK, ip=_PII_IP_SPARK,
+                                g=""),
+        nwords="size(split(text, ' '))",
+        ndistinct="size(array_distinct(split(text, ' ')))",
+        split_coin=_HASH60_SPARK.format(
+            x="concat('p:', CAST(doc_id AS STRING))"),
+        h_clean=_HASH60_SPARK.format(x="text"),
+    ),
+    _CLEAN_BODY.format(
+        h_text=_HASH60_DUCK.format(x="text"),
+        aug=_PII_AUG.format(str_t="VARCHAR"),
+        scrub=_PII_SCRUB.format(email=_PII_EMAIL_DUCK, ip=_PII_IP_DUCK,
+                                g=", 'g'"),
+        nwords="length(split(text, ' '))",
+        ndistinct="length(list_distinct(split(text, ' ')))",
+        split_coin=_HASH60_DUCK.format(x="'p:' || CAST(doc_id AS VARCHAR)"),
+        h_clean=_HASH60_DUCK.format(x="text"),
+    ),
+)
+
+
 # Cross-document boilerplate removal by paragraph frequency — CCNet's
 # public trick (Wenzek et al. 2020): a line/paragraph occurring in >5% of
 # documents is boilerplate ('all rights reserved', cookie banners), drop

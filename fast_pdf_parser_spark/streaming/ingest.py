@@ -287,3 +287,45 @@ def stream_windowed_counts(
         .queryName(name).trigger(availableNow=True).start()
     )
     return query, name
+
+
+def stream_dedup_docs(
+    spark: SparkSession,
+    docs_dir: str,
+    watermark_minutes: int = 60,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming exact dedup — the online counterpart of the batch
+    ``dedup_exact`` operator (relational.py): the FIRST document seen per
+    60-bit content hash is emitted, any duplicate arriving in a later
+    micro-batch is dropped by the state store. The event-time watermark
+    bounds state (dropDuplicatesWithinWatermark): at 100 TB/day a stream
+    cannot keep every hash forever, so the dedup guarantee is scoped to
+    the watermark horizon — exactly the published behavior of production
+    online dedup (state TTL), not a local-mode shortcut.
+
+    Input schema needs (doc_id, text, ts). Returns (query, sink_name);
+    results land in an in-memory sink for test interrogation.
+    """
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(docs_dir)
+    )
+    hashed = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn(
+            "content_hash",
+            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long"),
+        )
+        .withWatermark("ts", f"{watermark_minutes} minutes")
+    )
+    deduped = hashed.dropDuplicatesWithinWatermark(["content_hash"])
+    name = "stream_dedup_docs"
+    query = (
+        deduped.select("doc_id", "content_hash", "ts")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    return query, name

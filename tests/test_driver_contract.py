@@ -175,3 +175,31 @@ def test_pack_manifest_sharded_prefix_sum_equals_global_window(spark):
         assert g.first_seq == r.start_offset // 128
         assert g.last_seq == (r.start_offset + r.n_tokens - 1) // 128
         assert g.n_seqs == g.last_seq - g.first_seq + 1
+
+
+def test_clean_corpus_composition(spark):
+    """Capstone pipeline: injected exact clones are dropped by the dedup
+    stage, per-source keeps respect the domain cap, and the split coin
+    agrees doc-for-doc with the standalone text_quality_sample operator
+    (same hash, same bucket — a doc's split never depends on which query
+    assigned it)."""
+    from fast_pdf_parser_spark.operators.relational import spark_sql
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(60)),
+             f"site{i % 2}", 100 + i) for i in range(80)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).createOrReplaceTempView("documents")
+    out = spark.sql(spark_sql("pipeline_clean_corpus")).collect()
+    clones = [r for r in out if r.doc_id >= 1_000_000]
+    origs = [r for r in out if r.doc_id < 1_000_000]
+    assert len(clones) == 2 and len(origs) == 80  # doc_id 0, 50 cloned
+    assert all(r.dedup_keep == 0 and r.final_keep == 0 for r in clones)
+    assert all(r.dedup_keep == 1 for r in origs)
+    for src in ("site0", "site1"):
+        assert sum(r.domain_keep for r in origs if r.source == src) <= 20
+    # split consistency with the standalone sampler (same 'p:' coin)
+    sample_split = {r.doc_id: r.split for r in
+                    spark.sql(spark_sql("text_quality_sample")).collect()}
+    for r in origs:
+        assert r.split == sample_split[r.doc_id], r.doc_id

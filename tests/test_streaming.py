@@ -232,3 +232,35 @@ def test_restart_mid_stream_is_exactly_once(spark, tmp_path):
                  .select("doc_id", "epoch").distinct()
                  .groupBy("doc_id").count().collect())
     assert all(r["count"] == 1 for r in per_epoch)
+
+
+def test_stream_dedup_first_seen_survives(spark, tmp_path):
+    """Online exact dedup: duplicates that arrive in LATER micro-batches
+    (state-store lookups, not within-batch distinct) are dropped; the
+    surviving set equals the batch dropDuplicates result and keeps the
+    earliest arrival per content hash."""
+    import datetime as dt
+
+    from fast_pdf_parser_spark.streaming.ingest import stream_dedup_docs
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    mk = lambda i, text, minute: {
+        "doc_id": i, "text": text,
+        "ts": t0 + dt.timedelta(minutes=minute)}
+    arrivals = [
+        [mk(0, "alpha text", 0), mk(1, "beta text", 1)],
+        [mk(2, "beta text", 5), mk(3, "gamma text", 6)],   # dup of 1
+        [mk(4, "alpha text", 9), mk(5, "gamma text", 10)],  # dups of 0, 3
+    ]
+    in_dir = str(tmp_path / "docs")
+    os.makedirs(in_dir)
+    for i, part in enumerate(arrivals):
+        spark.createDataFrame(pd.DataFrame(part)) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(in_dir, f"arrival={i}"))
+
+    q, sink = stream_dedup_docs(spark, in_dir + "/*",
+                                max_files_per_trigger=1)
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+    assert got == {0, 1, 3}  # first arrival per distinct text only
