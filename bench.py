@@ -125,7 +125,8 @@ def main() -> None:
         # so don't let it distort an expensive operator's number
         for name in ["text_quality_score", "events_sessionize",
                      "ann_cosine_topk", "f4_semantic_units",
-                     "dedup_minhash_signatures", "dedup_lsh_pairs"]:
+                     "dedup_minhash_signatures", "dedup_lsh_pairs",
+                     "pipeline_clean_corpus"]:
             walls = []
             for _ in range(reps):
                 t0 = time.time()
