@@ -39,10 +39,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
-def median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+from statistics import median  # noqa: E402
 
 
 def corpus_docs_for(sf_dir: str) -> int:
@@ -96,7 +93,7 @@ def main() -> None:
         write_corpus(spark, corpus_path, n_docs, seed=42,
                      include_pdf=include_pdf, num_partitions=128)
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     queries: dict[str, float] = {}
     queries_spread: dict[str, dict] = {}
     import gc

@@ -22,13 +22,17 @@ Algorithm: iterative min-label propagation with pointer jumping.
   fixpoint detector costing one scalar aggregate per round.
 - Pointer jumping makes convergence O(log diameter); near-duplicate
   clusters are near-cliques (diameter 2-3 in practice), so 2-3 rounds
-  settle real corpora. ``max_iters`` bounds the loop regardless.
+  settle real corpora. ``max_iters`` bounds the loop; exhausting it
+  without reaching the fixpoint raises (a partial clustering would
+  silently under-deduplicate downstream).
 
 Scale notes (100 TB / 10^12 docs):
 
 - Per-round lineage is cut with localCheckpoint (single-JVM test rig); on a
   real cluster substitute ``df.checkpoint()`` to HDFS/object storage or
-  persist(MEMORY_AND_DISK) — the call site is one line.
+  persist(MEMORY_AND_DISK) — the call site is one line. The previous
+  round's snapshot is unpersisted as soon as the new one is materialized,
+  bounding block-manager residency at two label tables.
 - The label table is 16 bytes/node; the edge table is bounded by the LSH
   band caps upstream (mega-buckets are skipped at candidate generation,
   so no skewed join key survives to this stage). AQE handles residual
@@ -44,6 +48,46 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ClusterConvergenceError(RuntimeError):
+    """max_iters exhausted before the label fixpoint: the clustering is
+    incomplete and must not be consumed (it would under-deduplicate)."""
+
+
+def _symmetric_edges(pairs: DataFrame) -> DataFrame:
+    edges = pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+    return edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _initial_labels(edges: DataFrame) -> DataFrame:
+    return (edges.select(F.col("src").alias("doc_id")).distinct()
+            .withColumn("label", F.col("doc_id")))
+
+
+def _propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label round + pointer jump — THE round shape; shared by
+    resolve_clusters and the plan-pin test so the pin can't drift."""
+    nbr = (edges.join(labels, edges["dst"] == labels["doc_id"])
+           .groupBy("src").agg(F.min("label").alias("nbr_min")))
+    stepped = (labels.alias("l")
+               .join(nbr.alias("n"),
+                     F.col("l.doc_id") == F.col("n.src"), "left")
+               .select(F.col("l.doc_id").alias("doc_id"),
+                       F.least(F.col("l.label"),
+                               F.coalesce(F.col("n.nbr_min"),
+                                          F.col("l.label")))
+                       .alias("label")))
+    # pointer jump: label <- label(label); every label IS a node id
+    return (stepped.alias("x")
+            .join(labels.alias("y"),
+                  F.col("x.label") == F.col("y.doc_id"), "left")
+            .select(F.col("x.doc_id").alias("doc_id"),
+                    F.coalesce(F.col("y.label"), F.col("x.label"))
+                    .alias("label")))
 
 
 def resolve_clusters(pairs: DataFrame, docs: DataFrame,
@@ -62,16 +106,15 @@ def resolve_clusters(pairs: DataFrame, docs: DataFrame,
     DataFrame(doc_id BIGINT, cluster_id BIGINT, keep INT) where
     cluster_id = min doc_id of the connected component and
     keep = 1 iff doc_id == cluster_id (the canonical survivor).
-    """
-    edges = pairs.select(F.col("doc_a").alias("src"),
-                         F.col("doc_b").alias("dst"))
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
 
-    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
-              .withColumn("label", F.col("doc_id"))
-              .localCheckpoint(eager=True))
+    Raises
+    ------
+    ClusterConvergenceError if max_iters rounds don't reach the fixpoint
+    (pointer jumping needs O(log diameter) rounds; hitting this means the
+    pair graph has a pathological chain or max_iters was set too low).
+    """
+    edges = _symmetric_edges(pairs).localCheckpoint(eager=True)
+    labels = _initial_labels(edges).localCheckpoint(eager=True)
 
     def _label_sum(df: DataFrame):
         return df.agg(
@@ -79,31 +122,22 @@ def resolve_clusters(pairs: DataFrame, docs: DataFrame,
         ).first()["s"]
 
     prev = _label_sum(labels)
+    converged = prev is None  # no candidate pairs at all
     for _ in range(max_iters):
-        if prev is None:  # no candidate pairs at all
+        if converged:
             break
-        nbr = (edges.join(labels, edges["dst"] == labels["doc_id"])
-               .groupBy("src").agg(F.min("label").alias("nbr_min")))
-        stepped = (labels.alias("l")
-                   .join(nbr.alias("n"),
-                         F.col("l.doc_id") == F.col("n.src"), "left")
-                   .select(F.col("l.doc_id").alias("doc_id"),
-                           F.least(F.col("l.label"),
-                                   F.coalesce(F.col("n.nbr_min"),
-                                              F.col("l.label")))
-                           .alias("label")))
-        # pointer jump: label <- label(label); every label IS a node id
-        jumped = (stepped.alias("x")
-                  .join(labels.alias("y"),
-                        F.col("x.label") == F.col("y.doc_id"), "left")
-                  .select(F.col("x.doc_id").alias("doc_id"),
-                          F.coalesce(F.col("y.label"), F.col("x.label"))
-                          .alias("label")))
-        labels = jumped.localCheckpoint(eager=True)
+        jumped = _propagation_round(edges, labels)
+        new_labels = jumped.localCheckpoint(eager=True)
+        labels.unpersist()  # bound block-manager residency at 2 snapshots
+        labels = new_labels
         cur = _label_sum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise ClusterConvergenceError(
+            f"label propagation did not converge in {max_iters} rounds")
 
     return (docs.select("doc_id").alias("d")
             .join(labels.alias("c"),
@@ -118,18 +152,9 @@ def resolve_clusters(pairs: DataFrame, docs: DataFrame,
 
 def propagation_round_plan(pairs: DataFrame, docs: DataFrame) -> str:
     """One propagation round's physical plan, for plan-shape tests: the
-    round must be hash equi-joins only (no cartesian / nested-loop)."""
-    edges = pairs.select(F.col("doc_a").alias("src"),
-                         F.col("doc_b").alias("dst"))
-    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
-              .withColumn("label", F.col("doc_id")))
-    nbr = (edges.join(labels, edges["dst"] == labels["doc_id"])
-           .groupBy("src").agg(F.min("label").alias("nbr_min")))
-    stepped = (labels.alias("l")
-               .join(nbr.alias("n"),
-                     F.col("l.doc_id") == F.col("n.src"), "left")
-               .select(F.col("l.doc_id").alias("doc_id"),
-                       F.least(F.col("l.label"),
-                               F.coalesce(F.col("n.nbr_min"),
-                                          F.col("l.label"))).alias("label")))
-    return stepped._jdf.queryExecution().executedPlan().toString()
+    round must be hash equi-joins only (no cartesian / nested-loop).
+    Built from the SAME _propagation_round the solver runs."""
+    edges = _symmetric_edges(pairs)
+    labels = _initial_labels(edges)
+    round_df = _propagation_round(edges, labels)
+    return round_df._jdf.queryExecution().executedPlan().toString()

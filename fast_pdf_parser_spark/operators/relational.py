@@ -1067,10 +1067,14 @@ QUERIES["text_pack_manifest"] = _pair(
 # individually oracle-proven above; this row proves they COMPOSE in one
 # DAG. Scale shape: exactly two shuffles (window by text-hash, window by
 # source) — scrub, quality and split are inline projections; no joins.
+# Injected exact clones carry NEGATIVE doc_ids (-(doc_id+1)), which can
+# never collide with a real corpus id at any scale; the dedup order
+# ranks non-negative ids first so the original is always the canonical
+# survivor.
 _CLEAN_BODY = """WITH raw AS (
   SELECT doc_id, source, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, source, text
+  SELECT -(doc_id + 1) AS doc_id, source, text
   FROM documents WHERE doc_id % 50 = 0
 ),
 hashed AS (
@@ -1078,7 +1082,10 @@ hashed AS (
 ),
 deduped AS (
   SELECT doc_id, source, text,
-         CASE WHEN row_number() OVER (PARTITION BY th ORDER BY doc_id) = 1
+         CASE WHEN row_number() OVER (
+                PARTITION BY th
+                ORDER BY CASE WHEN doc_id < 0 THEN 1 ELSE 0 END, doc_id
+              ) = 1
               THEN 1 ELSE 0 END AS dedup_keep
   FROM hashed
 ),

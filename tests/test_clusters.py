@@ -106,3 +106,20 @@ def test_keep_column_is_anti_joinable(spark):
     survivors = (docs.join(clusters.filter(F.col("keep") == 0),
                            "doc_id", "left_anti"))
     assert sorted(r["doc_id"] for r in survivors.collect()) == [0, 3, 4, 5]
+
+
+def test_nonconvergence_raises_not_partial(spark):
+    """Exhausting max_iters before the fixpoint must raise — a partial
+    clustering (multiple keep=1 survivors in one true component) would
+    silently under-deduplicate downstream."""
+    import pytest as _pytest
+
+    from fast_pdf_parser_spark.operators.clusters import (
+        ClusterConvergenceError,
+    )
+
+    edges = [(i, i + 1) for i in range(11)]  # 12-node path
+    docs = spark.range(12).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    with _pytest.raises(ClusterConvergenceError):
+        resolve_clusters(pairs, docs, max_iters=1).collect()

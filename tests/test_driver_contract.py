@@ -191,8 +191,8 @@ def test_clean_corpus_composition(spark):
         rows, "doc_id long, text string, source string, n_chars long"
     ).createOrReplaceTempView("documents")
     out = spark.sql(spark_sql("pipeline_clean_corpus")).collect()
-    clones = [r for r in out if r.doc_id >= 1_000_000]
-    origs = [r for r in out if r.doc_id < 1_000_000]
+    clones = [r for r in out if r.doc_id < 0]
+    origs = [r for r in out if r.doc_id >= 0]
     assert len(clones) == 2 and len(origs) == 80  # doc_id 0, 50 cloned
     assert all(r.dedup_keep == 0 and r.final_keep == 0 for r in clones)
     assert all(r.dedup_keep == 1 for r in origs)

@@ -107,7 +107,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from fast_pdf_parser_spark.config import ParseOptions
-    from fast_pdf_parser_spark.operators.pipeline import extract_documents
+    from fast_pdf_parser_spark.operators.pipeline import (
+        _FLUSH_CHARS,
+        extract_documents,
+    )
     from fast_pdf_parser_spark.util import ship_package
 
     ship_package(spark)
@@ -118,7 +121,6 @@ def main() -> None:
     # fold still interleaves.
     span_kb = 64
     n_spans = giant_mb * 1024 // span_kb
-    line = "# heading\nwords " * 1  # seed text; repeated JVM-side below
     page_expr = (
         "concat('# h', CAST(i AS STRING), '\\n', "
         f"repeat('w', {span_kb * 1024 - 24}))"
@@ -145,7 +147,6 @@ def main() -> None:
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         corpus.write.mode("overwrite").parquet(path)
     spans = spark.read.parquet(path)
-    _ = line
 
     sampler = PeakSampler()
     sampler.start()
@@ -174,7 +175,7 @@ def main() -> None:
         "decoded_mb": round(agg["bytes"] / 1e6, 1),
         "peak_single_proc_gb": round(sampler.peak_single_kb / 1e6, 2),
         "peak_tree_gb": round(sampler.peak_total_kb / 1e6, 2),
-        "flush_chars_mb": 32,
+        "flush_chars_mb": _FLUSH_CHARS >> 20,
         "cpus": 2,
         "driver_mem": os.environ.get("SPARK_GRAFT_GIANT_MEM", "48g"),
     }
