@@ -1729,6 +1729,40 @@ _GRID_RANKED_TAIL = """ranked AS (
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
 FROM ranked WHERE rank <= 10"""
 
+
+# Cluster-balanced sampling over embedding space — the embedding-space
+# analogue of text_domain_cap (cluster-balanced data selection: cap how
+# many documents any one semantic cluster contributes to the training
+# mix). Clusters are the deterministic hyperplane-grid cells of the IVF
+# tier above, so the whole operator is SQL and hash-checks cross-engine.
+# Scale shape: ONE hash partition by cell + a rank window — no join; the
+# deterministic vec_id order stands in for a quality column (swapping in
+# a scored ORDER BY is a one-line change, as with text_domain_cap).
+def _cluster_cap_sql(elem: str) -> str:
+    cell = _band_key_sql(_GRID_BAND, elem, _GRID_BITS)
+    return f"""WITH cells AS (
+  SELECT vec_id, {cell} AS cell FROM embeddings
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY cell ORDER BY vec_id ASC)
+           AS cell_rank,
+         count(*) OVER (PARTITION BY cell) AS cell_total
+  FROM cells
+)
+SELECT vec_id, cell,
+       CAST(cell_rank AS INT) AS cell_rank,
+       CAST(cell_total AS INT) AS cell_total,
+       CAST(CASE WHEN cell_rank <= 8 THEN 1 ELSE 0 END AS INT) AS kept
+FROM ranked"""
+
+
+QUERIES["embed_cluster_cap"] = _pair(
+    _cluster_cap_sql(_EMB_ELEM_SPARK),
+    _cluster_cap_sql(_EMB_ELEM_DUCK),
+)
+
+
 QUERIES["ann_ivf_grid"] = _pair(
     f"""WITH {_grid_head(_EMB_ELEM_SPARK)},
 probes AS (
