@@ -31,8 +31,9 @@ Scale notes (100 TB / 10^12 docs):
 - Per-round lineage is cut with localCheckpoint (single-JVM test rig); on a
   real cluster substitute ``df.checkpoint()`` to HDFS/object storage or
   persist(MEMORY_AND_DISK) — the call site is one line. The previous
-  round's snapshot is unpersisted as soon as the new one is materialized,
-  bounding block-manager residency at two label tables.
+  round's snapshot is freed at the JVM RDD level as soon as the new one
+  is materialized (DataFrame.unpersist is a no-op for localCheckpoint
+  blocks), bounding block-manager residency at edges + two label tables.
 - The label table is 16 bytes/node; the edge table is bounded by the LSH
   band caps upstream (mega-buckets are skipped at candidate generation,
   so no skewed join key survives to this stage). AQE handles residual
@@ -109,12 +110,33 @@ def resolve_clusters(pairs: DataFrame, docs: DataFrame,
 
     Raises
     ------
-    ClusterConvergenceError if max_iters rounds don't reach the fixpoint
-    (pointer jumping needs O(log diameter) rounds; hitting this means the
-    pair graph has a pathological chain or max_iters was set too low).
+    ClusterConvergenceError if the labels are STILL CHANGING after
+    max_iters rounds (the sum detector runs one extra confirming round on
+    top, so a graph that settles on exactly the last permitted round
+    succeeds; pointer jumping needs O(log diameter) rounds, so hitting
+    this means a pathological chain or max_iters set too low).
     """
+    sc = pairs.sparkSession.sparkContext
+
+    def _persistent_ids() -> set[int]:
+        # DataFrame.unpersist() is a silent no-op for localCheckpoint
+        # blocks (they are RDD-level persisted, not CacheManager plans),
+        # so residency is bounded by unpersisting at the JVM RDD level
+        jmap = sc._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    def _unpersist_ids(ids: set[int]) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            rdd = jmap.get(rid)
+            if rdd is not None:
+                rdd.unpersist()
+
+    base = _persistent_ids()
     edges = _symmetric_edges(pairs).localCheckpoint(eager=True)
+    edge_ids = _persistent_ids() - base
     labels = _initial_labels(edges).localCheckpoint(eager=True)
+    label_ids = _persistent_ids() - base - edge_ids
 
     def _label_sum(df: DataFrame):
         return df.agg(
@@ -123,21 +145,26 @@ def resolve_clusters(pairs: DataFrame, docs: DataFrame,
 
     prev = _label_sum(labels)
     converged = prev is None  # no candidate pairs at all
-    for _ in range(max_iters):
-        if converged:
-            break
+    changing_rounds = 0
+    while not converged:
+        before = _persistent_ids()
         jumped = _propagation_round(edges, labels)
         new_labels = jumped.localCheckpoint(eager=True)
-        labels.unpersist()  # bound block-manager residency at 2 snapshots
-        labels = new_labels
-        cur = _label_sum(labels)
+        new_ids = _persistent_ids() - before
+        cur = _label_sum(new_labels)
+        _unpersist_ids(label_ids)  # bound residency at edges + 2 snapshots
+        labels, label_ids = new_labels, new_ids
         if cur == prev:
-            converged = True
+            converged = True  # confirming round: fixpoint reached
             break
+        changing_rounds += 1
+        # max_iters bounds label-CHANGING rounds; the sum detector always
+        # needs one extra confirming round on top, so a graph that
+        # converges on exactly the last permitted round still succeeds
+        if changing_rounds > max_iters:
+            raise ClusterConvergenceError(
+                f"label propagation still changing after {max_iters} rounds")
         prev = cur
-    if not converged:
-        raise ClusterConvergenceError(
-            f"label propagation did not converge in {max_iters} rounds")
 
     return (docs.select("doc_id").alias("d")
             .join(labels.alias("c"),

@@ -1068,9 +1068,11 @@ QUERIES["text_pack_manifest"] = _pair(
 # DAG. Scale shape: exactly two shuffles (window by text-hash, window by
 # source) — scrub, quality and split are inline projections; no joins.
 # Injected exact clones carry NEGATIVE doc_ids (-(doc_id+1)), which can
-# never collide with a real corpus id at any scale; the dedup order
-# ranks non-negative ids first so the original is always the canonical
-# survivor.
+# never collide with a real corpus id at any scale; both windows rank
+# dedup losers and negative ids last, so the original is always the
+# canonical survivor AND a dedup-doomed row can never steal a domain-cap
+# slot from a kept document (stage composition: the cap applies to what
+# dedup lets through).
 _CLEAN_BODY = """WITH raw AS (
   SELECT doc_id, source, text FROM documents
   UNION ALL
@@ -1100,7 +1102,10 @@ gated AS (
                        > CAST(0.1 AS DOUBLE)
               THEN 1 ELSE 0 END AS quality_keep,
          row_number() OVER (PARTITION BY source
-                            ORDER BY length(text) DESC, doc_id ASC)
+                            ORDER BY dedup_keep DESC,
+                                     length(text) DESC,
+                                     CASE WHEN doc_id < 0 THEN 1 ELSE 0 END,
+                                     doc_id ASC)
            AS domain_rank
   FROM scrubbed
 )

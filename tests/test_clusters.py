@@ -123,3 +123,32 @@ def test_nonconvergence_raises_not_partial(spark):
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     with _pytest.raises(ClusterConvergenceError):
         resolve_clusters(pairs, docs, max_iters=1).collect()
+
+
+def test_boundary_convergence_succeeds(spark):
+    """A graph that settles on exactly the last permitted changing round
+    must succeed — the confirming round is on top of max_iters, not
+    inside it (a single edge converges in 1 changing round)."""
+    docs = spark.range(3).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    rows = {r.doc_id: (r.cluster_id, r.keep)
+            for r in resolve_clusters(pairs, docs, max_iters=1).collect()}
+    assert rows == {0: (0, 1), 1: (0, 0), 2: (2, 1)}
+
+
+def test_block_manager_residency_bounded(spark):
+    """localCheckpoint snapshots from finished rounds must actually be
+    freed (DataFrame.unpersist is a no-op for them; the solver unpersists
+    at the JVM RDD level)."""
+    sc = spark.sparkContext
+
+    def n_persistent():
+        return sc._jsc.getPersistentRDDs().size()
+
+    base = n_persistent()
+    edges = [(i, i + 1) for i in range(11)]  # multi-round convergence
+    docs = spark.range(14).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    resolve_clusters(pairs, docs).collect()
+    # at most edges + the final two label snapshots may remain
+    assert n_persistent() - base <= 3

@@ -196,8 +196,11 @@ def test_clean_corpus_composition(spark):
     assert len(clones) == 2 and len(origs) == 80  # doc_id 0, 50 cloned
     assert all(r.dedup_keep == 0 and r.final_keep == 0 for r in clones)
     assert all(r.dedup_keep == 1 for r in origs)
+    # dedup-doomed clones rank after every kept doc in the domain window,
+    # so they can never steal a cap slot from a real document
+    assert all(r.domain_keep == 0 for r in clones)
     for src in ("site0", "site1"):
-        assert sum(r.domain_keep for r in origs if r.source == src) <= 20
+        assert sum(r.domain_keep for r in origs if r.source == src) == 20
     # split consistency with the standalone sampler (same 'p:' coin)
     sample_split = {r.doc_id: r.split for r in
                     spark.sql(spark_sql("text_quality_sample")).collect()}
