@@ -153,3 +153,17 @@ def test_pack_manifest_no_global_sort_exchange(spark):
     agg_pos = below.find("HashAggregate")
     scan_pos = below.find("Scan ")
     assert agg_pos != -1 and (scan_pos == -1 or agg_pos < scan_pos), plan
+
+
+def test_cap_operators_single_partition_free_no_join(spark):
+    """Both cap operators (per-domain, per-embedding-cell) must be ONE
+    hash-partitioned window over their grouping key — no join, no
+    single-partition stage, no global sort of the corpus."""
+    entrymod._prepare(spark, SF_DIR)
+    for name, key in (("text_domain_cap", "source"),
+                      ("embed_cluster_cap", "cell")):
+        plan = physical(spark.sql(spark_sql(name)))
+        assert f"hashpartitioning({key}" in plan, name
+        assert "Exchange SinglePartition" not in plan, name
+        assert "Join" not in plan, name
+        assert "CartesianProduct" not in plan, name
