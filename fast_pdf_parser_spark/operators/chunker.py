@@ -339,12 +339,253 @@ def final_merge_pass(
     return final_chunks
 
 
-def chunk_pages(
+class StreamingChunker:
+    """Exact streaming form of the 7-pass pipeline with O(1)-chunks state.
+
+    Every pass above is a forward fold whose decisions need at most one
+    chunk of lookbehind (pass 7's backward merge into the previous OUTPUT
+    chunk) or one line of lookahead (pass 2's blank-before-heading probe),
+    so the whole chain runs page-at-a-time: ``push_page`` returns the
+    chunks that can never change again, ``finish`` flushes the rest. This
+    is the Spark-side analogue of the reference's batch-bounded streaming
+    consume (src/fast_pdf_parser.cpp:75-115, batch_size=10 pages): peak
+    memory tracks the largest single semantic unit plus a constant number
+    of in-flight chunks, never the whole document.
+
+    Exactness contract: composing push_page over a run's non-empty pages +
+    finish yields byte-identical chunks to the batch pass chain; pinned by
+    ``tests/test_streaming_chunker.py`` (hypothesis fuzz vs the batch
+    functions above) and by every existing span-equality fixture, since
+    ``chunk_pages`` itself now routes through this class.
+    """
+
+    def __init__(
+        self,
+        tokenizer: TiktokenTokenizer,
+        options: ChunkOptions = ChunkOptions(),
+    ) -> None:
+        self._tok = tokenizer
+        self._opt = options
+        # pass 1/2: one-line lookahead buffer + accumulating unit
+        self._held_line: AnnotatedLine | None = None
+        self._unit = SemanticUnit()
+        # pass 3: accumulating initial chunk; pass 4: previous pass-3
+        # chunk's last overlap_tokens*5 bytes (all add_overlap ever reads)
+        self._chunk3 = Chunk()
+        self._prev3_tail: bytes | None = None
+        # pass 5 / pass 7 accumulators; _tail7 is the last appended final
+        # chunk, still mutable until the next append (backward merge)
+        self._cur5: Chunk | None = None
+        self._cur7: Chunk | None = None
+        self._tail7: Chunk | None = None
+        self._out: list[Chunk] = []
+
+    # -- public API ---------------------------------------------------
+
+    def push_page(self, page_text: str, page_num: int) -> list[Chunk]:
+        """Feed one page; returns chunks finalized by this page."""
+        if page_text:  # empty-page filter (:424-429)
+            for line in annotate_lines([(page_text, page_num)], self._tok):
+                self._push_line(line)
+        return self._drain()
+
+    def finish(self) -> list[Chunk]:
+        """End of run: flush every stage in pass order."""
+        if self._held_line is not None:
+            self._emit_line(self._held_line, None)
+            self._held_line = None
+        if self._unit.lines:
+            self._push_unit(self._unit)
+            self._unit = SemanticUnit()
+        if self._chunk3.text:
+            self._emit_pass3(self._chunk3)
+            self._chunk3 = Chunk()
+        if self._cur5 is not None:
+            self._pass6_push(self._cur5)
+            self._cur5 = None
+        if self._cur7 is not None:
+            self._close7()
+        if self._tail7 is not None:
+            self._finalize(self._tail7)
+            self._tail7 = None
+        return self._drain()
+
+    # -- stages -------------------------------------------------------
+
+    def _drain(self) -> list[Chunk]:
+        out, self._out = self._out, []
+        return out
+
+    def _push_line(self, line: AnnotatedLine) -> None:
+        held, self._held_line = self._held_line, line
+        if held is not None:
+            self._emit_line(held, line)
+
+    def _emit_line(self, line: AnnotatedLine, nxt: AnnotatedLine | None) -> None:
+        # pass 2 break rules (:142-179); nxt is None only at end-of-run,
+        # matching the batch loop's `i + 1 < n` guard
+        should_break = False
+        if line.type in (MAJOR_HEADING, MINOR_HEADING):
+            should_break = True
+        elif line.type == BLANK and nxt is not None:
+            if nxt.type in (MAJOR_HEADING, MINOR_HEADING):
+                should_break = True
+        if should_break and self._unit.lines:
+            self._push_unit(self._unit)
+            self._unit = SemanticUnit()
+        if not (line.type == BLANK and not self._unit.lines):
+            self._unit.add_line(line)
+
+    def _push_unit(self, unit: SemanticUnit) -> None:
+        # pass 3 (:182-222)
+        c = self._chunk3
+        if c.text and c.tokens + unit.total_tokens > self._opt.max_tokens:
+            self._emit_pass3(c)
+            c = self._chunk3 = Chunk()
+        c.text += unit.get_text()
+        c.tokens += unit.total_tokens
+        if unit.pages:
+            if c.start_page == -1:
+                c.start_page = min(unit.pages)
+            c.end_page = max(unit.pages)
+        if unit.has_major_heading:
+            c.has_major_heading = True
+            c.min_heading_level = min(c.min_heading_level, unit.max_heading_level)
+
+    def _emit_pass3(self, chunk: Chunk) -> None:
+        # pass 4 (:225-246) applied at the pre-merge boundary it describes:
+        # overlap for chunk i reads only the tail of pass-3 chunk i-1
+        ot = self._opt.overlap_tokens
+        if self._prev3_tail is not None:
+            overlap = self._prev3_tail
+            count = self._tok._count_line_cached
+            while count(overlap) > ot and len(overlap) > 10:
+                overlap = overlap[10:]
+            chunk.overlap_text = overlap.decode("utf-8", errors="replace")
+            chunk.overlap_tokens = count(overlap)
+        text_bytes = chunk.text.encode("utf-8")
+        keep = min(len(text_bytes), ot * 5)
+        self._prev3_tail = text_bytes[len(text_bytes) - keep:]
+        self._pass5_push(chunk)
+
+    def _pass5_push(self, c: Chunk) -> None:
+        # pass 5 (:249-304); streaming owns each chunk so the batch
+        # version's defensive copy is unnecessary
+        if self._cur5 is None:
+            self._cur5 = c
+            return
+        cur = self._cur5
+        if cur.tokens < self._opt.min_tokens:
+            combined = cur.tokens + c.tokens
+            should_merge = False
+            if combined <= self._opt.max_tokens:
+                should_merge = True
+            elif (
+                combined <= self._opt.max_tokens * 1.1
+                and c.tokens < self._opt.min_tokens // 2
+            ):
+                should_merge = True
+            if (
+                c.has_major_heading
+                and c.min_heading_level <= 2
+                and cur.tokens >= self._opt.min_tokens // 2
+            ):
+                should_merge = False
+            if should_merge:
+                cur.text += c.text
+                cur.tokens = combined
+                cur.end_page = c.end_page
+                if c.has_major_heading:
+                    cur.has_major_heading = True
+                    cur.min_heading_level = min(
+                        cur.min_heading_level, c.min_heading_level
+                    )
+                return
+        self._pass6_push(cur)
+        self._cur5 = c
+
+    def _pass6_push(self, chunk: Chunk) -> None:
+        # pass 6 (:307-354) — per-chunk, no cross-chunk state
+        max_tokens = self._opt.max_tokens
+        if chunk.tokens <= max_tokens:
+            self._pass7_push(chunk)
+            return
+        count = self._tok.count_tokens
+        current = Chunk(start_page=chunk.start_page)
+        for line in split_page_lines(chunk.text):
+            line_tokens = count(line)
+            if current.text and current.tokens + line_tokens > max_tokens:
+                if current.tokens >= max_tokens * 0.8:
+                    current.end_page = chunk.end_page
+                    self._pass7_push(current)
+                    current = Chunk(start_page=chunk.start_page)
+            current.text += line + "\n"
+            current.tokens += line_tokens
+        if current.text:
+            current.end_page = chunk.end_page
+            self._pass7_push(current)
+
+    def _pass7_push(self, c: Chunk) -> None:
+        # pass 7 forward merge (:370-388)
+        if self._cur7 is None:
+            self._cur7 = c
+            return
+        cur = self._cur7
+        if (
+            cur.tokens < self._opt.min_tokens
+            and cur.tokens + c.tokens <= self._opt.max_tokens
+        ):
+            cur.text += c.text
+            cur.tokens += c.tokens
+            cur.end_page = c.end_page
+            if c.has_major_heading:
+                cur.has_major_heading = True
+                cur.min_heading_level = min(
+                    cur.min_heading_level, c.min_heading_level
+                )
+            return
+        self._close7()
+        self._cur7 = c
+
+    def _close7(self) -> None:
+        # pass 7 backward merge into the previous OUTPUT chunk (:391-407):
+        # only final_chunks[-1] is ever mutated, so chunks before it are
+        # immutable and stream out as soon as a new one is appended
+        cur, self._cur7 = self._cur7, None
+        tail = self._tail7
+        if (
+            cur.tokens < self._opt.min_tokens
+            and tail is not None
+            and tail.tokens + cur.tokens <= self._opt.max_tokens
+        ):
+            tail.text += cur.text
+            tail.tokens += cur.tokens
+            tail.end_page = cur.end_page
+            if cur.has_major_heading:
+                tail.has_major_heading = True
+                tail.min_heading_level = min(
+                    tail.min_heading_level, cur.min_heading_level
+                )
+            return
+        if tail is not None:
+            self._finalize(tail)
+        self._tail7 = cur
+
+    def _finalize(self, chunk: Chunk) -> None:
+        # final token recount (:457-459), applied exactly once, when the
+        # chunk can no longer change
+        chunk.tokens = self._tok.count_tokens(chunk.text)
+        self._out.append(chunk)
+
+
+def chunk_pages_batch(
     pages: list[tuple[str, int]],
     tokenizer: TiktokenTokenizer,
     options: ChunkOptions = ChunkOptions(),
 ) -> list[Chunk]:
-    """Pipeline driver (src/hierarchical_chunker.cpp:417-462)."""
+    """Whole-run pass chain (src/hierarchical_chunker.cpp:417-462), kept as
+    the literal transcription of the reference driver: the equivalence
+    oracle for StreamingChunker (tests/test_streaming_chunker.py)."""
     # empty-page filter (:424-429)
     non_empty = [(t, p) for t, p in pages if t]
     if not non_empty:
@@ -364,3 +605,19 @@ def chunk_pages(
     for chunk in chunks:
         chunk.tokens = tokenizer.count_tokens(chunk.text)
     return chunks
+
+
+def chunk_pages(
+    pages: list[tuple[str, int]],
+    tokenizer: TiktokenTokenizer,
+    options: ChunkOptions = ChunkOptions(),
+) -> list[Chunk]:
+    """Pipeline driver (src/hierarchical_chunker.cpp:417-462), routed
+    through the streaming form so the memory bound and the batch semantics
+    are one implementation."""
+    chunker = StreamingChunker(tokenizer, options)
+    out: list[Chunk] = []
+    for text, page in pages:
+        out.extend(chunker.push_page(text, page))
+    out.extend(chunker.finish())
+    return out

@@ -33,7 +33,11 @@ Scale notes (100 TB / 10^12 docs):
   persist(MEMORY_AND_DISK) — the call site is one line. The previous
   round's snapshot is freed at the JVM RDD level as soon as the new one
   is materialized (DataFrame.unpersist is a no-op for localCheckpoint
-  blocks), bounding block-manager residency at edges + two label tables.
+  blocks; the persisted RDD handle is read off the checkpointed plan's
+  LogicalRDD, never by diffing the global persistent-RDD map, which races
+  with concurrent jobs). In-loop residency: edges + one label table; on
+  return (or raise) edges are freed too — only the final label snapshot,
+  which the returned DataFrame reads, stays resident.
 - The label table is 16 bytes/node; the edge table is bounded by the LSH
   band caps upstream (mega-buckets are skipped at candidate generation,
   so no skewed join key survives to this stage). AQE handles residual
@@ -116,55 +120,64 @@ def resolve_clusters(pairs: DataFrame, docs: DataFrame,
     succeeds; pointer jumping needs O(log diameter) rounds, so hitting
     this means a pathological chain or max_iters set too low).
     """
-    sc = pairs.sparkSession.sparkContext
+    def _checkpointed(df: DataFrame):
+        """localCheckpoint + a DIRECT handle to the persisted JVM RDD.
 
-    def _persistent_ids() -> set[int]:
-        # DataFrame.unpersist() is a silent no-op for localCheckpoint
-        # blocks (they are RDD-level persisted, not CacheManager plans),
-        # so residency is bounded by unpersisting at the JVM RDD level
-        jmap = sc._jsc.getPersistentRDDs()
-        return {int(k) for k in jmap.keySet().toArray()}
-
-    def _unpersist_ids(ids: set[int]) -> None:
-        jmap = sc._jsc.getPersistentRDDs()
-        for rid in ids:
-            rdd = jmap.get(rid)
-            if rdd is not None:
-                rdd.unpersist()
-
-    base = _persistent_ids()
-    edges = _symmetric_edges(pairs).localCheckpoint(eager=True)
-    edge_ids = _persistent_ids() - base
-    labels = _initial_labels(edges).localCheckpoint(eager=True)
-    label_ids = _persistent_ids() - base - edge_ids
+        DataFrame.unpersist() is a silent no-op for localCheckpoint blocks
+        (they are RDD-level persisted, not CacheManager plans), and diffing
+        sc.getPersistentRDDs() snapshots is racy under concurrent Spark
+        jobs on the same session (plans/checkpoint.py runs a thread pool) —
+        another thread's persist landing between two snapshots would be
+        misattributed and wrongly freed. The checkpointed Dataset's
+        analyzed plan IS a LogicalRDD wrapping the persisted RDD, so the
+        handle is read straight off it; unpersist calls it directly."""
+        ckpt = df.localCheckpoint(eager=True)
+        jrdd = ckpt._jdf.queryExecution().analyzed().rdd()
+        return ckpt, jrdd
 
     def _label_sum(df: DataFrame):
         return df.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
 
-    prev = _label_sum(labels)
-    converged = prev is None  # no candidate pairs at all
-    changing_rounds = 0
-    while not converged:
-        before = _persistent_ids()
-        jumped = _propagation_round(edges, labels)
-        new_labels = jumped.localCheckpoint(eager=True)
-        new_ids = _persistent_ids() - before
-        cur = _label_sum(new_labels)
-        _unpersist_ids(label_ids)  # bound residency at edges + 2 snapshots
-        labels, label_ids = new_labels, new_ids
-        if cur == prev:
-            converged = True  # confirming round: fixpoint reached
-            break
-        changing_rounds += 1
-        # max_iters bounds label-CHANGING rounds; the sum detector always
-        # needs one extra confirming round on top, so a graph that
-        # converges on exactly the last permitted round still succeeds
-        if changing_rounds > max_iters:
-            raise ClusterConvergenceError(
-                f"label propagation still changing after {max_iters} rounds")
-        prev = cur
+    edges, edges_rdd = _checkpointed(_symmetric_edges(pairs))
+    labels_rdd = None
+    try:
+        labels, labels_rdd = _checkpointed(_initial_labels(edges))
+
+        prev = _label_sum(labels)
+        converged = prev is None  # no candidate pairs at all
+        changing_rounds = 0
+        while not converged:
+            new_labels, new_rdd = _checkpointed(
+                _propagation_round(edges, labels)
+            )
+            cur = _label_sum(new_labels)
+            labels_rdd.unpersist(False)  # bound residency: edges + 1 label
+            labels, labels_rdd = new_labels, new_rdd
+            if cur == prev:
+                converged = True  # confirming round: fixpoint reached
+                break
+            changing_rounds += 1
+            # max_iters bounds label-CHANGING rounds; the sum detector
+            # always needs one extra confirming round on top, so a graph
+            # that converges on exactly the last permitted round succeeds
+            if changing_rounds > max_iters:
+                raise ClusterConvergenceError(
+                    f"label propagation still changing after "
+                    f"{max_iters} rounds")
+            prev = cur
+    except BaseException:
+        # nothing is returned on the error path: free every block
+        if labels_rdd is not None:
+            labels_rdd.unpersist(False)
+        edges_rdd.unpersist(False)
+        raise
+    # success: the returned DataFrame reads ONLY the final labels snapshot
+    # (the largest table — edges — is released here, not at session end);
+    # the final labels block lives on behind the returned lineage and is
+    # freed when the caller is done with the result (or GC'd with the RDD)
+    edges_rdd.unpersist(False)
 
     return (docs.select("doc_id").alias("d")
             .join(labels.alias("c"),

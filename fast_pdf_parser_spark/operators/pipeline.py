@@ -49,7 +49,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from fast_pdf_parser_spark.config import ChunkOptions, ParseOptions
-from fast_pdf_parser_spark.operators.chunker import chunk_pages
 from fast_pdf_parser_spark.functions.tokenizer import get_tokenizer
 
 # Output: one row per output span, plus ChunkResult metadata
@@ -66,17 +65,30 @@ OUTPUT_DDL = (
 _COLUMNS = [f.split(" ")[0] for f in OUTPUT_DDL.split(", ")]
 
 
-def process_document(
+def _iter_doc_rows(
     doc_id: str,
     spans,
     tokenizer,
     chunk_options: ChunkOptions,
-) -> list[tuple]:
-    """Pure-Python per-document fold: spans → output span rows.
+    meta_out: dict,
+):
+    """Streaming per-document fold: yields CORE rows (OUTPUT_DDL minus the
+    four doc_* meta columns) incrementally, page by page, via
+    StreamingChunker — peak memory tracks a constant number of in-flight
+    chunks plus the largest single span, never the whole document's output
+    (the Spark-side analogue of the reference's batch-bounded consume,
+    src/fast_pdf_parser.cpp:75-115).
 
-    ``spans`` is an iterable of dict-like {kind, text, media_ref, offset}.
-    Returns rows matching OUTPUT_DDL. Unit-testable without Spark.
+    ``meta_out`` receives {total_pages, parse_failures, bytes_decoded,
+    first_error} once the generator is exhausted — doc totals only exist at
+    doc end, which is exactly why they can't ride on incrementally-emitted
+    rows (see _make_processor for where they attach).
+
+    Input references are released as they are consumed (ordered[i] = None)
+    so a giant document's span text becomes collectable span by span.
     """
+    from fast_pdf_parser_spark.operators.chunker import StreamingChunker
+
     # (offset, kind, text) — offset is THE document order; the null-safe
     # kind/text tiebreak only matters for (out-of-contract) duplicate
     # offsets and exists so the page-limit pushdown's comparator sort in
@@ -88,61 +100,81 @@ def process_document(
     )
     if chunk_options.page_limit > 0:
         ordered = ordered[: chunk_options.page_limit]
+    had_spans = bool(ordered)
 
-    out: list[tuple] = []
-    run: list[tuple[str, int]] = []  # (page_text, page_number=input offset)
     total_pages = 0
     parse_failures = 0
     bytes_decoded = 0
     first_error: str | None = None
+    emitted = 0
+    chunker: StreamingChunker | None = None
 
-    def flush_run() -> None:
-        nonlocal run
-        if not run:
-            return
-        chunks = chunk_pages(run, tokenizer, chunk_options)
+    def chunk_rows(chunks):
+        nonlocal emitted
+        rows = []
         for c in chunks:
-            out.append(
-                (doc_id, -1, "chunk", c.text, None,
+            rows.append(
+                (doc_id, emitted, "chunk", c.text, None,
                  c.tokens, c.start_page, c.end_page,
                  c.has_major_heading, c.min_heading_level,
                  c.overlap_text or None, c.overlap_tokens)
             )
-        run = []
+            emitted += 1
+        return rows
 
-    for s in ordered:
+    def passthrough_row(kind, text, media_ref):
+        nonlocal emitted
+        row = (doc_id, emitted, kind, text, media_ref,
+               None, None, None, None, None, None, None)
+        emitted += 1
+        return row
+
+    for i in range(len(ordered)):
+        s = ordered[i]
+        ordered[i] = None  # release the span (and its text) once consumed
         kind = s["kind"]
         if kind == "media":
-            flush_run()
-            out.append(
-                (doc_id, -1, "media", None, s["media_ref"],
-                 None, None, None, None, None, None, None)
-            )
+            if chunker is not None:
+                yield from chunk_rows(chunker.finish())
+                chunker = None
+            yield passthrough_row("media", None, s["media_ref"])
         elif kind == "pdf":
+            span_offset = s["offset"]
             try:
                 from fast_pdf_parser_spark.sources.pdf_lexer import (
                     extract_pdf_pages,
                 )
                 raw = base64.b64decode(s["text"])
                 bytes_decoded += len(raw)
+                del s
                 pdf_pages = extract_pdf_pages(raw)
+                del raw
+            except Exception as exc:  # error containment per page
+                total_pages += 1
+                parse_failures += 1
+                if first_error is None:
+                    first_error = f"page {span_offset}: {exc}"
+            else:
                 # total_pages counts REAL pdf pages (ChunkingResult
                 # semantics, hierarchical_chunker.h:29-35): a multi-page
                 # pdf span contributes each page as its own chunking page
                 # (page-boundary units), all sharing the span's offset
                 total_pages += max(1, len(pdf_pages))
-                for page_text in pdf_pages:
-                    run.append((page_text, s["offset"]))
-            except Exception as exc:  # error containment per page
-                total_pages += 1
-                parse_failures += 1
-                if first_error is None:
-                    first_error = f"page {s['offset']}: {exc}"
+                if chunker is None:
+                    chunker = StreamingChunker(tokenizer, chunk_options)
+                for j in range(len(pdf_pages)):
+                    page_text = pdf_pages[j]
+                    pdf_pages[j] = None  # free each page once chunked
+                    yield from chunk_rows(
+                        chunker.push_page(page_text, span_offset)
+                    )
         elif kind == "text":
             total_pages += 1
             text = s["text"] or ""
             bytes_decoded += len(text.encode("utf-8"))
-            run.append((text, s["offset"]))
+            if chunker is None:
+                chunker = StreamingChunker(tokenizer, chunk_options)
+            yield from chunk_rows(chunker.push_page(text, s["offset"]))
         elif kind == "html":
             # HTML member of the main-content extraction family:
             # boilerplate strip + DOM heuristics (sources/html_extractor),
@@ -154,60 +186,130 @@ def process_document(
                 )
                 raw_html = s["text"] or ""
                 bytes_decoded += len(raw_html.encode("utf-8"))
-                run.append((html_main_content(raw_html), s["offset"]))
+                main = html_main_content(raw_html)
+                del raw_html
             except Exception as exc:
                 parse_failures += 1
                 if first_error is None:
                     first_error = f"page {s['offset']}: {exc}"
+            else:
+                if chunker is None:
+                    chunker = StreamingChunker(tokenizer, chunk_options)
+                yield from chunk_rows(chunker.push_page(main, s["offset"]))
         else:
             # Unknown kinds pass through unmodified (forward-compat: never
             # reinterpret or drop data we don't understand at 10^12 docs).
-            flush_run()
-            out.append(
-                (doc_id, -1, kind, s["text"], s["media_ref"],
-                 None, None, None, None, None, None, None)
-            )
-    flush_run()
+            if chunker is not None:
+                yield from chunk_rows(chunker.finish())
+                chunker = None
+            yield passthrough_row(kind, s["text"], s["media_ref"])
+    if chunker is not None:
+        yield from chunk_rows(chunker.finish())
+        chunker = None
 
-    if not out and ordered:
+    if emitted == 0 and had_spans:
         # a document whose spans produced no output (every page failed to
         # parse, or zero-page/blank pages only) must NOT vanish: its meta
         # counters (pages seen, failures, first error) are the error-
         # containment contract. One kind='meta' row carries them.
-        out.append((doc_id, -1, "meta", None, None,
-                    None, None, None, None, None, None, None))
+        yield passthrough_row("meta", None, None)
 
-    doc_meta = (total_pages, parse_failures, bytes_decoded, first_error)
-    return [
-        row[:1] + (i,) + row[2:] + doc_meta for i, row in enumerate(out)
-    ]
+    meta_out["total_pages"] = total_pages
+    meta_out["parse_failures"] = parse_failures
+    meta_out["bytes_decoded"] = bytes_decoded
+    meta_out["first_error"] = first_error
+
+
+def process_document(
+    doc_id: str,
+    spans,
+    tokenizer,
+    chunk_options: ChunkOptions,
+) -> list[tuple]:
+    """Pure-Python per-document fold: spans → output span rows.
+
+    ``spans`` is an iterable of dict-like {kind, text, media_ref, offset}.
+    Returns rows matching OUTPUT_DDL. Unit-testable without Spark. This is
+    the materialized view of the streaming fold (_iter_doc_rows): every
+    row carries the doc's final meta columns.
+    """
+    meta: dict = {}
+    rows = list(_iter_doc_rows(doc_id, spans, tokenizer, chunk_options, meta))
+    doc_meta = (
+        meta["total_pages"], meta["parse_failures"],
+        meta["bytes_decoded"], meta["first_error"],
+    )
+    return [row + doc_meta for row in rows]
 
 
 # Output-side memory bound for the fold: accumulated result rows are
 # flushed as their own Arrow batch once their text payload crosses this
-# many characters (or _FLUSH_ROWS rows). Without it, a 64-doc input batch
-# of large documents holds EVERY doc's chunks in the Python worker until
-# the whole batch is folded — peak RSS proportional to batch payload, not
-# to the largest single document. The input side cannot be bounded below
-# one row (a document is one row by design — whole-doc locality); this
-# bounds everything the UDF itself adds on top. Measured by
-# tools/giant_doc_probe.py (BENCH/GIANT_DOC_r4.json).
+# many characters (or _FLUSH_ROWS rows) — both BETWEEN documents and,
+# since round 5, INSIDE a document: _iter_doc_rows streams chunk rows out
+# page by page, so a giant document's output leaves the worker in
+# ~_FLUSH_CHARS slices instead of accumulating whole. Peak worker memory
+# therefore tracks the input batch plus O(_FLUSH_CHARS), not ~15x the
+# largest document's decoded bytes (BENCH/GIANT_DOC_r5.json vs _r4).
+#
+# Meta-column contract under mid-doc streaming: doc totals (pages,
+# failures, bytes, first error) exist only at doc end, so rows flushed
+# mid-document carry NULL doc_* meta. Two guarantees keep consumers
+# simple: (1) the offset==0 row of every document ALWAYS carries the
+# final meta (it is withheld until the doc completes — one bounded row),
+# so `WHERE offset = 0` reads stay exact; (2) any document whose output
+# fits under the flush budget — everything but the giant-doc tail — has
+# meta on EVERY row, byte-identical to the pre-streaming output.
 _FLUSH_CHARS = 32 << 20
 _FLUSH_ROWS = 20_000
+
+_NULL_META = (None, None, None, None)
 
 
 def _make_processor(chunk_options: ChunkOptions, vocab_path: str | None):
     def process_batches(batches):
         tokenizer = get_tokenizer(vocab_path)  # per-worker singleton
         for pdf in batches:
-            rows: list[tuple] = []
+            doc_ids = pdf["doc_id"].tolist()
+            spans_col = pdf["spans"].tolist()
+            del pdf  # drop the pandas batch; spans free as docs complete
+            rows: list[tuple] = []  # completed-doc rows, meta attached
             pending_chars = 0
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                doc_rows = process_document(
-                    doc_id, spans, tokenizer, chunk_options
+            for j, doc_id in enumerate(doc_ids):
+                spans = spans_col[j]
+                spans_col[j] = None
+                meta: dict = {}
+                first_row: tuple | None = None  # withheld offset-0 row
+                doc_rows: list[tuple] = []
+                doc_chars = 0
+                for row in _iter_doc_rows(
+                    doc_id, spans, tokenizer, chunk_options, meta
+                ):
+                    if first_row is None:
+                        first_row = row
+                        continue
+                    doc_rows.append(row)
+                    if row[3]:
+                        doc_chars += len(row[3])
+                    if doc_chars >= _FLUSH_CHARS or len(doc_rows) >= _FLUSH_ROWS:
+                        # mid-doc flush (giant doc): stream what we have;
+                        # these rows carry NULL meta (not known yet)
+                        yield pd.DataFrame(
+                            rows + [r + _NULL_META for r in doc_rows],
+                            columns=_COLUMNS,
+                        )
+                        rows, pending_chars = [], 0
+                        doc_rows, doc_chars = [], 0
+                del spans
+                doc_meta = (
+                    meta["total_pages"], meta["parse_failures"],
+                    meta["bytes_decoded"], meta["first_error"],
                 )
-                rows.extend(doc_rows)
-                pending_chars += sum(len(r[3]) for r in doc_rows if r[3])
+                if first_row is not None:
+                    rows.append(first_row + doc_meta)
+                    if first_row[3]:
+                        doc_chars += len(first_row[3])
+                rows.extend(r + doc_meta for r in doc_rows)
+                pending_chars += doc_chars
                 if pending_chars >= _FLUSH_CHARS or len(rows) >= _FLUSH_ROWS:
                     yield pd.DataFrame(rows, columns=_COLUMNS)
                     rows, pending_chars = [], 0
@@ -318,11 +420,15 @@ def to_span_table(result: DataFrame) -> DataFrame:
 
 def results_meta(result: DataFrame) -> DataFrame:
     """Per-doc aggregate mirroring ChunkingResult
-    (hierarchical_chunker.h:29-35): total_pages, total_chunks."""
+    (hierarchical_chunker.h:29-35): total_pages, total_chunks.
+
+    Uses max() not first(): rows streamed out mid-document (giant docs
+    crossing the flush bound) carry NULL meta, and the per-doc meta is
+    constant-or-null, so the null-ignoring max IS the doc value."""
     return result.groupBy("doc_id").agg(
-        F.first("doc_total_pages").alias("total_pages"),
+        F.max("doc_total_pages").alias("total_pages"),
         F.sum(F.when(F.col("kind") == "chunk", 1).otherwise(0))
         .cast("int").alias("total_chunks"),
-        F.first("doc_parse_failures").alias("parse_failures"),
-        F.first("doc_bytes_decoded").alias("bytes_decoded"),
+        F.max("doc_parse_failures").alias("parse_failures"),
+        F.max("doc_bytes_decoded").alias("bytes_decoded"),
     )

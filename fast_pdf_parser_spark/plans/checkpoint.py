@@ -220,8 +220,11 @@ def run_with_checkpoint(
 
     # all pending buckets completed (errors raised above): the staged copy
     # has served its purpose — drop it, or it permanently doubles
-    # input-sized storage under out_dir per run configuration
-    if stage_input and pending:
+    # input-sized storage under out_dir per run configuration. This runs
+    # even when pending was empty: a crash between the last bucket's
+    # lineage append and this cleanup leaves a resume run that computes
+    # pending=[] — it must still collect the orphaned staged directory.
+    if stage_input and _fs_exists(spark, staged):
         _fs_delete(spark, staged)
         parent = os.path.dirname(staged)
         fs, hparent = _hadoop_fs(spark, parent)

@@ -294,6 +294,7 @@ def stream_dedup_docs(
     docs_dir: str,
     watermark_minutes: int = 60,
     max_files_per_trigger: int = 1,
+    schema=None,
 ):
     """Streaming exact dedup — the online counterpart of the batch
     ``dedup_exact`` operator (relational.py): the FIRST document seen per
@@ -306,8 +307,14 @@ def stream_dedup_docs(
 
     Input schema needs (doc_id, text, ts). Returns (query, sink_name);
     results land in an in-memory sink for test interrogation.
+
+    ``schema`` should be passed explicitly (DDL string or StructType) when
+    the watched directory may start EMPTY — the normal initial state of a
+    file-watcher stream; batch inference over an empty dir throws. When
+    omitted, the schema is inferred from files already present.
     """
-    schema = spark.read.parquet(docs_dir).schema
+    if schema is None:
+        schema = spark.read.parquet(docs_dir).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -125,6 +125,23 @@ def test_staged_copy_survives_crash_for_resume(spark, corpus, tmp_path):
     assert not os.path.exists(os.path.join(out, "staged", "rk_b3"))
 
 
+def test_orphaned_staged_dir_collected_on_noop_resume(spark, corpus, tmp_path):
+    """ADVICE r4: a crash AFTER the last bucket's lineage append but BEFORE
+    staged cleanup leaves pending=[] on resume — the resume must still
+    delete the orphaned staged directory, not skip cleanup."""
+    import os
+
+    out = str(tmp_path / "run_orphan")
+    run_with_checkpoint(spark, corpus, out, run_id="ro", num_buckets=2)
+    # simulate the crash window: resurrect the staged dir post-completion
+    staged = os.path.join(out, "staged", "ro_b2")
+    os.makedirs(staged)
+    with open(os.path.join(staged, "_SUCCESS"), "w"):
+        pass
+    run_with_checkpoint(spark, corpus, out, run_id="ro", num_buckets=2)
+    assert not os.path.exists(staged)
+
+
 def test_fs_probes_are_scheme_aware(spark, tmp_path):
     """The existence probes go through the Hadoop FileSystem API (resolved
     per path scheme) — a driver-local os.path check is blind on HDFS/S3

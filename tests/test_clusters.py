@@ -150,5 +150,23 @@ def test_block_manager_residency_bounded(spark):
     docs = spark.range(14).withColumnRenamed("id", "doc_id")
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     resolve_clusters(pairs, docs).collect()
-    # at most edges + the final two label snapshots may remain
-    assert n_persistent() - base <= 3
+    # only the final label snapshot (read by the returned DataFrame) may
+    # remain; edges and every superseded round are freed by the solver
+    assert n_persistent() - base <= 1
+
+
+def test_error_path_frees_all_blocks(spark):
+    """ClusterConvergenceError must not leak edges or label snapshots —
+    nothing is returned, so nothing may stay resident."""
+    import pytest
+    from fast_pdf_parser_spark.operators.clusters import (
+        ClusterConvergenceError,
+    )
+    sc = spark.sparkContext
+    base = sc._jsc.getPersistentRDDs().size()
+    edges = [(i, i + 1) for i in range(40)]  # long chain, tiny budget
+    docs = spark.range(41).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    with pytest.raises(ClusterConvergenceError):
+        resolve_clusters(pairs, docs, max_iters=1)
+    assert sc._jsc.getPersistentRDDs().size() - base == 0

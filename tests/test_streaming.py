@@ -264,3 +264,30 @@ def test_stream_dedup_first_seen_survives(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.doc_id for r in spark.sql(f"SELECT * FROM {sink}").collect()}
     assert got == {0, 1, 3}  # first arrival per distinct text only
+
+
+def test_stream_dedup_starts_on_empty_dir(spark, tmp_path):
+    """ADVICE r4: a file-watcher stream's normal initial state is an EMPTY
+    directory — with an explicit schema the stream must start (and dedup
+    files that appear later) instead of throwing at schema inference."""
+    import datetime as dt
+
+    from fast_pdf_parser_spark.streaming.ingest import stream_dedup_docs
+
+    in_dir = str(tmp_path / "docs_empty")
+    os.makedirs(in_dir)
+    q, sink = stream_dedup_docs(
+        spark, in_dir, schema="doc_id bigint, text string, ts timestamp"
+    )
+    q.awaitTermination(60)  # first availableNow pass over nothing
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [{"doc_id": 7, "text": "late text", "ts": t0},
+            {"doc_id": 8, "text": "late text", "ts": t0}]
+    spark.createDataFrame(pd.DataFrame(rows)).coalesce(1) \
+        .write.mode("overwrite").parquet(os.path.join(in_dir, "batch0"))
+    q2, sink = stream_dedup_docs(
+        spark, in_dir + "/*", schema="doc_id bigint, text string, ts timestamp"
+    )
+    q2.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+    assert got == {7}

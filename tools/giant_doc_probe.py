@@ -7,7 +7,7 @@ one very large document cost the Python worker and the JVM? This probe
 synthesizes a single ~N-MB text document (default 256 MB of span text,
 SPARK_GRAFT_GIANT_MB to change), runs the real extraction at local[2],
 samples peak RSS of the JVM and every pyspark worker from /proc during the
-run, and appends one JSON line to BENCH/GIANT_DOC_r4.json.
+run, and appends one JSON line to BENCH/GIANT_DOC_r5.json.
 
 What bounds what:
 - input side: one row cannot be split below one document — peak input
@@ -63,26 +63,57 @@ def _descendant_pids(root: int) -> list[int]:
     return out
 
 
+def _cmdline(pid: int) -> str:
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            return f.read().replace(b"\0", b" ").decode("utf-8", "replace")
+    except OSError:
+        return ""
+
+
 class PeakSampler(threading.Thread):
-    """Samples RSS of this process tree; tracks the peak total and the
-    peak single-process (the interesting number: one worker's high-water
-    mark while folding the giant doc)."""
+    """Samples RSS of this process tree; tracks the peak total, the peak
+    single-process, and — the attribution the r4 verdict asked for — the
+    peak JVM vs peak PYTHON WORKER separately: the streaming-fold fix
+    targets the worker, while the JVM's high-water mark is GC-elastic
+    (it grows to whatever -Xmx allows before collecting)."""
 
     def __init__(self, interval: float = 0.1) -> None:
         super().__init__(daemon=True)
         self.interval = interval
         self.peak_total_kb = 0
         self.peak_single_kb = 0
+        self.peak_jvm_kb = 0
+        self.peak_pyworker_kb = 0
         self._halt = threading.Event()
+        self._roles: dict[int, str] = {}
+
+    def _role(self, pid: int, me: int) -> str:
+        if pid not in self._roles:
+            cmd = _cmdline(pid)
+            if "java" in cmd.split(" ")[0]:
+                self._roles[pid] = "jvm"
+            elif pid != me and ("pyspark.daemon" in cmd
+                                or "pyspark.worker" in cmd):
+                self._roles[pid] = "pyworker"
+            else:
+                self._roles[pid] = "other"
+        return self._roles[pid]
 
     def run(self) -> None:
         me = os.getpid()
         while not self._halt.is_set():
             pids = [me] + _descendant_pids(me)
-            sizes = [_rss_kb(p) for p in pids]
-            self.peak_total_kb = max(self.peak_total_kb, sum(sizes))
-            self.peak_single_kb = max(self.peak_single_kb,
-                                      max(sizes, default=0))
+            sizes = [(p, _rss_kb(p)) for p in pids]
+            self.peak_total_kb = max(self.peak_total_kb,
+                                     sum(kb for _, kb in sizes))
+            for pid, kb in sizes:
+                self.peak_single_kb = max(self.peak_single_kb, kb)
+                role = self._role(pid, me)
+                if role == "jvm":
+                    self.peak_jvm_kb = max(self.peak_jvm_kb, kb)
+                elif role == "pyworker":
+                    self.peak_pyworker_kb = max(self.peak_pyworker_kb, kb)
             time.sleep(self.interval)
 
     def stop(self) -> None:
@@ -175,6 +206,8 @@ def main() -> None:
         "decoded_mb": round(agg["bytes"] / 1e6, 1),
         "peak_single_proc_gb": round(sampler.peak_single_kb / 1e6, 2),
         "peak_tree_gb": round(sampler.peak_total_kb / 1e6, 2),
+        "peak_jvm_gb": round(sampler.peak_jvm_kb / 1e6, 2),
+        "peak_pyworker_gb": round(sampler.peak_pyworker_kb / 1e6, 2),
         "flush_chars_mb": _FLUSH_CHARS >> 20,
         "cpus": 2,
         "driver_mem": os.environ.get("SPARK_GRAFT_GIANT_MEM", "48g"),
@@ -182,7 +215,7 @@ def main() -> None:
     spark.stop()
     line = json.dumps(result)
     print(line)
-    with open(os.path.join(REPO, "BENCH", "GIANT_DOC_r4.json"), "a") as f:
+    with open(os.path.join(REPO, "BENCH", "GIANT_DOC_r5.json"), "a") as f:
         f.write(line + "\n")
 
 
