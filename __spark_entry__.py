@@ -111,6 +111,46 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_clusters(pairs, spark.table("documents"))
 
 
+def _dedup_clusters_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components, quality-ranked canonical pick: the survivor per
+    cluster is the member with the longest text in bytes (ties → smallest
+    doc_id) — rank_col = -octet_length(text), lower is better. What a
+    real pipeline keeps: the best duplicate, not the oldest id."""
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.operators.clusters import resolve_clusters
+    from fast_pdf_parser_spark.operators.relational import dedup_lsh_pairs_df
+
+    _prepare(spark, sf_dir)
+    pairs = dedup_lsh_pairs_df(spark)
+    docs = spark.table("documents").withColumn(
+        "quality_rank", -F.octet_length("text"))
+    return resolve_clusters(pairs, docs, rank_col="quality_rank")
+
+
+def _pipeline_clean_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized cleaned corpus (the artifact a training run consumes):
+    runs the resume-safe checkpointed sink end-to-end into a scratch dir
+    and returns per-(split, source) doc counts + byte totals READ BACK
+    from the written files — so the oracle row checks the durable output,
+    not the in-memory plan."""
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.plans.checkpoint import (
+        _fs_delete,
+        write_clean_corpus,
+    )
+
+    _prepare(spark, sf_dir)
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/spark_graft_clean_{sf_name}"
+    _fs_delete(spark, out)  # fresh, idempotent run per invocation
+    clean = write_clean_corpus(spark, out, run_id="driver", num_buckets=4)
+    return (clean.groupBy("split", "source")
+            .agg(F.count("*").cast("int").alias("n_docs"),
+                 F.sum(F.octet_length("clean_text")).alias("clean_bytes")))
+
+
 def _pipeline_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1-G5: the full stateful extraction (rows-only check — its exact
     contract is pinned by the span-equality pytest fixtures)."""
@@ -165,6 +205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_embedding_cosine"] = _dedup_embedding_fast
     out["ann_lsh_topk"] = _ann_lsh_fast
     out["dedup_clusters"] = _dedup_clusters
+    out["dedup_clusters_ranked"] = _dedup_clusters_ranked
+    out["pipeline_clean_write"] = _pipeline_clean_write
     out["pipeline_extract_spans"] = _pipeline_spans
     out["pipeline_results_meta"] = _pipeline_meta
     out["pipeline_meta_oracle"] = _pipeline_meta_oracle

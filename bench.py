@@ -187,8 +187,12 @@ def main() -> None:
             os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "0") != "1":
         from fast_pdf_parser_spark.config import ChunkOptions
 
+        # matrix reps match the main protocol: the max512 SF1 leg's 3-rep
+        # spread (8.0-12.8 s, BENCH_SELF_r4) was wider than the effects
+        # tracked round-over-round; 5 reps make a ~15% config regression
+        # visible (r4 verdict, measurement item)
         matrix_reps = int(os.environ.get("SPARK_GRAFT_MATRIX_REPS",
-                                         str(max(3, reps - 2))))
+                                         str(reps)))
         for mt in (256, 512, 1024):
             opts = ChunkOptions(max_tokens=mt, min_tokens=mt * 3 // 10)
             mwalls = []

@@ -96,7 +96,9 @@ def _propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
 
 
 def resolve_clusters(pairs: DataFrame, docs: DataFrame,
-                     max_iters: int = 20) -> DataFrame:
+                     max_iters: int = 20,
+                     rank_col: str | None = None,
+                     stats: dict | None = None) -> DataFrame:
     """Resolve candidate pairs into components; emit the keep/drop table.
 
     Parameters
@@ -105,12 +107,23 @@ def resolve_clusters(pairs: DataFrame, docs: DataFrame,
         edges (e.g. ``dedup_lsh_pairs_df`` output).
     docs : DataFrame with a ``doc_id`` column — the full corpus; docs
         appearing in no pair become singleton clusters (keep=1).
+    rank_col : optional column on ``docs``; when given, the canonical
+        survivor per cluster is the member with the SMALLEST rank (ties →
+        smallest doc_id) instead of the smallest id — what a real pipeline
+        wants (keep the best-quality duplicate, not the oldest). The
+        labels stay BIGINT doc_ids and the decimal-sum fixpoint detector
+        is untouched: membership never depends on ranks, so the ranked
+        pick is one hash-partitioned window over cluster_id AFTER
+        convergence (rank + id are ~16 bytes/doc of shuffle), not a
+        struct-label propagation that would need a lexicographic-monotone
+        packing for the convergence proof.
 
     Returns
     -------
     DataFrame(doc_id BIGINT, cluster_id BIGINT, keep INT) where
     cluster_id = min doc_id of the connected component and
-    keep = 1 iff doc_id == cluster_id (the canonical survivor).
+    keep = 1 iff doc_id is the canonical survivor (== cluster_id in the
+    unranked form; the rank-minimal member with ``rank_col``).
 
     Raises
     ------
@@ -178,16 +191,33 @@ def resolve_clusters(pairs: DataFrame, docs: DataFrame,
     # the final labels block lives on behind the returned lineage and is
     # freed when the caller is done with the result (or GC'd with the RDD)
     edges_rdd.unpersist(False)
+    if stats is not None:
+        # label-CHANGING rounds + the confirming round (probe telemetry:
+        # pointer jumping predicts changing_rounds <= log2(diameter)+1)
+        stats["changing_rounds"] = changing_rounds
+        stats["total_rounds"] = changing_rounds + (0 if prev is None else 1)
 
-    return (docs.select("doc_id").alias("d")
-            .join(labels.alias("c"),
-                  F.col("d.doc_id") == F.col("c.doc_id"), "left")
-            .select(F.col("d.doc_id").alias("doc_id"),
-                    F.coalesce(F.col("c.label"), F.col("d.doc_id"))
-                    .alias("cluster_id"))
+    doc_cols = ["doc_id"] + ([rank_col] if rank_col else [])
+    assigned = (docs.select(*doc_cols).alias("d")
+                .join(labels.alias("c"),
+                      F.col("d.doc_id") == F.col("c.doc_id"), "left")
+                .select(F.col("d.doc_id").alias("doc_id"),
+                        F.coalesce(F.col("c.label"), F.col("d.doc_id"))
+                        .alias("cluster_id"),
+                        *([F.col(f"d.{rank_col}")] if rank_col else [])))
+    if rank_col is None:
+        return assigned.withColumn(
+            "keep",
+            (F.col("doc_id") == F.col("cluster_id")).cast("int"))
+
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("cluster_id")
+         .orderBy(F.col(rank_col).asc(), F.col("doc_id").asc()))
+    return (assigned
             .withColumn("keep",
-                        (F.col("doc_id") == F.col("cluster_id"))
-                        .cast("int")))
+                        (F.row_number().over(w) == 1).cast("int"))
+            .select("doc_id", "cluster_id", "keep"))
 
 
 def propagation_round_plan(pairs: DataFrame, docs: DataFrame) -> str:

@@ -524,6 +524,35 @@ SELECT d.doc_id,
                  THEN 1 ELSE 0 END AS INT) AS keep
 FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id"""
 
+# Quality-ranked canonical pick: same components, but the survivor per
+# cluster is the BEST member — here the longest text in bytes (strlen ==
+# Spark octet_length; ties -> smallest doc_id) — instead of the smallest
+# id. The Spark side is resolve_clusters(rank_col=...): identical
+# propagation, one post-convergence window.
+_CLUSTERS_RANKED_DUCK = _CLUSTERS_DUCK.replace(
+    """SELECT d.doc_id,
+       CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id""",
+    """SELECT doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY rank ASC, doc_id ASC) = 1
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM (
+  SELECT d.doc_id,
+         coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         -strlen(d.text) AS rank
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+) assigned""")
+# the replace must actually fire (same guard idiom as _LSH_SPARK): a
+# reformat of the _CLUSTERS_DUCK tail would otherwise silently leave the
+# ranked oracle identical to the unranked one
+assert _CLUSTERS_RANKED_DUCK != _CLUSTERS_DUCK, \
+    "_CLUSTERS_DUCK tail marker not found; ranked pick was not spliced"
+
 # n-gram (word bigram) jaccard between adjacent doc ids — linear, exact
 _JACCARD_SPARK = """WITH grams AS (
   SELECT doc_id, collect_set(concat(w[0], ' ', w[1])) AS gs
@@ -1120,7 +1149,8 @@ SELECT doc_id, source,
        {h_clean} AS clean_hash,
        CAST(CASE WHEN dedup_keep = 1 AND quality_keep = 1
                       AND domain_rank <= 20
-                 THEN 1 ELSE 0 END AS INT) AS final_keep
+                 THEN 1 ELSE 0 END AS INT) AS final_keep,
+       text AS clean_text
 FROM gated"""
 
 QUERIES["pipeline_clean_corpus"] = _pair(
@@ -1485,6 +1515,20 @@ FROM lines GROUP BY doc_id, CAST(line_no // 12 AS INT)""",
     # connected components + canonical pick over LSH pairs; the Spark side
     # is operators/clusters.resolve_clusters (iterative, not SQL)
     "dedup_clusters": _CLUSTERS_DUCK,
+    # same components, quality-ranked survivor (longest text wins)
+    "dedup_clusters_ranked": _CLUSTERS_RANKED_DUCK,
+    # materialized cleaned corpus: the Spark side RUNS the resume-safe
+    # sink (plans/checkpoint.write_clean_corpus) and reports per-(split,
+    # source) doc counts + byte totals read back from the WRITTEN files;
+    # the oracle recomputes the same totals from the cleaning DAG directly
+    "pipeline_clean_write": (
+        "WITH clean AS (\n"
+        + QUERIES["pipeline_clean_corpus"]["duck"]
+        + "\n)\n"
+        "SELECT split, source, CAST(count(*) AS INT) AS n_docs,\n"
+        "       CAST(sum(strlen(clean_text)) AS BIGINT) AS clean_bytes\n"
+        "FROM clean WHERE final_keep = 1 GROUP BY split, source"
+    ),
     "multimodal_media_features": _media_features_oracle_duck(),
     "multimodal_resize": _media_resize_oracle_duck(),
     "multimodal_frame_sample": _media_frames_oracle_duck(),

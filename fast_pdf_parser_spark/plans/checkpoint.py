@@ -241,3 +241,107 @@ def lineage(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.schema(CHECKPOINT_SCHEMA).parquet(
         os.path.join(out_dir, "checkpoint")
     )
+
+
+def write_clean_corpus(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    num_buckets: int = 8,
+    fail_on_bucket: int | None = None,  # test hook: simulate a crash
+) -> DataFrame:
+    """Materialize the cleaned corpus — the artifact a training run
+    consumes: every ``final_keep=1`` document of the composed cleaning DAG
+    (relational.pipeline_clean_corpus: dedup → PII scrub → quality gate →
+    domain cap → split), written partitioned by (bucket, split) with the
+    same lineage/resume machinery as run_with_checkpoint.
+
+    Requires the sf tables to be registered as views (the driver /
+    __spark_entry__._prepare does this). Two phases, each resume-safe:
+
+    1. GATES: the 2-shuffle global cleaning DAG runs ONCE and lands under
+       ``out/gates`` (content-addressed by run_id; reused on resume when
+       its _SUCCESS marker is durable). The windows are corpus-global
+       (domain cap ranks across the whole corpus), so they cannot run
+       per-bucket — compute once, then bucket the kept rows.
+    2. WRITE: kept docs are bucketed (pmod(xxhash64(doc_id))) and each
+       bucket writes ``out/clean/bucket=K/split=S/`` then appends one
+       lineage row. Resume anti-joins the bucket list against 'done' rows
+       — identical idempotence story to the extraction checkpoint: a
+       crash between data and lineage re-writes the bucket (overwrite),
+       never skips or duplicates it.
+
+    Returns the reader over the written corpus (bucket and split appear
+    as partition columns — downstream filters get pruning for free).
+    """
+    from fast_pdf_parser_spark.operators.relational import spark_sql
+
+    clean_dir = os.path.join(out_dir, "clean")
+    checkpoint_path = os.path.join(out_dir, "checkpoint")
+    gates_dir = os.path.join(out_dir, "gates", f"{run_id}_b{num_buckets}")
+
+    done = completed_buckets(spark, checkpoint_path, run_id)
+    all_buckets = spark.range(num_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    done_df = spark.createDataFrame(
+        [(int(b),) for b in sorted(done)], schema="bucket int"
+    )
+    pending = [
+        r.bucket
+        for r in all_buckets.join(F.broadcast(done_df), "bucket", "left_anti")
+        .orderBy("bucket").collect()
+    ]
+
+    staged_buckets: set[int] = set()
+    if pending:
+        # stage the kept rows ONCE, partitioned by bucket: bucket is a
+        # computed column, so unstaged per-bucket filters would re-run
+        # the 2-shuffle gates DAG per bucket — B times the work
+        if not _fs_exists(spark, os.path.join(gates_dir, "_SUCCESS")):
+            kept = with_bucket(
+                spark.sql(spark_sql("pipeline_clean_corpus"))
+                .filter(F.col("final_keep") == 1)
+                .select("doc_id", "source", "split", "clean_hash",
+                        "clean_text"),
+                num_buckets,
+            )
+            kept.write.mode("overwrite").partitionBy("bucket") \
+                .parquet(gates_dir)
+        staged_buckets = _list_staged_buckets(spark, gates_dir)
+
+    for bucket in pending:
+        if fail_on_bucket is not None and bucket == fail_on_bucket:
+            raise RuntimeError(f"simulated failure at bucket {bucket}")
+        t0 = time.time()
+        bdir = os.path.join(clean_dir, f"bucket={bucket}")
+        if bucket in staged_buckets:
+            part = spark.read.parquet(
+                os.path.join(gates_dir, f"bucket={bucket}"))
+        else:  # genuinely empty bucket: durable empty marker, real schema
+            part = spark.createDataFrame(
+                [], schema=("doc_id bigint, source string, split string, "
+                            "clean_hash bigint, clean_text string"))
+        part.write.mode("overwrite").partitionBy("split").parquet(bdir)
+        if bucket in staged_buckets:
+            # lineage metrics read back from the DURABLE copy
+            written = spark.read.parquet(bdir)
+            stats = written.agg(
+                F.count("*").alias("docs"),
+                F.sum(F.octet_length("clean_text")).alias("bytes"),
+            ).collect()[0]
+            docs_n, bytes_n = int(stats["docs"] or 0), int(stats["bytes"] or 0)
+        else:
+            docs_n = bytes_n = 0
+        row = [(run_id, bucket, docs_n, bytes_n, 0,
+                int((time.time() - t0) * 1000), "done")]
+        spark.createDataFrame(row, schema=CHECKPOINT_SCHEMA).write.mode(
+            "append"
+        ).parquet(checkpoint_path)
+
+    # all buckets durable: the gates staging has served its purpose (runs
+    # even when pending=[] — see the staged-dir note in run_with_checkpoint)
+    if _fs_exists(spark, gates_dir):
+        _fs_delete(spark, gates_dir)
+
+    return spark.read.parquet(clean_dir)

@@ -336,3 +336,105 @@ def stream_dedup_docs(
         .queryName(name).trigger(availableNow=True).start()
     )
     return query, name
+
+
+# The per-row MinHash band expression — the SAME signature definition as
+# the batch operator (relational._MINHASH_SPARK + _LSH_MEMBER_SPARK: 16
+# seeds of hash60(seed:word) over DISTINCT words, 4 bands x 4 rows,
+# band_key = hash60 of the lexicographically-sorted 'seed=minhash' list) —
+# but computed as a pure PROJECTION (nested transform/array_min), no
+# groupBy: a streaming DataFrame in append mode cannot pre-aggregate per
+# doc, and at any scale this shape also skips the batch path's
+# explode(words x 16)->groupBy shuffle entirely.
+_HASH60 = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+_WORD_HASH = _HASH60.format(x="concat(CAST(s AS STRING), ':', w)")
+_MINHASH = ("array_min(transform(array_distinct(split(text, ' ')), "
+            f"w -> {_WORD_HASH}))")
+_SEED_KEY = f"concat(CAST(s AS STRING), '=', CAST({_MINHASH} AS STRING))"
+_BAND_KEY = _HASH60.format(
+    x="array_join(array_sort(transform(sequence(b * 4, b * 4 + 3), "
+      f"s -> {_SEED_KEY})), ',')")
+_BANDS_EXPR = ("transform(sequence(0, 3), b -> named_struct("
+               f"'band', CAST(b AS INT), 'band_key', {_BAND_KEY}))")
+
+
+def stream_dedup_near_docs(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming NEAR-duplicate dedup — the online counterpart of the
+    batch MinHash/LSH family: a document is dropped when ANY of its 4
+    MinHash band keys was already claimed by an earlier document, so a
+    near-dup (not byte-identical — exact dedup is stream_dedup_docs) that
+    arrives in a later micro-batch is caught by the band state store.
+
+    Shape: per-row band projection (no shuffle) → explode to (band,
+    band_key) → applyInPandasWithState keyed by the band bucket (the
+    claim: first owner wins; within a micro-batch the smallest doc_id
+    claims an unowned band — deterministic under replay) → foreachBatch
+    per-doc verdict (keep iff no band hit a foreign owner) appended
+    idempotently per epoch. transformWithStateInPandas is the Spark-4
+    successor for the claim stage; this environment lacks its protobuf
+    runtime (see tws_available), and applyInPandasWithState has identical
+    semantics here.
+
+    State scale: one (band, band_key) -> owner row per distinct band
+    bucket — 4 rows of ~24 bytes per unique doc, hash-partitioned by the
+    state key; RocksDB-backed on a cluster.
+
+    Returns (query, out_dir); kept docs land under out_dir/epoch=N as
+    (doc_id) rows.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if schema is None:
+        schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(docs_dir)
+    )
+    exploded = (
+        stream.select("doc_id", F.explode(F.expr(_BANDS_EXPR)).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"),
+                F.col("bk.band_key").alias("band_key"))
+    )
+
+    def claim(key, pdfs, state):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        ids = sorted(int(i) for i in rows["doc_id"])
+        owner = state.get[0] if state.exists else None
+        out = []
+        for doc_id in ids:
+            if owner is None:
+                owner = doc_id
+            out.append((doc_id, 1 if owner != doc_id else 0))
+        state.update((owner,))
+        yield pd.DataFrame(out, columns=["doc_id", "hit"])
+
+    verdicts = exploded.groupBy("band", "band_key").applyInPandasWithState(
+        claim, "doc_id bigint, hit int", "owner bigint", "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+    def per_doc_keep(batch_df, epoch_id: int) -> None:
+        # a doc's 4 band verdicts all ride the micro-batch it arrived in,
+        # so the per-doc verdict is a plain batch aggregate; the epoch's
+        # own directory makes the append idempotent under replay
+        keep = (batch_df.groupBy("doc_id")
+                .agg(F.max("hit").alias("any_hit"))
+                .filter(F.col("any_hit") == 0).select("doc_id"))
+        keep.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}"))
+
+    query = (
+        verdicts.writeStream.foreachBatch(per_doc_keep)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return query, out_dir

@@ -125,6 +125,53 @@ def test_staged_copy_survives_crash_for_resume(spark, corpus, tmp_path):
     assert not os.path.exists(os.path.join(out, "staged", "rk_b3"))
 
 
+def test_clean_corpus_write_crash_and_resume(spark, tmp_path):
+    """write_clean_corpus end-to-end: a crash mid-write resumes with no
+    duplicates and no losses (bucket anti-join idiom), the written corpus
+    equals the direct final_keep=1 query, lineage covers every bucket,
+    and the gates staging does not outlive the run."""
+    import os
+
+    import pytest
+
+    import __spark_entry__ as entrymod
+    from fast_pdf_parser_spark.operators.relational import spark_sql
+    from fast_pdf_parser_spark.plans.checkpoint import (
+        lineage,
+        write_clean_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf, "documents.parquet")):
+        pytest.skip("driver testdata not present")
+    entrymod._prepare(spark, sf)
+
+    out = str(tmp_path / "clean_run")
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        write_clean_corpus(spark, out, run_id="cw", num_buckets=3,
+                           fail_on_bucket=1)
+    # crashed run keeps the staged gates for the resume
+    assert os.path.exists(os.path.join(out, "gates", "cw_b3", "_SUCCESS"))
+
+    clean = write_clean_corpus(spark, out, run_id="cw", num_buckets=3)
+    got = [r.doc_id for r in clean.select("doc_id").collect()]
+    want = {r.doc_id for r in
+            spark.sql(spark_sql("pipeline_clean_corpus"))
+            .filter("final_keep = 1").select("doc_id").collect()}
+    assert len(got) == len(set(got)), "duplicate docs after resume"
+    assert set(got) == want, "written corpus != final_keep=1 set"
+    # split is a real partition column on the artifact
+    assert set(clean.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test"}
+    # lineage: one done row per bucket; gates staging collected
+    done = lineage(spark, out).filter("status = 'done'")
+    assert {r.partition_id for r in done.collect()} == {0, 1, 2}
+    assert not os.path.exists(os.path.join(out, "gates", "cw_b3"))
+    # idempotent no-op rerun: same corpus, nothing rewritten as dupes
+    again = write_clean_corpus(spark, out, run_id="cw", num_buckets=3)
+    assert again.count() == len(got)
+
+
 def test_orphaned_staged_dir_collected_on_noop_resume(spark, corpus, tmp_path):
     """ADVICE r4: a crash AFTER the last bucket's lineage append but BEFORE
     staged cleanup leaves pending=[] on resume — the resume must still

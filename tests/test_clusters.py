@@ -136,6 +136,32 @@ def test_boundary_convergence_succeeds(spark):
     assert rows == {0: (0, 1), 1: (0, 0), 2: (2, 1)}
 
 
+def test_ranked_canonical_pick(spark):
+    """rank_col: the survivor is the best-ranked member (ties -> smallest
+    id), NOT the smallest id; cluster membership is unchanged; singletons
+    keep themselves."""
+    docs = spark.createDataFrame(
+        [(0, 5), (1, 3), (2, 1), (3, 9)], "doc_id long, quality_rank long"
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "doc_a long, doc_b long")
+    rows = {r.doc_id: (r.cluster_id, r.keep)
+            for r in resolve_clusters(pairs, docs,
+                                      rank_col="quality_rank").collect()}
+    # cluster ids stay the component-minimum doc_id (stable labels);
+    # the keeper is doc 2 (rank 1), not doc 0 (min id)
+    assert rows == {0: (0, 0), 1: (0, 0), 2: (0, 1), 3: (3, 1)}
+
+
+def test_ranked_pick_tiebreak_is_doc_id(spark):
+    docs = spark.createDataFrame(
+        [(4, 7), (5, 7)], "doc_id long, quality_rank long")
+    pairs = spark.createDataFrame([(4, 5)], "doc_a long, doc_b long")
+    rows = {r.doc_id: r.keep
+            for r in resolve_clusters(pairs, docs,
+                                      rank_col="quality_rank").collect()}
+    assert rows == {4: 1, 5: 0}
+
+
 def test_block_manager_residency_bounded(spark):
     """localCheckpoint snapshots from finished rounds must actually be
     freed (DataFrame.unpersist is a no-op for them; the solver unpersists

@@ -155,6 +155,22 @@ def test_pack_manifest_no_global_sort_exchange(spark):
     assert agg_pos != -1 and (scan_pos == -1 or agg_pos < scan_pos), plan
 
 
+def test_clean_corpus_two_shuffles_no_join(spark):
+    """The composed cleaning capstone's docstring claim, enforced: the
+    whole dedup -> scrub -> quality -> domain-cap -> split DAG is exactly
+    TWO hash exchanges (the text-hash window and the per-source window) —
+    scrub/quality/split stay inline projections; no join of any kind, no
+    single-partition stage touching the corpus."""
+    entrymod._prepare(spark, SF_DIR)
+    plan = physical(spark.sql(spark_sql("pipeline_clean_corpus")))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "hashpartitioning(th" in plan, plan
+    assert "hashpartitioning(source" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_cap_operators_single_partition_free_no_join(spark):
     """Both cap operators (per-domain, per-embedding-cell) must be ONE
     hash-partitioned window over their grouping key — no join, no

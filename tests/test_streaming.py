@@ -266,6 +266,65 @@ def test_stream_dedup_first_seen_survives(spark, tmp_path):
     assert got == {0, 1, 3}  # first arrival per distinct text only
 
 
+def test_stream_near_dup_dropped_cross_batch(spark, tmp_path):
+    """Streaming MinHash-band dedup: a NEAR-duplicate (one word changed,
+    not byte-identical — exact-hash dedup would miss it) arriving in a
+    LATER micro-batch is dropped by the band state store; unrelated docs
+    survive. Parity: the streaming keep-set equals an arrival-order claim
+    simulation over the batch-computed bands (same _BANDS_EXPR)."""
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.streaming.ingest import (
+        _BANDS_EXPR,
+        stream_dedup_near_docs,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok3 ", "tok3x ")  # 1 of 40 words changed
+    other = " ".join(f"zz{i}" for i in range(40))
+    arrivals = [
+        [(0, base)],
+        [(1, other), (2, near)],
+    ]
+    in_dir = str(tmp_path / "near_docs")
+    os.makedirs(in_dir)
+    for i, part in enumerate(arrivals):
+        spark.createDataFrame(part, "doc_id bigint, text string") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(os.path.join(in_dir, f"arrival={i}"))
+
+    out_dir = str(tmp_path / "near_keep")
+    q, out = stream_dedup_near_docs(
+        spark, in_dir + "/*", out_dir,
+        schema="doc_id bigint, text string")
+    q.awaitTermination(180)
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 0 in kept and 1 in kept
+    assert 2 not in kept, "near-dup in a later batch must be dropped"
+
+    # batch twin: same band expression, arrival-order claim simulation
+    all_docs = [(i, d, t) for i, part in enumerate(arrivals)
+                for d, t in part]
+    bands = (spark.createDataFrame(
+        all_docs, "arrival int, doc_id bigint, text string")
+        .select("arrival", "doc_id",
+                F.explode(F.expr(_BANDS_EXPR)).alias("bk"))
+        .select("arrival", "doc_id", "bk.band", "bk.band_key").collect())
+    owner: dict = {}
+    hits: dict = {}
+    for arrival in sorted({r.arrival for r in bands}):
+        batch = sorted((r for r in bands if r.arrival == arrival),
+                       key=lambda r: r.doc_id)
+        for r in batch:
+            k = (r.band, r.band_key)
+            if k not in owner:
+                owner[k] = r.doc_id
+            hits[r.doc_id] = hits.get(r.doc_id, 0) or int(
+                owner[k] != r.doc_id)
+    expected = {d for d, h in hits.items() if h == 0}
+    assert kept == expected
+
+
 def test_stream_dedup_starts_on_empty_dir(spark, tmp_path):
     """ADVICE r4: a file-watcher stream's normal initial state is an EMPTY
     directory — with an explicit schema the stream must start (and dedup

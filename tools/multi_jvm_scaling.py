@@ -44,6 +44,8 @@ wid = sys.argv[3]
 from pyspark.sql import SparkSession, functions as F
 spark = (SparkSession.builder.master("local[4]")
          .appName("mjvm_worker_" + wid)
+         .config("spark.driver.memory",
+                 os.environ.get("SPARK_GRAFT_MJVM_MEM", "3g"))
          .config("spark.sql.shuffle.partitions", "4")
          .config("spark.sql.files.maxPartitionBytes", "8m")
          .config("spark.sql.files.openCostInBytes", "1m")
@@ -97,9 +99,16 @@ def run_level(corpus: str, k: int) -> dict:
             fl = os.path.join(flagdir, f"shard_{i}.json")
             json.dump(shard, open(fl, "w"))
             errlog = open(f"/tmp/mjvm_worker_{i}.stderr", "w")
+            cmd = [sys.executable, "-c", WORKER % {"repo": REPO},
+                   fl, flagdir, str(i)]
+            if os.environ.get("SPARK_GRAFT_PIN_CORES", "0") == "1":
+                # pin each executor-JVM (and its python workers) to its
+                # OWN 4 cores — a floating 2-JVM level otherwise spreads
+                # over all 32 cores and inflates the low leg, exactly the
+                # artifact scaling_bench's pinning corrects
+                cmd = ["taskset", "-c", f"{4 * i}-{4 * i + 3}"] + cmd
             procs.append(subprocess.Popen(
-                [sys.executable, "-c", WORKER % {"repo": REPO},
-                 fl, flagdir, str(i)],
+                cmd,
                 stdout=subprocess.PIPE, stderr=errlog,
                 text=True, cwd=REPO))
         deadline = time.time() + 600
