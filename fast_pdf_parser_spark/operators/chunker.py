@@ -389,6 +389,26 @@ class StreamingChunker:
                 self._push_line(line)
         return self._drain()
 
+    def push_lines(self, lines: list[str], page_num: int) -> list[Chunk]:
+        """Feed one page given as its LINE LIST — the join-free hand-off
+        for producers that already have lines (the pdf route builds them;
+        joining to text only for the chunker to re-split is two string
+        copies per line). Exactly ``push_page("\\n".join(lines))``: the
+        join+split round trip absorbs one trailing empty line and maps a
+        lone [""]/[] to an empty page — replicated here, pinned by
+        tests/test_streaming_chunker.py::test_push_lines_equals_push_page.
+        """
+        if lines and lines[-1] == "":
+            lines = lines[:-1]
+        if lines:
+            count = self._tok.count_tokens
+            push = self._push_line
+            for line in lines:
+                line_type, level = detect_line_type(line)
+                push(AnnotatedLine(line, line_type, count(line),
+                                   page_num, level))
+        return self._drain()
+
     def finish(self) -> list[Chunk]:
         """End of run: flush every stage in pass order."""
         if self._held_line is not None:

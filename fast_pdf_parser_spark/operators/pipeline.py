@@ -142,12 +142,16 @@ def _iter_doc_rows(
             span_offset = s["offset"]
             try:
                 from fast_pdf_parser_spark.sources.pdf_lexer import (
-                    extract_pdf_pages,
+                    extract_pdf_pages_lines,
                 )
                 raw = base64.b64decode(s["text"])
                 bytes_decoded += len(raw)
                 del s
-                pdf_pages = extract_pdf_pages(raw)
+                # line-list form: the lexer builds lines and the chunker
+                # consumes lines — joining to page text in between would
+                # be two string copies per line (push_lines is pinned
+                # equal to the joined push_page)
+                pdf_pages = extract_pdf_pages_lines(raw)
                 del raw
             except Exception as exc:  # error containment per page
                 total_pages += 1
@@ -163,10 +167,10 @@ def _iter_doc_rows(
                 if chunker is None:
                     chunker = StreamingChunker(tokenizer, chunk_options)
                 for j in range(len(pdf_pages)):
-                    page_text = pdf_pages[j]
+                    page_lines = pdf_pages[j]
                     pdf_pages[j] = None  # free each page once chunked
                     yield from chunk_rows(
-                        chunker.push_page(page_text, span_offset)
+                        chunker.push_lines(page_lines, span_offset)
                     )
         elif kind == "text":
             total_pages += 1

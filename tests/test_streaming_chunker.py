@@ -88,6 +88,29 @@ def test_chunk_pages_is_streaming(pages, max_tokens):
     ]
 
 
+@settings(max_examples=80, deadline=None)
+@given(
+    lines_pages=st.lists(
+        st.lists(st.one_of(line, st.just("")), min_size=0, max_size=12),
+        min_size=0, max_size=5),
+    max_tokens=st.integers(16, 128),
+)
+def test_push_lines_equals_push_page(lines_pages, max_tokens):
+    """push_lines(lines) must equal push_page('\\n'.join(lines)) on every
+    page — including the join+split edge cases: a trailing empty line is
+    absorbed, [''] and [] are empty pages."""
+    opts = ChunkOptions(max_tokens=max_tokens, min_tokens=max(1, max_tokens // 3))
+    via_text = StreamingChunker(TOK, opts)
+    via_lines = StreamingChunker(TOK, opts)
+    got_t, got_l = [], []
+    for p, lines in enumerate(lines_pages):
+        got_t.extend(via_text.push_page("\n".join(lines), p))
+        got_l.extend(via_lines.push_lines(list(lines), p))
+    got_t.extend(via_text.finish())
+    got_l.extend(via_lines.finish())
+    assert [_fields(c) for c in got_l] == [_fields(c) for c in got_t]
+
+
 def test_streaming_state_is_bounded():
     """Pushing many pages keeps O(1) chunks of state in the chunker: the
     memory claim the pipeline's giant-doc bound rests on."""
