@@ -128,6 +128,66 @@ def _dedup_clusters_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_clusters(pairs, docs, rank_col="quality_rank")
 
 
+def _warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion axis, end-to-end and hash-checked: every document's
+    text is wrapped in the boilerplate-HTML shell (one <p> body — the line
+    derivation is already covered by the html-axis oracles), framed as a
+    real WARC/1.0 response record with an HTTP/1.1 envelope (one WARC file
+    per Arrow batch, alternating per-record-gzip like .warc.gz), then the
+    REAL reader (sources/warc.parse_warc + http_response) reframes it and
+    the REAL extractor strips the boilerplate. DuckDB re-derives url,
+    status, exact body byte count and the extracted text from `documents`
+    — so Content-Length arithmetic, CRLF framing, gzip membering, HTTP
+    header parsing and the boilerplate strip are all value-checked.
+    Zero-shuffle: two chained mapInPandas stages."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.sources.warc import (
+        build_warc,
+        deterministic_record_id,
+        read_warc_documents,
+    )
+
+    _prepare(spark, sf_dir)
+    docs = spark.sql(
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents")
+
+    def to_warc(batches):
+        from fast_pdf_parser_spark.sources.synth import (
+            HTML_PREFIX,
+            HTML_SUFFIX,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            records = [
+                {"url": f"https://corpus.example/doc/{int(i)}",
+                 "record_id": deterministic_record_id(str(int(i))),
+                 "html": f"{HTML_PREFIX}<p>{t}</p>{HTML_SUFFIX}"}
+                for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            # alternate compression by the batch's first doc id so BOTH
+            # layouts (.warc and per-record-gzip .warc.gz) are exercised
+            gz = int(pdf["doc_id"].iloc[0]) % 2 == 1
+            name = f"batch-{int(pdf['doc_id'].iloc[0])}" \
+                   + (".warc.gz" if gz else ".warc")
+            yield pd.DataFrame(
+                [(name, build_warc(records, compress=gz))],
+                columns=["path", "content"])
+
+    warc_files = docs.mapInPandas(to_warc, schema="path string, content binary")
+    out = read_warc_documents(warc_files)
+    return (out.filter(F.col("error").isNull())
+            .select(
+                F.element_at(F.split("url", "/"), -1).cast("bigint")
+                .alias("doc_id"),
+                "url", "record_id", "http_status", "content_type",
+                "n_body_bytes",
+                F.col("main_text").alias("extracted")))
+
+
 def _pipeline_clean_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized cleaned corpus (the artifact a training run consumes):
     runs the resume-safe checkpointed sink end-to-end into a scratch dir
@@ -213,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_chunk_distribution"] = _pipeline_distribution
     out["pipeline_docling_chunks"] = _pipeline_docling
     out["pipeline_docling_meta_oracle"] = _pipeline_docling_meta
+    out["warc_extract"] = _warc_extract
     out["pipeline_html_extract"] = _pipeline_html
     out["pipeline_html_meta_oracle"] = _pipeline_html_meta
     out["pipeline_html_content_oracle"] = _pipeline_html_content

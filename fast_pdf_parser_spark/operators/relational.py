@@ -1355,6 +1355,29 @@ def _duck_hb(hex_expr: str, j: int) -> str:
     return f"CAST('0x' || substr({hex_expr}, {2 * j + 1}, 2) AS INT)"
 
 
+def _warc_oracle_duck() -> str:
+    """DuckDB twin of the warc_extract driver query: url/record-id/status/
+    byte-count/extracted-text re-derived from `documents` alone. The html
+    shell is synth.HTML_PREFIX + '<p>' + text + '</p>' + synth.HTML_SUFFIX
+    (injected as literals so the two sides cannot drift independently of
+    synth), and n_body_bytes is its utf-8 byte length — the value the WARC
+    HTTP Content-Length framing must reproduce exactly."""
+    from fast_pdf_parser_spark.sources.synth import HTML_PREFIX, HTML_SUFFIX
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    return f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       '<urn:md5:' || md5(CAST(doc_id AS VARCHAR)) || '>' AS record_id,
+       CAST(200 AS INT) AS http_status,
+       'text/html; charset=utf-8' AS content_type,
+       CAST(strlen('{q(HTML_PREFIX)}<p>' || text || '</p>{q(HTML_SUFFIX)}')
+            AS BIGINT) AS n_body_bytes,
+       text AS extracted
+FROM documents"""
+
+
 def _media_features_oracle_duck() -> str:
     """DuckDB twin of multimodal.media.extract_media_features over the
     pipeline's cover-image media spans (fake_decode_meta + fake_features,
@@ -1497,6 +1520,12 @@ FROM pages GROUP BY doc_id""",
     AS binary_hash,
   CAST(1 AS INT) AS chunks_consistent
 FROM documents""",
+    # WARC axis: the Spark side builds real WARC/1.0+HTTP framing (mixed
+    # plain and per-record-gzip files), re-parses it with sources/warc and
+    # strips the boilerplate shell; DuckDB re-derives every field straight
+    # from `documents` — byte counts prove the framing, `extracted` proves
+    # the strip (the <p>-wrapped text round-trips to itself)
+    "warc_extract": _warc_oracle_duck(),
     "pipeline_html_meta_oracle": _html_meta_oracle_duck(),
     # content-level HTML twin: extraction inverts the wrap exactly, so the
     # extracted markdown per page equals the page's non-blank lines in

@@ -338,6 +338,101 @@ def stream_dedup_docs(
     return query, name
 
 
+def stream_clean_docs(
+    spark: SparkSession,
+    docs_dir: str,
+    domain_cap: int = 20,
+    watermark_minutes: int = 60,
+    max_files_per_trigger: int = 1,
+    schema=None,
+):
+    """Streaming cleaning pipeline — the online twin of the batch capstone
+    (relational.pipeline_clean_corpus), stage for stage:
+
+    - exact dedup: ``dropDuplicatesWithinWatermark`` on the 60-bit content
+      hash (first arrival survives; state bounded by the watermark);
+    - PII scrub + quality gate: stateless projections, the SAME
+      expressions as the batch capstone (scrub before gating);
+    - per-source cap: the batch capstone ranks the WHOLE corpus per
+      source — a stream cannot rank the future, so the streaming-native
+      semantic is first-``domain_cap`` KEPT arrivals per source, held as
+      one counter per source in ``applyInPandasWithState`` (16 bytes/
+      source of state, hash-partitioned by source);
+    - split: the same doc-stable hash coin (98/1/1).
+
+    Two stateful operators chained in one append-mode query (dedup →
+    per-key counter) — supported since Spark 3.5's multi-stateful-operator
+    work. Returns (query, sink_name); results land in a memory sink.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from fast_pdf_parser_spark.operators.relational import (
+        _PII_EMAIL_SPARK,
+        _PII_IP_SPARK,
+        _PII_SCRUB,
+    )
+
+    if schema is None:
+        schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(docs_dir)
+    )
+    hashed = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn(
+            "content_hash",
+            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long"))
+        .withWatermark("ts", f"{watermark_minutes} minutes")
+    )
+    deduped = hashed.dropDuplicatesWithinWatermark(["content_hash"])
+    scrub = _PII_SCRUB.format(email=_PII_EMAIL_SPARK, ip=_PII_IP_SPARK, g="")
+    gated = (
+        deduped.withColumn("text", F.expr(scrub))
+        .withColumn("nwords", F.size(F.split("text", " ")))
+        .withColumn("ndistinct",
+                    F.size(F.array_distinct(F.split("text", " "))))
+        .filter("nwords >= 50 AND ndistinct * CAST(1.0 AS DOUBLE) / nwords "
+                "> CAST(0.1 AS DOUBLE)")
+        .withColumn(
+            "split_coin",
+            F.expr("CAST(conv(substr(md5(concat('p:', "
+                   "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+        .withColumn(
+            "split",
+            F.expr("CASE WHEN split_coin % 100 < 98 THEN 'train' "
+                   "WHEN split_coin % 100 < 99 THEN 'val' "
+                   "ELSE 'test' END"))
+        .select("doc_id", "source", "split", "ts")
+    )
+
+    def cap_fold(key, pdfs, state):
+        (source,) = key
+        taken = state.get[0] if state.exists else 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "doc_id"])  # deterministic replay
+        out = []
+        for _, r in rows.iterrows():
+            if taken < domain_cap:
+                taken += 1
+                out.append((int(r["doc_id"]), source, r["split"]))
+        state.update((taken,))
+        yield pd.DataFrame(out, columns=["doc_id", "source", "split"])
+
+    capped = gated.groupBy("source").applyInPandasWithState(
+        cap_fold, "doc_id bigint, source string, split string",
+        "taken int", "append", GroupStateTimeout.NoTimeout,
+    )
+    name = "stream_clean_docs"
+    query = (
+        capped.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    return query, name
+
+
 # The per-row MinHash band expression — the SAME signature definition as
 # the batch operator (relational._MINHASH_SPARK + _LSH_MEMBER_SPARK: 16
 # seeds of hash60(seed:word) over DISTINCT words, 4 bands x 4 rows,

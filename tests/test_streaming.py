@@ -325,6 +325,42 @@ def test_stream_near_dup_dropped_cross_batch(spark, tmp_path):
     assert kept == expected
 
 
+def test_stream_clean_pipeline_cross_batch(spark, tmp_path):
+    """Streaming twin of the batch cleaning capstone: exact dup in a later
+    batch dropped by state, low-quality doc gated, per-source cap counts
+    KEPT arrivals across micro-batches (first-K semantics), split coin is
+    doc-stable."""
+    import datetime as dt
+
+    from fast_pdf_parser_spark.streaming.ingest import stream_clean_docs
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    good = lambda tag: " ".join(f"{tag}w{i}" for i in range(60))
+    mk = lambda i, src, text, minute: {
+        "doc_id": i, "source": src, "text": text,
+        "ts": t0 + dt.timedelta(minutes=minute)}
+    arrivals = [
+        [mk(1, "a", good("x"), 0), mk(2, "a", good("y"), 1),
+         mk(3, "b", "too short", 2)],
+        [mk(4, "b", good("x"), 5),   # exact dup of doc 1 -> state drop
+         mk(5, "a", good("z"), 6),   # 3rd KEPT for 'a' -> cap drop (K=2)
+         mk(6, "b", good("q"), 7)],  # kept
+    ]
+    in_dir = str(tmp_path / "clean_docs")
+    os.makedirs(in_dir)
+    for i, part in enumerate(arrivals):
+        spark.createDataFrame(pd.DataFrame(part)).coalesce(1) \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(in_dir, f"arrival={i}"))
+
+    q, sink = stream_clean_docs(spark, in_dir + "/*", domain_cap=2)
+    q.awaitTermination(180)
+    rows = spark.sql(f"SELECT * FROM {sink}").collect()
+    assert {r.doc_id for r in rows} == {1, 2, 6}
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert all(r.source in ("a", "b") for r in rows)
+
+
 def test_stream_dedup_starts_on_empty_dir(spark, tmp_path):
     """ADVICE r4: a file-watcher stream's normal initial state is an EMPTY
     directory — with an explicit schema the stream must start (and dedup
