@@ -72,3 +72,8 @@ class ParseOptions(_PartialUpdate):
     # turns positions/fonts off (src/hierarchical_chunker.cpp:562-563).
     extract_positions: bool = False
     extract_fonts: bool = False
+    # JVM↔Python transport for the extraction fold: mapInArrow (pyarrow
+    # RecordBatches straight through, no pandas materialization either
+    # direction) vs mapInPandas. Same fold, same output — benchmarked in
+    # BENCH/ARROW_NATIVE_r5.json; False restores the pandas path.
+    arrow_native: bool = True

@@ -269,6 +269,53 @@ _FLUSH_ROWS = 20_000
 _NULL_META = (None, None, None, None)
 
 
+def _iter_flush_batches(doc_ids, spans_col, tokenizer, chunk_options):
+    """Shared flush loop of both processors: (doc ids, span lists) →
+    row-tuple batches, honoring the _FLUSH_CHARS/_FLUSH_ROWS budget and
+    the meta contract (offset-0 row withheld to doc end; mid-doc-streamed
+    rows carry NULL meta). ``spans_col`` entries are nulled as consumed."""
+    rows: list[tuple] = []  # completed-doc rows, meta attached
+    pending_chars = 0
+    for j, doc_id in enumerate(doc_ids):
+        spans = spans_col[j]
+        spans_col[j] = None
+        meta: dict = {}
+        first_row: tuple | None = None  # withheld offset-0 row
+        doc_rows: list[tuple] = []
+        doc_chars = 0
+        for row in _iter_doc_rows(
+            doc_id, spans, tokenizer, chunk_options, meta
+        ):
+            if first_row is None:
+                first_row = row
+                continue
+            doc_rows.append(row)
+            if row[3]:
+                doc_chars += len(row[3])
+            if doc_chars >= _FLUSH_CHARS or len(doc_rows) >= _FLUSH_ROWS:
+                # mid-doc flush (giant doc): stream what we have; these
+                # rows carry NULL meta (not known yet)
+                yield rows + [r + _NULL_META for r in doc_rows]
+                rows, pending_chars = [], 0
+                doc_rows, doc_chars = [], 0
+        del spans
+        doc_meta = (
+            meta["total_pages"], meta["parse_failures"],
+            meta["bytes_decoded"], meta["first_error"],
+        )
+        if first_row is not None:
+            rows.append(first_row + doc_meta)
+            if first_row[3]:
+                doc_chars += len(first_row[3])
+        rows.extend(r + doc_meta for r in doc_rows)
+        pending_chars += doc_chars
+        if pending_chars >= _FLUSH_CHARS or len(rows) >= _FLUSH_ROWS:
+            yield rows
+            rows, pending_chars = [], 0
+    if rows:
+        yield rows
+
+
 def _make_processor(chunk_options: ChunkOptions, vocab_path: str | None):
     def process_batches(batches):
         tokenizer = get_tokenizer(vocab_path)  # per-worker singleton
@@ -276,49 +323,44 @@ def _make_processor(chunk_options: ChunkOptions, vocab_path: str | None):
             doc_ids = pdf["doc_id"].tolist()
             spans_col = pdf["spans"].tolist()
             del pdf  # drop the pandas batch; spans free as docs complete
-            rows: list[tuple] = []  # completed-doc rows, meta attached
-            pending_chars = 0
-            for j, doc_id in enumerate(doc_ids):
-                spans = spans_col[j]
-                spans_col[j] = None
-                meta: dict = {}
-                first_row: tuple | None = None  # withheld offset-0 row
-                doc_rows: list[tuple] = []
-                doc_chars = 0
-                for row in _iter_doc_rows(
-                    doc_id, spans, tokenizer, chunk_options, meta
-                ):
-                    if first_row is None:
-                        first_row = row
-                        continue
-                    doc_rows.append(row)
-                    if row[3]:
-                        doc_chars += len(row[3])
-                    if doc_chars >= _FLUSH_CHARS or len(doc_rows) >= _FLUSH_ROWS:
-                        # mid-doc flush (giant doc): stream what we have;
-                        # these rows carry NULL meta (not known yet)
-                        yield pd.DataFrame(
-                            rows + [r + _NULL_META for r in doc_rows],
-                            columns=_COLUMNS,
-                        )
-                        rows, pending_chars = [], 0
-                        doc_rows, doc_chars = [], 0
-                del spans
-                doc_meta = (
-                    meta["total_pages"], meta["parse_failures"],
-                    meta["bytes_decoded"], meta["first_error"],
-                )
-                if first_row is not None:
-                    rows.append(first_row + doc_meta)
-                    if first_row[3]:
-                        doc_chars += len(first_row[3])
-                rows.extend(r + doc_meta for r in doc_rows)
-                pending_chars += doc_chars
-                if pending_chars >= _FLUSH_CHARS or len(rows) >= _FLUSH_ROWS:
-                    yield pd.DataFrame(rows, columns=_COLUMNS)
-                    rows, pending_chars = [], 0
-            if rows:
+            for rows in _iter_flush_batches(
+                doc_ids, spans_col, tokenizer, chunk_options
+            ):
                 yield pd.DataFrame(rows, columns=_COLUMNS)
+
+    return process_batches
+
+
+def _make_arrow_processor(chunk_options: ChunkOptions, vocab_path: str | None):
+    """mapInArrow twin of _make_processor: same fold, same flush contract,
+    but the JVM↔Python columns move as pyarrow RecordBatches directly —
+    no pandas Series materialization on input (ListArray.to_pylist is the
+    single conversion) and no pandas→Arrow re-conversion on output."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import _parse_datatype_string
+
+    arrow_schema = to_arrow_schema(_parse_datatype_string(OUTPUT_DDL))
+    n_cols = len(arrow_schema)
+
+    def rows_to_batch(rows: list[tuple]) -> "pa.RecordBatch":
+        cols = list(zip(*rows)) if rows else [[]] * n_cols
+        arrays = [
+            pa.array(cols[i], type=arrow_schema.field(i).type)
+            for i in range(n_cols)
+        ]
+        return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    def process_batches(batches):
+        tokenizer = get_tokenizer(vocab_path)  # per-worker singleton
+        for batch in batches:
+            doc_ids = batch.column(0).to_pylist()
+            spans_col = batch.column(1).to_pylist()
+            del batch
+            for rows in _iter_flush_batches(
+                doc_ids, spans_col, tokenizer, chunk_options
+            ):
+                yield rows_to_batch(rows)
 
     return process_batches
 
@@ -400,6 +442,11 @@ def extract_documents(
 
         vocab_path = find_real_vocab()
 
+    if parse_options.arrow_native:
+        return pruned.mapInArrow(
+            _make_arrow_processor(chunk_options, vocab_path),
+            schema=OUTPUT_DDL,
+        )
     return pruned.mapInPandas(
         _make_processor(chunk_options, vocab_path), schema=OUTPUT_DDL
     )

@@ -121,7 +121,8 @@ def test_page_limit_pushdown(spark):
     # source Catalyst may then constant-fold it — also fine)
     plan = limited._jdf.queryExecution().analyzed().toString()
     assert "slice" in plan
-    assert plan.index("slice") > plan.index("MapInPandas")  # child of the UDF
+    udf_node = "MapInArrow" if "MapInArrow" in plan else "MapInPandas"
+    assert plan.index("slice") > plan.index(udf_node)  # child of the UDF
 
 
 def test_span_sequence_equality_all_kinds(spark):
@@ -231,12 +232,12 @@ def test_results_meta_and_span_table(spark, corpus_df):
 
 
 def test_zero_shuffle_plan(spark, corpus_df):
-    """The flagship pipeline must not shuffle: one mapInPandas stage."""
+    """The flagship pipeline must not shuffle: one Arrow-UDF stage."""
     df, _ = corpus_df
     plan = extract_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "FlatMapGroupsInPandas" not in plan  # no groupBy needed
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan or "MapInPandas" in plan
 
 
 def test_unknown_kind_passthrough(spark):
