@@ -168,14 +168,19 @@ def _warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "html": f"{HTML_PREFIX}<p>{t}</p>{HTML_SUFFIX}"}
                 for i, t in zip(pdf["doc_id"], pdf["text"])
             ]
-            # alternate compression by the batch's first doc id so BOTH
-            # layouts (.warc and per-record-gzip .warc.gz) are exercised
-            gz = int(pdf["doc_id"].iloc[0]) % 2 == 1
-            name = f"batch-{int(pdf['doc_id'].iloc[0])}" \
-                   + (".warc.gz" if gz else ".warc")
-            yield pd.DataFrame(
-                [(name, build_warc(records, compress=gz))],
-                columns=["path", "content"])
+            # EVERY batch emits both layouts — a plain .warc with its
+            # even-positioned records and a per-record-gzip .warc.gz with
+            # the odd-positioned ones — so the gzip reader is always on
+            # the value-checked path (a parity-of-first-doc toggle can be
+            # systematically constant and silently skip one layout)
+            first = int(pdf["doc_id"].iloc[0])
+            rows = []
+            for gz, part in ((False, records[0::2]), (True, records[1::2])):
+                if part:
+                    name = (f"batch-{first}"
+                            + (".warc.gz" if gz else ".warc"))
+                    rows.append((name, build_warc(part, compress=gz)))
+            yield pd.DataFrame(rows, columns=["path", "content"])
 
     warc_files = docs.mapInPandas(to_warc, schema="path string, content binary")
     out = read_warc_documents(warc_files)

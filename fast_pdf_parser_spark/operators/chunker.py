@@ -398,6 +398,14 @@ class StreamingChunker:
         lone [""]/[] to an empty page — replicated here, pinned by
         tests/test_streaming_chunker.py::test_push_lines_equals_push_page.
         """
+        for line in lines:
+            if "\n" in line:
+                # a producer line may itself embed newlines (a PDF show
+                # string with a \n escape, or a cmap mapping to U+000A);
+                # the joined round trip flattens them into separate lines
+                # — replicate exactly, then the single trailing-"" pop
+                lines = "\n".join(lines).split("\n")
+                break
         if lines and lines[-1] == "":
             lines = lines[:-1]
         if lines:

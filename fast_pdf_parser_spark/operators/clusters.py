@@ -165,7 +165,13 @@ def resolve_clusters(pairs: DataFrame, docs: DataFrame,
             new_labels, new_rdd = _checkpointed(
                 _propagation_round(edges, labels)
             )
-            cur = _label_sum(new_labels)
+            try:
+                cur = _label_sum(new_labels)
+            except BaseException:
+                # the outer handler frees labels_rdd/edges_rdd; the
+                # just-persisted snapshot is only ours to free here
+                new_rdd.unpersist(False)
+                raise
             labels_rdd.unpersist(False)  # bound residency: edges + 1 label
             labels, labels_rdd = new_labels, new_rdd
             if cur == prev:
@@ -212,8 +218,11 @@ def resolve_clusters(pairs: DataFrame, docs: DataFrame,
 
     from pyspark.sql import Window
 
+    # NULLS LAST explicitly: Spark's asc() is nulls-first, DuckDB's (and
+    # the oracle's) ASC is nulls-last — and a missing rank must mean
+    # "worst member", never "wins the canonical pick"
     w = (Window.partitionBy("cluster_id")
-         .orderBy(F.col(rank_col).asc(), F.col("doc_id").asc()))
+         .orderBy(F.col(rank_col).asc_nulls_last(), F.col("doc_id").asc()))
     return (assigned
             .withColumn("keep",
                         (F.row_number().over(w) == 1).cast("int"))

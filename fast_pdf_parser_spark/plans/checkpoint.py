@@ -101,6 +101,25 @@ def completed_buckets(spark: SparkSession, checkpoint_path: str,
     return {r.partition_id for r in rows}
 
 
+def _pending_buckets(spark: SparkSession, checkpoint_path: str,
+                     run_id: str, num_buckets: int) -> list[int]:
+    """Resume anti-join shared by both sinks: all buckets minus the run's
+    'done' lineage rows. The bucket list is tiny → broadcast; expressed as
+    a DataFrame anti-join to stay a real plan at any bucket count."""
+    done = completed_buckets(spark, checkpoint_path, run_id)
+    all_buckets = spark.range(num_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    done_df = spark.createDataFrame(
+        [(int(b),) for b in sorted(done)], schema="bucket int"
+    )
+    return [
+        r.bucket
+        for r in all_buckets.join(F.broadcast(done_df), "bucket", "left_anti")
+        .orderBy("bucket").collect()
+    ]
+
+
 def run_with_checkpoint(
     spark: SparkSession,
     input_df: DataFrame,
@@ -133,21 +152,7 @@ def run_with_checkpoint(
         max_concurrent_buckets = max(4, spark.sparkContext.defaultParallelism)
 
     bucketed = with_bucket(input_df, num_buckets)
-    done = completed_buckets(spark, checkpoint_path, run_id)
-    # resume anti-join: pending = all buckets minus done. The bucket list is
-    # tiny → broadcast; expressed as a DataFrame anti-join to stay a real
-    # plan (not a driver-side filter) at any bucket count.
-    all_buckets = spark.range(num_buckets).select(
-        F.col("id").cast("int").alias("bucket")
-    )
-    done_df = spark.createDataFrame(
-        [(int(b),) for b in sorted(done)], schema="bucket int"
-    )
-    pending = [
-        r.bucket
-        for r in all_buckets.join(F.broadcast(done_df), "bucket", "left_anti")
-        .orderBy("bucket").collect()
-    ]
+    pending = _pending_buckets(spark, checkpoint_path, run_id, num_buckets)
 
     # Stage the bucketed input ONCE, partitioned by bucket: the bucket id
     # is a computed column (pmod(xxhash64)), so per-bucket filters cannot
@@ -280,18 +285,7 @@ def write_clean_corpus(
     checkpoint_path = os.path.join(out_dir, "checkpoint")
     gates_dir = os.path.join(out_dir, "gates", f"{run_id}_b{num_buckets}")
 
-    done = completed_buckets(spark, checkpoint_path, run_id)
-    all_buckets = spark.range(num_buckets).select(
-        F.col("id").cast("int").alias("bucket")
-    )
-    done_df = spark.createDataFrame(
-        [(int(b),) for b in sorted(done)], schema="bucket int"
-    )
-    pending = [
-        r.bucket
-        for r in all_buckets.join(F.broadcast(done_df), "bucket", "left_anti")
-        .orderBy("bucket").collect()
-    ]
+    pending = _pending_buckets(spark, checkpoint_path, run_id, num_buckets)
 
     staged_buckets: set[int] = set()
     if pending:
@@ -344,4 +338,11 @@ def write_clean_corpus(
     if _fs_exists(spark, gates_dir):
         _fs_delete(spark, gates_dir)
 
-    return spark.read.parquet(clean_dir)
+    # explicit schema: a corpus where NO doc reaches final_keep=1 writes
+    # only _SUCCESS markers, and schema inference over that raises after
+    # the run already durably succeeded — the empty corpus must read back
+    # as an empty DataFrame with the real shape (partition columns last)
+    return spark.read.schema(
+        "doc_id bigint, source string, clean_hash bigint, "
+        "clean_text string, split string, bucket int"
+    ).parquet(clean_dir)

@@ -88,19 +88,16 @@ def build_warc(records: list[dict], compress: bool = False) -> bytes:
 
 
 def _gunzip_members(data: bytes) -> bytes:
-    """Concatenated gzip members → concatenated plain bytes."""
-    import zlib
+    """Concatenated gzip members → concatenated plain bytes.
 
-    out = []
-    pos = 0
-    while pos < len(data):
-        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out.append(d.decompress(data[pos:]))
-        if not d.eof:
-            raise WarcError("truncated gzip member")
-        consumed = len(data) - pos - len(d.unused_data)
-        pos += consumed
-    return b"".join(out)
+    A Common Crawl file is tens of thousands of members; stdlib
+    ``gzip.decompress`` walks all members in ONE C-level pass — a manual
+    per-member decompressobj loop is quadratic (each member's
+    ``unused_data`` materializes an O(file-size) tail copy)."""
+    try:
+        return gzip.decompress(data)
+    except (EOFError, gzip.BadGzipFile, OSError) as exc:
+        raise WarcError(f"bad gzip member: {exc}") from exc
 
 
 def parse_warc(data: bytes) -> Iterator[dict]:

@@ -172,6 +172,27 @@ def test_clean_corpus_write_crash_and_resume(spark, tmp_path):
     assert again.count() == len(got)
 
 
+def test_clean_corpus_all_filtered_reads_back_empty(spark, tmp_path):
+    """A corpus where NO document reaches final_keep=1 must still complete
+    durably and read back as an EMPTY DataFrame with the real schema —
+    not crash schema inference over _SUCCESS-only bucket dirs."""
+    import pandas as pd
+
+    from fast_pdf_parser_spark.plans.checkpoint import write_clean_corpus
+
+    # every doc fails the >=50-words quality gate
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "source": ["s"] * 6,
+        "text": ["too short to pass"] * 6,
+    })
+    spark.createDataFrame(docs).createOrReplaceTempView("documents")
+    out = str(tmp_path / "clean_empty")
+    clean = write_clean_corpus(spark, out, run_id="ce", num_buckets=2)
+    assert clean.count() == 0
+    assert set(clean.columns) >= {"doc_id", "source", "split", "clean_text"}
+
+
 def test_orphaned_staged_dir_collected_on_noop_resume(spark, corpus, tmp_path):
     """ADVICE r4: a crash AFTER the last bucket's lineage append but BEFORE
     staged cleanup leaves pending=[] on resume — the resume must still

@@ -152,6 +152,18 @@ def test_ranked_canonical_pick(spark):
     assert rows == {0: (0, 0), 1: (0, 0), 2: (0, 1), 3: (3, 1)}
 
 
+def test_ranked_pick_null_rank_loses(spark):
+    """A NULL rank means 'worst member' (nulls-last, matching the DuckDB
+    oracle's ASC default) — it must never win the canonical pick."""
+    docs = spark.createDataFrame(
+        [(0, None), (1, 5)], "doc_id long, quality_rank long")
+    pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    rows = {r.doc_id: r.keep
+            for r in resolve_clusters(pairs, docs,
+                                      rank_col="quality_rank").collect()}
+    assert rows == {0: 0, 1: 1}
+
+
 def test_ranked_pick_tiebreak_is_doc_id(spark):
     docs = spark.createDataFrame(
         [(4, 7), (5, 7)], "doc_id long, quality_rank long")
@@ -189,10 +201,18 @@ def test_error_path_frees_all_blocks(spark):
         ClusterConvergenceError,
     )
     sc = spark.sparkContext
-    base = sc._jsc.getPersistentRDDs().size()
+
+    def ids():
+        return {int(k) for k in
+                sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    # set-based, not count-based: in a shared session the ContextCleaner
+    # may asynchronously unpersist PRIOR tests' garbage-collected blocks
+    # between the two snapshots, shifting a global count either way
+    before = ids()
     edges = [(i, i + 1) for i in range(40)]  # long chain, tiny budget
     docs = spark.range(41).withColumnRenamed("id", "doc_id")
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     with pytest.raises(ClusterConvergenceError):
         resolve_clusters(pairs, docs, max_iters=1)
-    assert sc._jsc.getPersistentRDDs().size() - base == 0
+    assert ids() - before == set(), "error path left new persisted blocks"

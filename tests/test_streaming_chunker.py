@@ -91,14 +91,22 @@ def test_chunk_pages_is_streaming(pages, max_tokens):
 @settings(max_examples=80, deadline=None)
 @given(
     lines_pages=st.lists(
-        st.lists(st.one_of(line, st.just("")), min_size=0, max_size=12),
+        st.lists(
+            st.one_of(
+                line, st.just(""),
+                # producer lines may EMBED newlines (PDF \n escapes, cmap
+                # → U+000A): join+split flattens them — must round-trip
+                st.builds(lambda a, b: a + "\n" + b, line, line),
+                st.builds(lambda a: a + "\n", line),
+            ),
+            min_size=0, max_size=12),
         min_size=0, max_size=5),
     max_tokens=st.integers(16, 128),
 )
 def test_push_lines_equals_push_page(lines_pages, max_tokens):
     """push_lines(lines) must equal push_page('\\n'.join(lines)) on every
-    page — including the join+split edge cases: a trailing empty line is
-    absorbed, [''] and [] are empty pages."""
+    page — including the join+split edge cases: embedded newlines flatten,
+    a trailing empty line is absorbed, [''] and [] are empty pages."""
     opts = ChunkOptions(max_tokens=max_tokens, min_tokens=max(1, max_tokens // 3))
     via_text = StreamingChunker(TOK, opts)
     via_lines = StreamingChunker(TOK, opts)
