@@ -772,6 +772,126 @@ FROM documents""",
 )
 
 
+# URL canonicalization — the prerequisite of URL-level dedup at crawl
+# scale (the same page arrives as HTTPS://WWW.Site.COM:443/p?utm_x=..#f
+# and https://www.site.com/p): lowercase scheme+host, strip default
+# ports, drop fragments, drop utm_* tracking params, sort the surviving
+# params, plus a naive 2-label registrable-domain (real pipelines use the
+# Public Suffix List; the synthetic hosts are all 2-label-registrable).
+# Messy inputs are synthesized from doc_id in two shapes (uppercase https
+# with default :443 + utm params + fragment; plain http, no port, no
+# noise). The Spark side PARSES generically with string built-ins; the
+# DuckDB oracle recomputes the expected canonical form arithmetically
+# from doc_id — no parsing — so the parser itself is what's checked.
+_URL_MESSY_SPARK = (
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "concat('HTTPS://WWW.Site', CAST(doc_id % 20 AS STRING), '.Example', "
+    "CAST(doc_id % 3 AS STRING), '.COM:443/path/', CAST(doc_id AS STRING), "
+    "'/?utm_source=x&id=', CAST(doc_id AS STRING), '&utm_campaign=y&b=2#frag') "
+    "ELSE concat('http://site', CAST(doc_id % 20 AS STRING), '.example', "
+    "CAST(doc_id % 3 AS STRING), '.com/p', CAST(doc_id AS STRING)) END"
+)
+
+_URL_CANON_SPARK = f"""WITH urls AS (
+  SELECT doc_id, {_URL_MESSY_SPARK} AS url FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1))
+           AS host,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]*:([0-9]+)', 1)
+           AS port,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+           AS path,
+         regexp_extract(url, '\\\\?([^#]*)', 1) AS query
+  FROM urls
+),
+canon AS (
+  SELECT doc_id, scheme, host, path,
+         CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                   OR (scheme = 'http' AND port = '80')
+              THEN '' ELSE concat(':', port) END AS port_part,
+         array_join(array_sort(filter(split(query, '&'),
+                    p -> p != '' AND NOT startswith(p, 'utm_'))), '&')
+           AS params
+  FROM parts
+)
+SELECT doc_id,
+       concat(scheme, '://', host, port_part, path,
+              CASE WHEN params = '' THEN '' ELSE concat('?', params) END)
+         AS canonical_url,
+       array_join(slice(split(host, '\\\\.'),
+                        size(split(host, '\\\\.')) - 1, 2), '.')
+         AS registrable_domain
+FROM canon"""
+
+_URL_CANON_DUCK = """SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN
+         'https://www.site' || CAST(doc_id % 20 AS VARCHAR) || '.example'
+           || CAST(doc_id % 3 AS VARCHAR) || '.com/path/'
+           || CAST(doc_id AS VARCHAR) || '/?b=2&id=' || CAST(doc_id AS VARCHAR)
+       ELSE
+         'http://site' || CAST(doc_id % 20 AS VARCHAR) || '.example'
+           || CAST(doc_id % 3 AS VARCHAR) || '.com/p' || CAST(doc_id AS VARCHAR)
+       END AS canonical_url,
+       'example' || CAST(doc_id % 3 AS VARCHAR) || '.com'
+         AS registrable_domain
+FROM documents"""
+
+QUERIES["text_url_canonicalize"] = _pair(_URL_CANON_SPARK, _URL_CANON_DUCK)
+
+
+# Symmetric int8 embedding quantization — the storage/bandwidth shrink
+# every embedding store runs before ANN (4x smaller vectors; faster
+# distance kernels). scale = amax/127 per vector; q_i = floor(v/scale +
+# 0.5) with ties and division done in identical IEEE double arithmetic
+# both sides, so the INTEGER outputs (per-vector sum/min/max of q, and
+# the quantized-vector checksum) compare exactly. All-zero vectors get
+# scale 0 and all-zero codes (guarded division). scale itself is reported
+# through the established 1e9 integer quantization.
+_EMBED_QUANT_BODY = """SELECT vec_id,
+       CAST(floor(amax * CAST(1000000000.0 AS DOUBLE) / 127
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS scale_x1e9,
+       CAST({q_sum} AS BIGINT) AS q_sum,
+       CAST({q_min} AS INT) AS q_min,
+       CAST({q_max} AS INT) AS q_max
+FROM (
+  SELECT vec_id, {amax} AS amax, embedding FROM embeddings
+) t"""
+
+_EQ_SPARK = {
+    "amax": ("array_max(transform(embedding, "
+             "v -> abs(CAST(v AS DOUBLE))))"),
+    "q": ("transform(embedding, v -> CASE WHEN amax = CAST(0.0 AS DOUBLE) "
+          "THEN CAST(0 AS BIGINT) ELSE CAST(floor(CAST(v AS DOUBLE) * 127 "
+          "/ amax + CAST(0.5 AS DOUBLE)) AS BIGINT) END)"),
+}
+_EQ_DUCK = {
+    "amax": "list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))",
+    "q": ("list_transform(embedding, v -> CASE WHEN amax = CAST(0.0 AS DOUBLE) "
+          "THEN CAST(0 AS BIGINT) ELSE CAST(floor(CAST(v AS DOUBLE) * 127 "
+          "/ amax + CAST(0.5 AS DOUBLE)) AS BIGINT) END)"),
+}
+
+QUERIES["embed_quantize_int8"] = _pair(
+    _EMBED_QUANT_BODY.format(
+        amax=_EQ_SPARK["amax"],
+        q_sum="aggregate({q}, CAST(0 AS BIGINT), (a, x) -> a + x)".format(
+            q=_EQ_SPARK["q"]),
+        q_min="array_min({q})".format(q=_EQ_SPARK["q"]),
+        q_max="array_max({q})".format(q=_EQ_SPARK["q"]),
+    ),
+    _EMBED_QUANT_BODY.format(
+        amax=_EQ_DUCK["amax"],
+        q_sum="list_sum({q})".format(q=_EQ_DUCK["q"]),
+        q_min="list_min({q})".format(q=_EQ_DUCK["q"]),
+        q_max="list_max({q})".format(q=_EQ_DUCK["q"]),
+    ),
+)
+
+
 # PII scrubbing — a staple stage of public LLM-data pipelines (CCNet /
 # RefinedWeb / FineWeb all redact emails+IPs before training). The corpus
 # contains no PII, so deterministic doc_id-derived email+IP tokens are
