@@ -128,28 +128,18 @@ def _dedup_clusters_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_clusters(pairs, docs, rank_col="quality_rank")
 
 
-def _warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC ingestion axis, end-to-end and hash-checked: every document's
-    text is wrapped in the boilerplate-HTML shell (one <p> body — the line
-    derivation is already covered by the html-axis oracles), framed as a
-    real WARC/1.0 response record with an HTTP/1.1 envelope (one WARC file
-    per Arrow batch, alternating per-record-gzip like .warc.gz), then the
-    REAL reader (sources/warc.parse_warc + http_response) reframes it and
-    the REAL extractor strips the boilerplate. DuckDB re-derives url,
-    status, exact body byte count and the extracted text from `documents`
-    — so Content-Length arithmetic, CRLF framing, gzip membering, HTTP
-    header parsing and the boilerplate strip are all value-checked.
-    Zero-shuffle: two chained mapInPandas stages."""
+def _warc_files_df(spark: SparkSession) -> DataFrame:
+    """`documents` → synthesized WARC container files (path, content):
+    every document's text wrapped in the boilerplate-HTML shell, framed as
+    a real WARC/1.0 response record with an HTTP/1.1 envelope. Shared input
+    stage of warc_extract and warc_clean_write."""
     import pandas as pd
-    from pyspark.sql import functions as F
 
     from fast_pdf_parser_spark.sources.warc import (
         build_warc,
         deterministic_record_id,
-        read_warc_documents,
     )
 
-    _prepare(spark, sf_dir)
     docs = spark.sql(
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents")
 
@@ -168,22 +158,48 @@ def _warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "html": f"{HTML_PREFIX}<p>{t}</p>{HTML_SUFFIX}"}
                 for i, t in zip(pdf["doc_id"], pdf["text"])
             ]
-            # EVERY batch emits both layouts — a plain .warc with its
-            # even-positioned records and a per-record-gzip .warc.gz with
-            # the odd-positioned ones — so the gzip reader is always on
-            # the value-checked path (a parity-of-first-doc toggle can be
-            # systematically constant and silently skip one layout)
+            # EVERY multi-record batch emits both layouts — a plain .warc
+            # with its even-positioned records and a per-record-gzip
+            # .warc.gz with the odd-positioned ones — so the gzip reader is
+            # always on the value-checked path (a parity-of-first-doc
+            # toggle can be systematically constant and silently skip one
+            # layout). A 1-record batch (small partitions, page-limit
+            # tails) can't emit both, so its lone record routes to the
+            # gzip layout on odd first-doc_id — across batches neither
+            # layout can be systematically skipped.
             first = int(pdf["doc_id"].iloc[0])
             rows = []
-            for gz, part in ((False, records[0::2]), (True, records[1::2])):
-                if part:
-                    name = (f"batch-{first}"
-                            + (".warc.gz" if gz else ".warc"))
-                    rows.append((name, build_warc(part, compress=gz)))
+            if len(records) == 1:
+                gz = bool(first % 2)
+                name = f"batch-{first}" + (".warc.gz" if gz else ".warc")
+                rows.append((name, build_warc(records, compress=gz)))
+            else:
+                for gz, part in ((False, records[0::2]),
+                                 (True, records[1::2])):
+                    if part:
+                        name = (f"batch-{first}"
+                                + (".warc.gz" if gz else ".warc"))
+                        rows.append((name, build_warc(part, compress=gz)))
             yield pd.DataFrame(rows, columns=["path", "content"])
 
-    warc_files = docs.mapInPandas(to_warc, schema="path string, content binary")
-    out = read_warc_documents(warc_files)
+    return docs.mapInPandas(to_warc, schema="path string, content binary")
+
+
+def _warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion axis, end-to-end and hash-checked: synthesized WARC
+    container files (see _warc_files_df) re-parsed by the REAL reader
+    (sources/warc.parse_warc + http_response), boilerplate stripped by the
+    REAL extractor. DuckDB re-derives url, status, exact body byte count
+    and the extracted text from `documents` — so Content-Length
+    arithmetic, CRLF framing, gzip membering, HTTP header parsing and the
+    boilerplate strip are all value-checked. Zero-shuffle: two chained
+    mapInPandas stages."""
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.sources.warc import read_warc_documents
+
+    _prepare(spark, sf_dir)
+    out = read_warc_documents(_warc_files_df(spark))
     return (out.filter(F.col("error").isNull())
             .select(
                 F.element_at(F.split("url", "/"), -1).cast("bigint")
@@ -191,6 +207,51 @@ def _warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "url", "record_id", "http_status", "content_type",
                 "n_body_bytes",
                 F.col("main_text").alias("extracted")))
+
+
+def _warc_clean_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common-Crawl-to-training-corpus path END TO END: WARC container
+    files → the real WARC reader → cleaning gates (exact dedup, quality
+    gate, 98/1/1 hash split — relational.warc_gates_sql) → the resume-safe
+    bucketed sink (plans/checkpoint.write_docs_bucketed) → per-split
+    counts + byte totals READ BACK from the written files. Proves the r5
+    source and the r5 sink compose: the oracle re-derives the totals from
+    `documents` directly (warc_extract's oracle already proves the WARC
+    round-trip preserves text exactly)."""
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.operators.relational import warc_gates_sql
+    from fast_pdf_parser_spark.plans.checkpoint import (
+        _fs_delete,
+        write_docs_bucketed,
+    )
+    from fast_pdf_parser_spark.sources.warc import read_warc_documents
+
+    _prepare(spark, sf_dir)
+    parsed = read_warc_documents(_warc_files_df(spark))
+    (parsed.filter(F.col("error").isNull())
+     .select(F.element_at(F.split("url", "/"), -1).cast("bigint")
+             .alias("doc_id"),
+             F.col("main_text").alias("text"))
+     .createOrReplaceTempView("warc_docs"))
+    kept = spark.sql(warc_gates_sql("warc_docs"))
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    # PID-suffixed scratch: concurrent bench/driver invocations must not
+    # delete each other's in-progress sink output (the dir is removed
+    # below once the counts are materialized)
+    out = f"/tmp/spark_graft_warc_clean_{sf_name}_{os.getpid()}"
+    _fs_delete(spark, out)
+    clean = write_docs_bucketed(spark, kept, out, run_id="driver",
+                                num_buckets=4)
+    counts = (clean.groupBy("split")
+              .agg(F.count("*").cast("int").alias("n_docs"),
+                   F.sum(F.octet_length("clean_text")).alias("clean_bytes")))
+    # materialize the tiny aggregate, then drop the scratch dir — the
+    # returned DataFrame must not depend on files we just deleted
+    result = spark.createDataFrame(counts.collect(), schema=counts.schema)
+    _fs_delete(spark, out)
+    return result
 
 
 def _pipeline_clean_write(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,12 +269,20 @@ def _pipeline_clean_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prepare(spark, sf_dir)
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/spark_graft_clean_{sf_name}"
+    # PID-suffixed scratch: concurrent bench/driver invocations must not
+    # delete each other's in-progress sink output; the dir is removed
+    # below once the counts are materialized
+    out = f"/tmp/spark_graft_clean_{sf_name}_{os.getpid()}"
     _fs_delete(spark, out)  # fresh, idempotent run per invocation
     clean = write_clean_corpus(spark, out, run_id="driver", num_buckets=4)
-    return (clean.groupBy("split", "source")
-            .agg(F.count("*").cast("int").alias("n_docs"),
-                 F.sum(F.octet_length("clean_text")).alias("clean_bytes")))
+    counts = (clean.groupBy("split", "source")
+              .agg(F.count("*").cast("int").alias("n_docs"),
+                   F.sum(F.octet_length("clean_text")).alias("clean_bytes")))
+    # materialize the tiny aggregate, then drop the scratch dir — the
+    # returned DataFrame must not depend on files we just deleted
+    result = spark.createDataFrame(counts.collect(), schema=counts.schema)
+    _fs_delete(spark, out)
+    return result
 
 
 def _pipeline_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_docling_chunks"] = _pipeline_docling
     out["pipeline_docling_meta_oracle"] = _pipeline_docling_meta
     out["warc_extract"] = _warc_extract
+    out["warc_clean_write"] = _warc_clean_write
     out["pipeline_html_extract"] = _pipeline_html
     out["pipeline_html_meta_oracle"] = _pipeline_html_meta
     out["pipeline_html_content_oracle"] = _pipeline_html_content

@@ -792,11 +792,16 @@ _URL_MESSY_SPARK = (
     "CAST(doc_id % 3 AS STRING), '.com/p', CAST(doc_id AS STRING)) END"
 )
 
-_URL_CANON_SPARK = f"""WITH urls AS (
-  SELECT doc_id, {_URL_MESSY_SPARK} AS url FROM documents
-),
-parts AS (
-  SELECT doc_id, url,
+def _url_canon_chain(carry: str = "") -> str:
+    """parts → canon → canonical CTE chain over a CTE ``urls(doc_id,
+    url{carry})``: generic URL parsing with Spark string built-ins —
+    lowercase scheme+host, strip default ports, drop fragments, drop utm_*
+    params, sort surviving params. Shared by text_url_canonicalize and
+    dedup_url_canonical so the parser the dedup groups on cannot drift
+    from the one the canonicalizer is value-checked on. ``carry`` threads
+    extra columns (e.g. ``, q``) through to ``canonical``."""
+    return f"""parts AS (
+  SELECT doc_id{carry}, url,
          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
            AS scheme,
          lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1))
@@ -809,7 +814,7 @@ parts AS (
   FROM urls
 ),
 canon AS (
-  SELECT doc_id, scheme, host, path,
+  SELECT doc_id{carry}, scheme, host, path,
          CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
                    OR (scheme = 'http' AND port = '80')
               THEN '' ELSE concat(':', port) END AS port_part,
@@ -817,15 +822,25 @@ canon AS (
                     p -> p != '' AND NOT startswith(p, 'utm_'))), '&')
            AS params
   FROM parts
-)
-SELECT doc_id,
-       concat(scheme, '://', host, port_part, path,
-              CASE WHEN params = '' THEN '' ELSE concat('?', params) END)
-         AS canonical_url,
+),
+canonical AS (
+  SELECT doc_id{carry}, host,
+         concat(scheme, '://', host, port_part, path,
+                CASE WHEN params = '' THEN '' ELSE concat('?', params) END)
+           AS canonical_url
+  FROM canon
+)"""
+
+
+_URL_CANON_SPARK = f"""WITH urls AS (
+  SELECT doc_id, {_URL_MESSY_SPARK} AS url FROM documents
+),
+{_url_canon_chain()}
+SELECT doc_id, canonical_url,
        array_join(slice(split(host, '\\\\.'),
                         size(split(host, '\\\\.')) - 1, 2), '.')
          AS registrable_domain
-FROM canon"""
+FROM canonical"""
 
 _URL_CANON_DUCK = """SELECT doc_id,
        CASE WHEN doc_id % 2 = 0 THEN
@@ -841,6 +856,60 @@ _URL_CANON_DUCK = """SELECT doc_id,
 FROM documents"""
 
 QUERIES["text_url_canonicalize"] = _pair(_URL_CANON_SPARK, _URL_CANON_DUCK)
+
+
+# URL-level dedup — the FIRST dedup a crawl pipeline runs (the same page
+# fetched twice is cheaper to drop than the same text twice; WARC records
+# carry urls before any content is parsed). Composes the canonicalizer
+# above with the quality-ranked survivor pick (the dedup_clusters_ranked
+# idiom): group by canonical_url, survivor = longest text in bytes (ties →
+# smallest doc_id). Messy inputs collide by construction: docs i and
+# i+251 share group key k = doc_id % 251 (251 odd, so the pair spans both
+# messy shapes — uppercase+:443+utm vs plain lowercase) and must resolve
+# to ONE kept row. Scale shape: a single scan + ONE hash-partitioned
+# window over canonical_url (~a few tens of bytes/doc of shuffle), no
+# join — the same shape at 10^12 rows. The Spark side PARSES the url
+# generically (shared _url_canon_chain); DuckDB recomputes the canonical
+# form arithmetically from doc_id, so the parser + window is what's
+# value-checked.
+_URL_DUP_MESSY_SPARK = (
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "concat('HTTPS://Site', CAST(doc_id % 251 % 20 AS STRING), '.Example', "
+    "CAST(doc_id % 251 % 3 AS STRING), '.COM:443/page/', "
+    "CAST(doc_id % 251 AS STRING), '?utm_source=x&utm_campaign=y#frag') "
+    "ELSE concat('https://site', CAST(doc_id % 251 % 20 AS STRING), "
+    "'.example', CAST(doc_id % 251 % 3 AS STRING), '.com/page/', "
+    "CAST(doc_id % 251 AS STRING)) END"
+)
+
+_URL_DEDUP_TAIL = """ranked AS (
+  SELECT doc_id, q, canonical_url,
+         row_number() OVER (PARTITION BY canonical_url
+                            ORDER BY q DESC, doc_id ASC) AS pick,
+         count(*) OVER (PARTITION BY canonical_url) AS url_group_size
+  FROM canonical
+)
+SELECT doc_id, canonical_url,
+       CAST(url_group_size AS INT) AS url_group_size,
+       CAST(CASE WHEN pick = 1 THEN 1 ELSE 0 END AS INT) AS kept
+FROM ranked"""
+
+QUERIES["dedup_url_canonical"] = _pair(
+    f"""WITH urls AS (
+  SELECT doc_id, octet_length(text) AS q, {_URL_DUP_MESSY_SPARK} AS url
+  FROM documents
+),
+{_url_canon_chain(carry=", q")},
+{_URL_DEDUP_TAIL}""",
+    f"""WITH canonical AS (
+  SELECT doc_id, strlen(text) AS q,
+         'https://site' || CAST(doc_id % 251 % 20 AS VARCHAR) || '.example'
+           || CAST(doc_id % 251 % 3 AS VARCHAR) || '.com/page/'
+           || CAST(doc_id % 251 AS VARCHAR) AS canonical_url
+  FROM documents
+),
+{_URL_DEDUP_TAIL}""",
+)
 
 
 # Symmetric int8 embedding quantization — the storage/bandwidth shrink
@@ -1498,6 +1567,61 @@ def _warc_oracle_duck() -> str:
 FROM documents"""
 
 
+# WARC → cleaned-corpus gates: the actual Common-Crawl-to-training-corpus
+# path — parsed WARC docs through exact dedup (md5 hash-group, keep
+# smallest doc_id), the text_quality_score gate (>=50 words, >10% distinct
+# ratio) and the hash-coin 98/1/1 split, producing the write_docs_bucketed
+# input schema. One dialect-templated body so the Spark side (over the
+# parsed-WARC view) and the DuckDB oracle (over `documents` directly —
+# legitimate because warc_extract's oracle proves extracted == text) can
+# never drift. Scale shape: one scan + ONE hash window (the dedup rank);
+# gate + split are inline expressions.
+_WARC_GATES_BODY = """WITH gated AS (
+  SELECT doc_id, text,
+         {nwords} AS nw,
+         {ndistinct} AS nd,
+         {h} AS h
+  FROM {src}
+),
+dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text)
+                               ORDER BY doc_id ASC) AS rn
+  FROM gated
+)
+SELECT doc_id, 'warc' AS source,
+       CASE WHEN h % 100 < 98 THEN 'train'
+            WHEN h % 100 = 98 THEN 'valid' ELSE 'test' END AS split,
+       h AS clean_hash, text AS clean_text
+FROM dedup
+WHERE rn = 1 AND nw >= 50 AND nd * CAST(1.0 AS DOUBLE) / nw > 0.1"""
+
+
+def warc_gates_sql(view: str) -> str:
+    """Spark-dialect cleaning gates over a parsed-WARC docs view
+    ``view(doc_id BIGINT, text STRING)``."""
+    return _WARC_GATES_BODY.format(
+        src=view,
+        nwords="size(split(text, ' '))",
+        ndistinct="size(array_distinct(split(text, ' ')))",
+        h=_HASH60_SPARK.format(x="text"),
+    )
+
+
+def _warc_clean_oracle_duck() -> str:
+    kept = _WARC_GATES_BODY.format(
+        src="documents",
+        nwords="length(split(text, ' '))",
+        ndistinct="length(list_distinct(split(text, ' ')))",
+        h=_HASH60_DUCK.format(x="text"),
+    )
+    return f"""WITH kept AS (
+{kept}
+)
+SELECT split, CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(strlen(clean_text)) AS BIGINT) AS clean_bytes
+FROM kept GROUP BY split"""
+
+
 def _media_features_oracle_duck() -> str:
     """DuckDB twin of multimodal.media.extract_media_features over the
     pipeline's cover-image media spans (fake_decode_meta + fake_features,
@@ -1646,6 +1770,12 @@ FROM documents""",
     # from `documents` — byte counts prove the framing, `extracted` proves
     # the strip (the <p>-wrapped text round-trips to itself)
     "warc_extract": _warc_oracle_duck(),
+    # WARC source composed with the durable cleaned-corpus sink: the Spark
+    # side builds WARC files, re-parses them, runs the cleaning gates and
+    # WRITES the kept docs via the resume-safe bucketed sink, reporting
+    # per-split counts + byte totals READ BACK from disk; the oracle
+    # re-derives the same totals from `documents` directly
+    "warc_clean_write": _warc_clean_oracle_duck(),
     "pipeline_html_meta_oracle": _html_meta_oracle_duck(),
     # content-level HTML twin: extraction inverts the wrap exactly, so the
     # extracted markdown per page equals the page's non-blank lines in
@@ -1991,6 +2121,75 @@ scored AS (
 )
 
 
+# int8-quantized ANN — the integration of embed_quantize_int8 with the
+# search path (the point of int8 is searching over it: 4x less scan
+# bandwidth per probe). Symmetric design: corpus AND queries are
+# quantized (amax/127 per-vector scale, floor-half-up — the exact
+# embed_quantize_int8 arithmetic), dequantized as q * amax / 127 in
+# identical IEEE double order both sides, then the standard exact-cosine
+# top-10. The recall cost of quantization vs the float baseline is a
+# driver-visible row via the 'int8' tier in ann_recall_report below. At
+# scale this brute-force form is the verify kernel inside an IVF/LSH
+# probe, not a corpus scan (same role as ann_cosine_topk).
+def _int8_iv_cte(transform_fn: str, q_expr: dict) -> str:
+    return f"""iv AS (
+  SELECT vec_id,
+         {transform_fn}({q_expr['q']}, x -> CAST(x AS DOUBLE) * amax / 127)
+           AS e
+  FROM (SELECT vec_id, {q_expr['amax']} AS amax, embedding FROM embeddings) t
+)"""
+
+
+_INT8_ANN_SPARK = f"""WITH {_int8_iv_cte('transform', _EQ_SPARK)},
+q AS (SELECT vec_id AS query_id, e AS qe FROM iv WHERE vec_id < 5),
+c AS (SELECT vec_id, e AS ce FROM iv WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round(
+           aggregate(zip_with(qe, ce, (a, b) -> a * b),
+                     CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+           / (sqrt(aggregate(transform(qe, a -> a * a),
+                             CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))
+              * sqrt(aggregate(transform(ce, a -> a * a),
+                               CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))),
+           6) AS cos
+  FROM q CROSS JOIN c
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+FROM ranked WHERE rank <= 10"""
+
+_INT8_ANN_DUCK = f"""WITH {_int8_iv_cte('list_transform', _EQ_DUCK)},
+q AS (SELECT vec_id AS query_id, e AS qe FROM iv WHERE vec_id < 5),
+c AS (SELECT vec_id, e AS ce FROM iv WHERE vec_id >= 5),
+pairs AS (
+  SELECT q.query_id, c.vec_id, unnest(list_zip(qe, ce)) AS z
+  FROM q CROSS JOIN c
+),
+scored AS (
+  SELECT query_id, vec_id,
+         round(sum(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)) /
+               (sqrt(sum(CAST(z[1] AS DOUBLE) * CAST(z[1] AS DOUBLE))) *
+                sqrt(sum(CAST(z[2] AS DOUBLE) * CAST(z[2] AS DOUBLE)))), 6) AS cos
+  FROM pairs GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+FROM ranked WHERE rank <= 10"""
+
+QUERIES["ann_int8_topk"] = _pair(_INT8_ANN_SPARK, _INT8_ANN_DUCK)
+
+
 # Recall report for the approximate ANN tiers against the exact brute-force
 # baseline — deterministic tiers (banded LSH, hyperplane grid), so the
 # recall itself is a pure function of the data and DuckDB can re-derive it.
@@ -2010,7 +2209,10 @@ scored AS (
 # neighbors at rank 1 (tests/test_similarity.py pins this with a planted
 # corpus). That contrast is the point of the report: bucketed ANN is a
 # scale path for clustered data, not a substitute ranking on noise.
-def _recall_sql(exact: str, lsh: str, grid: str) -> str:
+def _recall_sql(exact: str, lsh: str, grid: str, int8: str) -> str:
+    """The 'int8' tier (added r6) measures the quantization recall cost:
+    int8 top-10 vs the FLOAT exact baseline — the number that tells you
+    whether the 4x-smaller vectors changed the answers."""
     return f"""WITH exact AS (
 {exact}
 ),
@@ -2019,6 +2221,9 @@ lsh AS (
 ),
 grid AS (
 {grid}
+),
+int8 AS (
+{int8}
 ),
 per AS (
   SELECT 'lsh' AS tier, e.query_id, CAST(3 AS INT) AS k,
@@ -2034,6 +2239,13 @@ per AS (
   LEFT JOIN grid g
     ON g.query_id = e.query_id AND g.neighbor_id = e.neighbor_id
   GROUP BY e.query_id
+  UNION ALL
+  SELECT 'int8' AS tier, e.query_id, CAST(10 AS INT) AS k,
+         CAST(count(i.neighbor_id) AS INT) AS hits
+  FROM exact e
+  LEFT JOIN int8 i
+    ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
 )
 SELECT tier, query_id, k, hits,
        CAST(floor(hits * CAST(10000.0 AS DOUBLE) / k
@@ -2043,9 +2255,9 @@ FROM per"""
 
 QUERIES["ann_recall_report"] = _pair(
     _recall_sql(_ANN_SPARK, QUERIES["ann_lsh_topk"]["spark"],
-                QUERIES["ann_ivf_grid"]["spark"]),
+                QUERIES["ann_ivf_grid"]["spark"], _INT8_ANN_SPARK),
     _recall_sql(_ANN_DUCK, QUERIES["ann_lsh_topk"]["duck"],
-                QUERIES["ann_ivf_grid"]["duck"]),
+                QUERIES["ann_ivf_grid"]["duck"], _INT8_ANN_DUCK),
 )
 
 

@@ -258,29 +258,53 @@ def write_clean_corpus(
     """Materialize the cleaned corpus — the artifact a training run
     consumes: every ``final_keep=1`` document of the composed cleaning DAG
     (relational.pipeline_clean_corpus: dedup → PII scrub → quality gate →
-    domain cap → split), written partitioned by (bucket, split) with the
-    same lineage/resume machinery as run_with_checkpoint.
+    domain cap → split), written partitioned by (bucket, split) via
+    ``write_docs_bucketed`` with the same lineage/resume machinery as
+    run_with_checkpoint. Requires the sf tables to be registered as views
+    (the driver / __spark_entry__._prepare does this).
+    """
+    from fast_pdf_parser_spark.operators.relational import spark_sql
 
-    Requires the sf tables to be registered as views (the driver /
-    __spark_entry__._prepare does this). Two phases, each resume-safe:
+    kept = (
+        spark.sql(spark_sql("pipeline_clean_corpus"))
+        .filter(F.col("final_keep") == 1)
+        .select("doc_id", "source", "split", "clean_hash", "clean_text")
+    )
+    return write_docs_bucketed(spark, kept, out_dir, run_id,
+                               num_buckets=num_buckets,
+                               fail_on_bucket=fail_on_bucket)
 
-    1. GATES: the 2-shuffle global cleaning DAG runs ONCE and lands under
-       ``out/gates`` (content-addressed by run_id; reused on resume when
-       its _SUCCESS marker is durable). The windows are corpus-global
-       (domain cap ranks across the whole corpus), so they cannot run
-       per-bucket — compute once, then bucket the kept rows.
-    2. WRITE: kept docs are bucketed (pmod(xxhash64(doc_id))) and each
-       bucket writes ``out/clean/bucket=K/split=S/`` then appends one
-       lineage row. Resume anti-joins the bucket list against 'done' rows
-       — identical idempotence story to the extraction checkpoint: a
-       crash between data and lineage re-writes the bucket (overwrite),
-       never skips or duplicates it.
+
+def write_docs_bucketed(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    run_id: str,
+    num_buckets: int = 8,
+    fail_on_bucket: int | None = None,  # test hook: simulate a crash
+) -> DataFrame:
+    """Resume-safe bucketed sink for a cleaned-documents DataFrame with
+    schema (doc_id BIGINT, source STRING, split STRING, clean_hash BIGINT,
+    clean_text STRING) — any cleaning DAG's kept rows (the global
+    pipeline_clean_corpus gates, the WARC path's gates, a streaming
+    backfill) land through the same durable machinery. Two phases, each
+    resume-safe:
+
+    1. GATES: ``docs`` (which may embody corpus-global windows that cannot
+       run per-bucket) is computed ONCE and staged under ``out/gates``
+       partitioned by bucket (content-addressed by run_id; reused on
+       resume when its _SUCCESS marker is durable) — bucket is a computed
+       column (pmod(xxhash64)), so unstaged per-bucket filters would
+       re-run the upstream DAG B times.
+    2. WRITE: each bucket writes ``out/clean/bucket=K/split=S/`` then
+       appends one lineage row. Resume anti-joins the bucket list against
+       'done' rows — identical idempotence story to the extraction
+       checkpoint: a crash between data and lineage re-writes the bucket
+       (overwrite), never skips or duplicates it.
 
     Returns the reader over the written corpus (bucket and split appear
     as partition columns — downstream filters get pruning for free).
     """
-    from fast_pdf_parser_spark.operators.relational import spark_sql
-
     clean_dir = os.path.join(out_dir, "clean")
     checkpoint_path = os.path.join(out_dir, "checkpoint")
     gates_dir = os.path.join(out_dir, "gates", f"{run_id}_b{num_buckets}")
@@ -289,17 +313,8 @@ def write_clean_corpus(
 
     staged_buckets: set[int] = set()
     if pending:
-        # stage the kept rows ONCE, partitioned by bucket: bucket is a
-        # computed column, so unstaged per-bucket filters would re-run
-        # the 2-shuffle gates DAG per bucket — B times the work
         if not _fs_exists(spark, os.path.join(gates_dir, "_SUCCESS")):
-            kept = with_bucket(
-                spark.sql(spark_sql("pipeline_clean_corpus"))
-                .filter(F.col("final_keep") == 1)
-                .select("doc_id", "source", "split", "clean_hash",
-                        "clean_text"),
-                num_buckets,
-            )
+            kept = with_bucket(docs, num_buckets)
             kept.write.mode("overwrite").partitionBy("bucket") \
                 .parquet(gates_dir)
         staged_buckets = _list_staged_buckets(spark, gates_dir)

@@ -171,6 +171,21 @@ def test_clean_corpus_two_shuffles_no_join(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_url_dedup_one_window_no_join(spark):
+    """dedup_url_canonical must be a single scan + ONE hash-partitioned
+    window over canonical_url — the parse is inline expression work and
+    the ranked survivor pick never needs a join or a single-partition
+    stage (the 100 TB shape: the first dedup a crawl pipeline runs)."""
+    entrymod._prepare(spark, SF_DIR)
+    plan = physical(spark.sql(spark_sql("dedup_url_canonical")))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "hashpartitioning(canonical_url" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_cap_operators_single_partition_free_no_join(spark):
     """Both cap operators (per-domain, per-embedding-cell) must be ONE
     hash-partitioned window over their grouping key — no join, no
