@@ -60,6 +60,54 @@ class ClusterConvergenceError(RuntimeError):
     incomplete and must not be consumed (it would under-deduplicate)."""
 
 
+class _NoopRddHandle:
+    """Fallback persisted-RDD handle: unpersist is a no-op and the block
+    is left for Spark's ContextCleaner (the pre-r4 residency behavior)."""
+
+    def unpersist(self, blocking=False):  # noqa: ARG002 - handle protocol
+        return None
+
+
+_warned_no_handle = False
+
+
+def _checkpointed(df: DataFrame):
+    """localCheckpoint + a DIRECT handle to the persisted JVM RDD.
+
+    DataFrame.unpersist() is a silent no-op for localCheckpoint blocks
+    (they are RDD-level persisted, not CacheManager plans), and diffing
+    sc.getPersistentRDDs() snapshots is racy under concurrent Spark
+    jobs on the same session (plans/checkpoint.py runs a thread pool) —
+    another thread's persist landing between two snapshots would be
+    misattributed and wrongly freed. The checkpointed Dataset's
+    analyzed plan IS a LogicalRDD wrapping the persisted RDD, so the
+    handle is read straight off it; unpersist calls it directly.
+
+    The read goes through private JVM internals (``_jdf`` + the analyzed
+    plan's ``rdd()``), which a Spark upgrade or Spark Connect can remove
+    — in that case degrade to a no-op handle (blocks wait for the
+    ContextCleaner, the old residency behavior) instead of failing
+    resolve_clusters before any clustering work runs. The handle's
+    liveness is pinned by tests/test_clusters.py so a silent API change
+    shows up as a red test, not a leak discovered in production."""
+    global _warned_no_handle
+    ckpt = df.localCheckpoint(eager=True)
+    try:
+        jrdd = ckpt._jdf.queryExecution().analyzed().rdd()
+    except Exception as exc:
+        if not _warned_no_handle:
+            _warned_no_handle = True
+            import warnings
+
+            warnings.warn(
+                "clusters._checkpointed: cannot read the persisted-RDD "
+                f"handle off the analyzed plan ({exc!r}); localCheckpoint "
+                "blocks will be freed by the ContextCleaner instead of "
+                "eagerly", RuntimeWarning, stacklevel=2)
+        jrdd = _NoopRddHandle()
+    return ckpt, jrdd
+
+
 def _symmetric_edges(pairs: DataFrame) -> DataFrame:
     edges = pairs.select(F.col("doc_a").alias("src"),
                          F.col("doc_b").alias("dst"))
@@ -133,21 +181,6 @@ def resolve_clusters(pairs: DataFrame, docs: DataFrame,
     succeeds; pointer jumping needs O(log diameter) rounds, so hitting
     this means a pathological chain or max_iters set too low).
     """
-    def _checkpointed(df: DataFrame):
-        """localCheckpoint + a DIRECT handle to the persisted JVM RDD.
-
-        DataFrame.unpersist() is a silent no-op for localCheckpoint blocks
-        (they are RDD-level persisted, not CacheManager plans), and diffing
-        sc.getPersistentRDDs() snapshots is racy under concurrent Spark
-        jobs on the same session (plans/checkpoint.py runs a thread pool) —
-        another thread's persist landing between two snapshots would be
-        misattributed and wrongly freed. The checkpointed Dataset's
-        analyzed plan IS a LogicalRDD wrapping the persisted RDD, so the
-        handle is read straight off it; unpersist calls it directly."""
-        ckpt = df.localCheckpoint(eager=True)
-        jrdd = ckpt._jdf.queryExecution().analyzed().rdd()
-        return ckpt, jrdd
-
     def _label_sum(df: DataFrame):
         return df.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")

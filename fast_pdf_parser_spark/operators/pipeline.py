@@ -273,7 +273,15 @@ def _iter_flush_batches(doc_ids, spans_col, tokenizer, chunk_options):
     """Shared flush loop of both processors: (doc ids, span lists) →
     row-tuple batches, honoring the _FLUSH_CHARS/_FLUSH_ROWS budget and
     the meta contract (offset-0 row withheld to doc end; mid-doc-streamed
-    rows carry NULL meta). ``spans_col`` entries are nulled as consumed."""
+    rows carry NULL meta). ``spans_col`` entries are nulled as consumed.
+
+    Every emitted batch is bounded by ONE flush budget (plus at most one
+    row of overshoot): completed-doc rows and a giant doc's mid-doc rows
+    are flushed as separate batches when their sum would cross the budget
+    — previously a single batch could reach ~2x _FLUSH_CHARS when both
+    lists sat just under it. NULL-meta rows still occur ONLY for documents
+    whose own output exceeds the budget, never because unrelated completed
+    rows happened to share the buffer."""
     rows: list[tuple] = []  # completed-doc rows, meta attached
     pending_chars = 0
     for j, doc_id in enumerate(doc_ids):
@@ -294,20 +302,31 @@ def _iter_flush_batches(doc_ids, spans_col, tokenizer, chunk_options):
                 doc_chars += len(row[3])
             if doc_chars >= _FLUSH_CHARS or len(doc_rows) >= _FLUSH_ROWS:
                 # mid-doc flush (giant doc): stream what we have; these
-                # rows carry NULL meta (not known yet)
-                yield rows + [r + _NULL_META for r in doc_rows]
-                rows, pending_chars = [], 0
+                # rows carry NULL meta (not known yet). Completed rows go
+                # out as their own batch so the two buffers never stack.
+                if rows:
+                    yield rows
+                    rows, pending_chars = [], 0
+                yield [r + _NULL_META for r in doc_rows]
                 doc_rows, doc_chars = [], 0
         del spans
         doc_meta = (
             meta["total_pages"], meta["parse_failures"],
             meta["bytes_decoded"], meta["first_error"],
         )
+        done_rows: list[tuple] = []
         if first_row is not None:
-            rows.append(first_row + doc_meta)
+            done_rows.append(first_row + doc_meta)
             if first_row[3]:
                 doc_chars += len(first_row[3])
-        rows.extend(r + doc_meta for r in doc_rows)
+        done_rows.extend(r + doc_meta for r in doc_rows)
+        # if appending this doc's rows would cross the budget, flush the
+        # already-pending completed rows first — batch stays ~one budget
+        if rows and (pending_chars + doc_chars >= _FLUSH_CHARS
+                     or len(rows) + len(done_rows) >= _FLUSH_ROWS):
+            yield rows
+            rows, pending_chars = [], 0
+        rows.extend(done_rows)
         pending_chars += doc_chars
         if pending_chars >= _FLUSH_CHARS or len(rows) >= _FLUSH_ROWS:
             yield rows

@@ -216,3 +216,32 @@ def test_error_path_frees_all_blocks(spark):
     with pytest.raises(ClusterConvergenceError):
         resolve_clusters(pairs, docs, max_iters=1)
     assert ids() - before == set(), "error path left new persisted blocks"
+
+
+def test_checkpointed_handle_is_live_jrdd(spark):
+    """Pin the private-JVM-internals read in clusters._checkpointed: the
+    returned handle must be a LIVE JRDD whose id appears in the JVM's
+    persistent-RDD map and whose unpersist actually drops the block — a
+    Spark upgrade that changes the plan shape turns this red instead of
+    silently turning cleanup into a no-op (the fallback path). Asserts on
+    ID SETS, never counts (the async ContextCleaner makes counts flaky)."""
+    from fast_pdf_parser_spark.operators.clusters import (
+        _NoopRddHandle,
+        _checkpointed,
+    )
+
+    df = spark.range(64).selectExpr("id AS doc_id", "id AS label")
+    ckpt, handle = _checkpointed(df)
+    assert not isinstance(handle, _NoopRddHandle), (
+        "fallback engaged: the analyzed-plan RDD handle read broke on "
+        "this Spark version")
+    rid = int(handle.id())  # a live JRDD has an id
+
+    def persistent_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    assert rid in persistent_ids()
+    ckpt.count()  # the checkpointed lineage is readable while persisted
+    handle.unpersist(False)
+    assert rid not in persistent_ids()

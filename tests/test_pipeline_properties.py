@@ -69,6 +69,67 @@ def test_fold_invariants(spans):
     assert rows == rows2
 
 
+def test_flush_batches_bounded_by_one_budget(monkeypatch):
+    """Every batch _iter_flush_batches emits must stay within ONE flush
+    budget (plus at most one row of overshoot): completed-doc rows and a
+    giant doc's mid-doc rows must never stack into a ~2x batch. Docs that
+    individually fit under the budget must keep meta on every row, and
+    the union of all batches must equal the non-streaming fold."""
+    from fast_pdf_parser_spark.operators import pipeline as P
+
+    budget = 2000
+    monkeypatch.setattr(P, "_FLUSH_CHARS", budget)
+    monkeypatch.setattr(P, "_FLUSH_ROWS", 10 ** 9)
+
+    # 8 docs x 3 pages x ~300 chars: each doc ~900 chars (< budget) but
+    # any two stacked cross it; one giant doc (~5x budget) forces the
+    # mid-doc path in the middle of the stream
+    def page(i, n):
+        return " ".join(f"w{i}x{k}" for k in range(n))
+
+    docs = []
+    for d in range(8):
+        docs.append((f"d{d}", [
+            {"kind": "text", "text": page(d * 3 + p, 40), "offset": p}
+            for p in range(3)
+        ]))
+    docs.insert(4, ("giant", [
+        {"kind": "text", "text": page(100 + p, 200), "offset": p}
+        for p in range(8)
+    ]))
+
+    ids = [d[0] for d in docs]
+    spans = [d[1] for d in docs]
+    batches = list(P._iter_flush_batches(ids, spans, TOK,
+                                         ChunkOptions(min_tokens=1)))
+    assert len(batches) > 3  # the budget actually exercised
+
+    flat = []
+    for b in batches:
+        chars = sum(len(r[3] or "") for r in b)
+        max_row = max((len(r[3] or "") for r in b), default=0)
+        assert chars <= budget + max_row, (chars, budget, max_row)
+        flat.extend(b)
+
+    # non-giant docs: meta on EVERY row (never NULL-streamed just because
+    # unrelated completed rows shared the buffer)
+    for r in flat:
+        if r[0] != "giant":
+            assert r[12] is not None, r
+
+    # union equality with the materialized fold, doc by doc
+    by_doc: dict = {}
+    for r in flat:
+        by_doc.setdefault(r[0], []).append(r)
+    for doc_id, doc_spans_ in docs:
+        expect = P.process_document(doc_id, doc_spans_, TOK,
+                                    ChunkOptions(min_tokens=1))
+        got = sorted(by_doc[doc_id], key=lambda r: r[1])
+        assert [g[:12] for g in got] == [e[:12] for e in expect]
+        # the offset-0 row always carries final meta
+        assert got[0][12:] == expect[0][12:]
+
+
 def test_spark_partition_invariance(spark):
     from fast_pdf_parser_spark.operators.pipeline import extract_documents
     from fast_pdf_parser_spark.sources.synth import SPANS_DDL, iter_docs
