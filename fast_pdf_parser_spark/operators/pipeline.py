@@ -65,6 +65,168 @@ OUTPUT_DDL = (
 _COLUMNS = [f.split(" ")[0] for f in OUTPUT_DDL.split(", ")]
 
 
+class _DocFold:
+    """Incremental per-document fold: spans pushed ONE AT A TIME in
+    document order (the (offset, kind, text) sort order), CORE rows
+    (OUTPUT_DDL minus the four doc_* meta columns) come back from each
+    push, page by page, via StreamingChunker — peak memory tracks a
+    constant number of in-flight chunks plus the largest single span,
+    never the whole document's output (the Spark-side analogue of the
+    reference's batch-bounded consume, src/fast_pdf_parser.cpp:75-115).
+
+    ``finish()`` flushes the tail and populates ``self.meta`` with
+    {total_pages, parse_failures, bytes_decoded, first_error} — doc
+    totals only exist at doc end, which is exactly why they can't ride on
+    incrementally-emitted rows (see _FlushState for where they attach).
+
+    The incremental form exists so extract_documents_split can feed a
+    document whose spans arrive as MULTIPLE shuffled rows (the giant-doc
+    path) through the identical fold the one-row-per-doc path runs.
+    """
+
+    def __init__(self, doc_id: str, tokenizer,
+                 chunk_options: ChunkOptions) -> None:
+        self.doc_id = doc_id
+        self._tok = tokenizer
+        self._opt = chunk_options
+        self.total_pages = 0
+        self.parse_failures = 0
+        self.bytes_decoded = 0
+        self.first_error: str | None = None
+        self._emitted = 0
+        self._pushed = 0
+        self._chunker = None
+        self.meta: dict = {}
+
+    def _chunk_rows(self, chunks):
+        rows = []
+        for c in chunks:
+            rows.append(
+                (self.doc_id, self._emitted, "chunk", c.text, None,
+                 c.tokens, c.start_page, c.end_page,
+                 c.has_major_heading, c.min_heading_level,
+                 c.overlap_text or None, c.overlap_tokens)
+            )
+            self._emitted += 1
+        return rows
+
+    def _passthrough_row(self, kind, text, media_ref):
+        row = (self.doc_id, self._emitted, kind, text, media_ref,
+               None, None, None, None, None, None, None)
+        self._emitted += 1
+        return row
+
+    def push_span(self, s):
+        """Consume one span (respecting the page_limit); yields rows."""
+        from fast_pdf_parser_spark.operators.chunker import StreamingChunker
+
+        if (self._opt.page_limit > 0
+                and self._pushed >= self._opt.page_limit):
+            return
+        self._pushed += 1
+        kind = s["kind"]
+        if kind == "media":
+            if self._chunker is not None:
+                yield from self._chunk_rows(self._chunker.finish())
+                self._chunker = None
+            yield self._passthrough_row("media", None, s["media_ref"])
+        elif kind == "pdf":
+            span_offset = s["offset"]
+            try:
+                from fast_pdf_parser_spark.sources.pdf_lexer import (
+                    extract_pdf_pages_lines,
+                )
+                raw = base64.b64decode(s["text"])
+                self.bytes_decoded += len(raw)
+                del s
+                # line-list form: the lexer builds lines and the chunker
+                # consumes lines — joining to page text in between would
+                # be two string copies per line (push_lines is pinned
+                # equal to the joined push_page)
+                pdf_pages = extract_pdf_pages_lines(raw)
+                del raw
+            except Exception as exc:  # error containment per page
+                self.total_pages += 1
+                self.parse_failures += 1
+                if self.first_error is None:
+                    self.first_error = f"page {span_offset}: {exc}"
+            else:
+                # total_pages counts REAL pdf pages (ChunkingResult
+                # semantics, hierarchical_chunker.h:29-35): a multi-page
+                # pdf span contributes each page as its own chunking page
+                # (page-boundary units), all sharing the span's offset
+                self.total_pages += max(1, len(pdf_pages))
+                if self._chunker is None:
+                    self._chunker = StreamingChunker(self._tok, self._opt)
+                for j in range(len(pdf_pages)):
+                    page_lines = pdf_pages[j]
+                    pdf_pages[j] = None  # free each page once chunked
+                    yield from self._chunk_rows(
+                        self._chunker.push_lines(page_lines, span_offset)
+                    )
+        elif kind == "text":
+            self.total_pages += 1
+            text = s["text"] or ""
+            self.bytes_decoded += len(text.encode("utf-8"))
+            if self._chunker is None:
+                self._chunker = StreamingChunker(self._tok, self._opt)
+            yield from self._chunk_rows(
+                self._chunker.push_page(text, s["offset"]))
+        elif kind == "html":
+            # HTML member of the main-content extraction family:
+            # boilerplate strip + DOM heuristics (sources/html_extractor),
+            # same per-span error containment as the pdf path
+            self.total_pages += 1
+            try:
+                from fast_pdf_parser_spark.sources.html_extractor import (
+                    html_main_content,
+                )
+                raw_html = s["text"] or ""
+                self.bytes_decoded += len(raw_html.encode("utf-8"))
+                main = html_main_content(raw_html)
+                del raw_html
+            except Exception as exc:
+                self.parse_failures += 1
+                if self.first_error is None:
+                    self.first_error = f"page {s['offset']}: {exc}"
+            else:
+                if self._chunker is None:
+                    self._chunker = StreamingChunker(self._tok, self._opt)
+                yield from self._chunk_rows(
+                    self._chunker.push_page(main, s["offset"]))
+        else:
+            # Unknown kinds pass through unmodified (forward-compat: never
+            # reinterpret or drop data we don't understand at 10^12 docs).
+            if self._chunker is not None:
+                yield from self._chunk_rows(self._chunker.finish())
+                self._chunker = None
+            yield self._passthrough_row(kind, s["text"], s["media_ref"])
+
+    def finish(self):
+        """Flush the tail, emit the no-output meta row if needed, and
+        populate ``self.meta``; yields the remaining rows."""
+        if self._chunker is not None:
+            yield from self._chunk_rows(self._chunker.finish())
+            self._chunker = None
+        if self._emitted == 0 and self._pushed > 0:
+            # a document whose spans produced no output (every page failed
+            # to parse, or zero-page/blank pages only) must NOT vanish: its
+            # meta counters (pages seen, failures, first error) are the
+            # error-containment contract. One kind='meta' row carries them.
+            yield self._passthrough_row("meta", None, None)
+        self.meta = {
+            "total_pages": self.total_pages,
+            "parse_failures": self.parse_failures,
+            "bytes_decoded": self.bytes_decoded,
+            "first_error": self.first_error,
+        }
+
+    def doc_meta(self) -> tuple:
+        """The four doc_* meta columns (valid after finish())."""
+        return (self.meta["total_pages"], self.meta["parse_failures"],
+                self.meta["bytes_decoded"], self.meta["first_error"])
+
+
 def _iter_doc_rows(
     doc_id: str,
     spans,
@@ -72,23 +234,10 @@ def _iter_doc_rows(
     chunk_options: ChunkOptions,
     meta_out: dict,
 ):
-    """Streaming per-document fold: yields CORE rows (OUTPUT_DDL minus the
-    four doc_* meta columns) incrementally, page by page, via
-    StreamingChunker — peak memory tracks a constant number of in-flight
-    chunks plus the largest single span, never the whole document's output
-    (the Spark-side analogue of the reference's batch-bounded consume,
-    src/fast_pdf_parser.cpp:75-115).
-
-    ``meta_out`` receives {total_pages, parse_failures, bytes_decoded,
-    first_error} once the generator is exhausted — doc totals only exist at
-    doc end, which is exactly why they can't ride on incrementally-emitted
-    rows (see _make_processor for where they attach).
-
-    Input references are released as they are consumed (ordered[i] = None)
-    so a giant document's span text becomes collectable span by span.
-    """
-    from fast_pdf_parser_spark.operators.chunker import StreamingChunker
-
+    """One-row-per-doc form of the fold: sort the span array, stream it
+    through _DocFold. Input references are released as they are consumed
+    (ordered[i] = None) so a giant document's span text becomes
+    collectable span by span."""
     # (offset, kind, text) — offset is THE document order; the null-safe
     # kind/text tiebreak only matters for (out-of-contract) duplicate
     # offsets and exists so the page-limit pushdown's comparator sort in
@@ -98,130 +247,13 @@ def _iter_doc_rows(
         spans,
         key=lambda s: (s["offset"], s["kind"] or "", s["text"] or ""),
     )
-    if chunk_options.page_limit > 0:
-        ordered = ordered[: chunk_options.page_limit]
-    had_spans = bool(ordered)
-
-    total_pages = 0
-    parse_failures = 0
-    bytes_decoded = 0
-    first_error: str | None = None
-    emitted = 0
-    chunker: StreamingChunker | None = None
-
-    def chunk_rows(chunks):
-        nonlocal emitted
-        rows = []
-        for c in chunks:
-            rows.append(
-                (doc_id, emitted, "chunk", c.text, None,
-                 c.tokens, c.start_page, c.end_page,
-                 c.has_major_heading, c.min_heading_level,
-                 c.overlap_text or None, c.overlap_tokens)
-            )
-            emitted += 1
-        return rows
-
-    def passthrough_row(kind, text, media_ref):
-        nonlocal emitted
-        row = (doc_id, emitted, kind, text, media_ref,
-               None, None, None, None, None, None, None)
-        emitted += 1
-        return row
-
+    fold = _DocFold(doc_id, tokenizer, chunk_options)
     for i in range(len(ordered)):
         s = ordered[i]
         ordered[i] = None  # release the span (and its text) once consumed
-        kind = s["kind"]
-        if kind == "media":
-            if chunker is not None:
-                yield from chunk_rows(chunker.finish())
-                chunker = None
-            yield passthrough_row("media", None, s["media_ref"])
-        elif kind == "pdf":
-            span_offset = s["offset"]
-            try:
-                from fast_pdf_parser_spark.sources.pdf_lexer import (
-                    extract_pdf_pages_lines,
-                )
-                raw = base64.b64decode(s["text"])
-                bytes_decoded += len(raw)
-                del s
-                # line-list form: the lexer builds lines and the chunker
-                # consumes lines — joining to page text in between would
-                # be two string copies per line (push_lines is pinned
-                # equal to the joined push_page)
-                pdf_pages = extract_pdf_pages_lines(raw)
-                del raw
-            except Exception as exc:  # error containment per page
-                total_pages += 1
-                parse_failures += 1
-                if first_error is None:
-                    first_error = f"page {span_offset}: {exc}"
-            else:
-                # total_pages counts REAL pdf pages (ChunkingResult
-                # semantics, hierarchical_chunker.h:29-35): a multi-page
-                # pdf span contributes each page as its own chunking page
-                # (page-boundary units), all sharing the span's offset
-                total_pages += max(1, len(pdf_pages))
-                if chunker is None:
-                    chunker = StreamingChunker(tokenizer, chunk_options)
-                for j in range(len(pdf_pages)):
-                    page_lines = pdf_pages[j]
-                    pdf_pages[j] = None  # free each page once chunked
-                    yield from chunk_rows(
-                        chunker.push_lines(page_lines, span_offset)
-                    )
-        elif kind == "text":
-            total_pages += 1
-            text = s["text"] or ""
-            bytes_decoded += len(text.encode("utf-8"))
-            if chunker is None:
-                chunker = StreamingChunker(tokenizer, chunk_options)
-            yield from chunk_rows(chunker.push_page(text, s["offset"]))
-        elif kind == "html":
-            # HTML member of the main-content extraction family:
-            # boilerplate strip + DOM heuristics (sources/html_extractor),
-            # same per-span error containment as the pdf path
-            total_pages += 1
-            try:
-                from fast_pdf_parser_spark.sources.html_extractor import (
-                    html_main_content,
-                )
-                raw_html = s["text"] or ""
-                bytes_decoded += len(raw_html.encode("utf-8"))
-                main = html_main_content(raw_html)
-                del raw_html
-            except Exception as exc:
-                parse_failures += 1
-                if first_error is None:
-                    first_error = f"page {s['offset']}: {exc}"
-            else:
-                if chunker is None:
-                    chunker = StreamingChunker(tokenizer, chunk_options)
-                yield from chunk_rows(chunker.push_page(main, s["offset"]))
-        else:
-            # Unknown kinds pass through unmodified (forward-compat: never
-            # reinterpret or drop data we don't understand at 10^12 docs).
-            if chunker is not None:
-                yield from chunk_rows(chunker.finish())
-                chunker = None
-            yield passthrough_row(kind, s["text"], s["media_ref"])
-    if chunker is not None:
-        yield from chunk_rows(chunker.finish())
-        chunker = None
-
-    if emitted == 0 and had_spans:
-        # a document whose spans produced no output (every page failed to
-        # parse, or zero-page/blank pages only) must NOT vanish: its meta
-        # counters (pages seen, failures, first error) are the error-
-        # containment contract. One kind='meta' row carries them.
-        yield passthrough_row("meta", None, None)
-
-    meta_out["total_pages"] = total_pages
-    meta_out["parse_failures"] = parse_failures
-    meta_out["bytes_decoded"] = bytes_decoded
-    meta_out["first_error"] = first_error
+        yield from fold.push_span(s)
+    yield from fold.finish()
+    meta_out.update(fold.meta)
 
 
 def process_document(
@@ -269,70 +301,96 @@ _FLUSH_ROWS = 20_000
 _NULL_META = (None, None, None, None)
 
 
-def _iter_flush_batches(doc_ids, spans_col, tokenizer, chunk_options):
-    """Shared flush loop of both processors: (doc ids, span lists) →
-    row-tuple batches, honoring the _FLUSH_CHARS/_FLUSH_ROWS budget and
-    the meta contract (offset-0 row withheld to doc end; mid-doc-streamed
-    rows carry NULL meta). ``spans_col`` entries are nulled as consumed.
+class _FlushState:
+    """Budget-bounded row buffering shared by the one-row-per-doc and the
+    split (one-row-per-span) processors: rows go in via ``add_row`` /
+    ``end_doc`` / ``end``, each of which yields zero or more row-tuple
+    BATCHES honoring the _FLUSH_CHARS/_FLUSH_ROWS budget and the meta
+    contract (offset-0 row withheld to doc end so it always carries final
+    meta; mid-doc-streamed rows carry NULL meta).
 
     Every emitted batch is bounded by ONE flush budget (plus at most one
     row of overshoot): completed-doc rows and a giant doc's mid-doc rows
-    are flushed as separate batches when their sum would cross the budget
-    — previously a single batch could reach ~2x _FLUSH_CHARS when both
-    lists sat just under it. NULL-meta rows still occur ONLY for documents
-    whose own output exceeds the budget, never because unrelated completed
-    rows happened to share the buffer."""
-    rows: list[tuple] = []  # completed-doc rows, meta attached
-    pending_chars = 0
+    flush as separate batches when their sum would cross the budget.
+    NULL-meta rows occur ONLY for documents whose own output exceeds the
+    budget, never because unrelated completed rows shared the buffer."""
+
+    def __init__(self) -> None:
+        self.rows: list[tuple] = []  # completed-doc rows, meta attached
+        self.pending_chars = 0
+        self.first_row: tuple | None = None  # withheld offset-0 row
+        self.doc_rows: list[tuple] = []
+        self.doc_chars = 0
+
+    def add_row(self, row: tuple):
+        """One CORE row of the current document; yields flush batches."""
+        if self.first_row is None:
+            self.first_row = row
+            return
+        self.doc_rows.append(row)
+        if row[3]:
+            self.doc_chars += len(row[3])
+        if (self.doc_chars >= _FLUSH_CHARS
+                or len(self.doc_rows) >= _FLUSH_ROWS):
+            # mid-doc flush (giant doc): stream what we have; these rows
+            # carry NULL meta (not known yet). Completed rows go out as
+            # their own batch so the two buffers never stack.
+            if self.rows:
+                yield self.rows
+                self.rows, self.pending_chars = [], 0
+            yield [r + _NULL_META for r in self.doc_rows]
+            self.doc_rows, self.doc_chars = [], 0
+
+    def end_doc(self, doc_meta: tuple):
+        """The current document is complete: attach its final meta."""
+        done_rows: list[tuple] = []
+        if self.first_row is not None:
+            done_rows.append(self.first_row + doc_meta)
+            if self.first_row[3]:
+                self.doc_chars += len(self.first_row[3])
+        done_rows.extend(r + doc_meta for r in self.doc_rows)
+        # if appending this doc's rows would cross the budget, flush the
+        # already-pending completed rows first — batch stays ~one budget
+        if self.rows and (
+            self.pending_chars + self.doc_chars >= _FLUSH_CHARS
+            or len(self.rows) + len(done_rows) >= _FLUSH_ROWS
+        ):
+            yield self.rows
+            self.rows, self.pending_chars = [], 0
+        self.rows.extend(done_rows)
+        self.pending_chars += self.doc_chars
+        self.first_row, self.doc_rows, self.doc_chars = None, [], 0
+        if (self.pending_chars >= _FLUSH_CHARS
+                or len(self.rows) >= _FLUSH_ROWS):
+            yield self.rows
+            self.rows, self.pending_chars = [], 0
+
+    def end(self):
+        """Input exhausted: flush whatever remains."""
+        if self.rows:
+            yield self.rows
+            self.rows, self.pending_chars = [], 0
+
+
+def _iter_flush_batches(doc_ids, spans_col, tokenizer, chunk_options):
+    """Shared flush loop of the one-row-per-doc processors: (doc ids, span
+    lists) → row-tuple batches via _FlushState. ``spans_col`` entries are
+    nulled as consumed."""
+    state = _FlushState()
     for j, doc_id in enumerate(doc_ids):
         spans = spans_col[j]
         spans_col[j] = None
         meta: dict = {}
-        first_row: tuple | None = None  # withheld offset-0 row
-        doc_rows: list[tuple] = []
-        doc_chars = 0
         for row in _iter_doc_rows(
             doc_id, spans, tokenizer, chunk_options, meta
         ):
-            if first_row is None:
-                first_row = row
-                continue
-            doc_rows.append(row)
-            if row[3]:
-                doc_chars += len(row[3])
-            if doc_chars >= _FLUSH_CHARS or len(doc_rows) >= _FLUSH_ROWS:
-                # mid-doc flush (giant doc): stream what we have; these
-                # rows carry NULL meta (not known yet). Completed rows go
-                # out as their own batch so the two buffers never stack.
-                if rows:
-                    yield rows
-                    rows, pending_chars = [], 0
-                yield [r + _NULL_META for r in doc_rows]
-                doc_rows, doc_chars = [], 0
+            yield from state.add_row(row)
         del spans
-        doc_meta = (
+        yield from state.end_doc((
             meta["total_pages"], meta["parse_failures"],
             meta["bytes_decoded"], meta["first_error"],
-        )
-        done_rows: list[tuple] = []
-        if first_row is not None:
-            done_rows.append(first_row + doc_meta)
-            if first_row[3]:
-                doc_chars += len(first_row[3])
-        done_rows.extend(r + doc_meta for r in doc_rows)
-        # if appending this doc's rows would cross the budget, flush the
-        # already-pending completed rows first — batch stays ~one budget
-        if rows and (pending_chars + doc_chars >= _FLUSH_CHARS
-                     or len(rows) + len(done_rows) >= _FLUSH_ROWS):
-            yield rows
-            rows, pending_chars = [], 0
-        rows.extend(done_rows)
-        pending_chars += doc_chars
-        if pending_chars >= _FLUSH_CHARS or len(rows) >= _FLUSH_ROWS:
-            yield rows
-            rows, pending_chars = [], 0
-    if rows:
-        yield rows
+        ))
+    yield from state.end()
 
 
 def _make_processor(chunk_options: ChunkOptions, vocab_path: str | None):
@@ -384,6 +442,68 @@ def _make_arrow_processor(chunk_options: ChunkOptions, vocab_path: str | None):
     return process_batches
 
 
+def _make_split_processor(chunk_options: ChunkOptions, vocab_path: str | None):
+    """mapInPandas processor of the split (one-row-per-span) path: rows
+    arrive clustered by doc_id and sorted by span position WITHIN each
+    partition (extract_documents_split arranges this), so a document is a
+    consecutive run of rows — possibly spanning several Arrow batches.
+    The fold state (_DocFold) and the flush buffer (_FlushState) carry
+    across batch boundaries; doc completion is detected by doc_id change
+    or partition end."""
+
+    def process_batches(batches):
+        tokenizer = get_tokenizer(vocab_path)  # per-worker singleton
+        state = _FlushState()
+        fold: _DocFold | None = None
+
+        def rows_of(gen):
+            for row in gen:
+                yield from state.add_row(row)
+
+        def close_fold():
+            assert fold is not None
+            yield from rows_of(fold.finish())
+            yield from state.end_doc(fold.doc_meta())
+
+        for pdf in batches:
+            doc_ids = pdf["doc_id"].tolist()
+            span_col = pdf["span"].tolist()
+            del pdf
+            for j, doc_id in enumerate(doc_ids):
+                span = span_col[j]
+                span_col[j] = None  # release as consumed
+                if fold is None or fold.doc_id != doc_id:
+                    if fold is not None:
+                        for b in close_fold():
+                            yield pd.DataFrame(b, columns=_COLUMNS)
+                    fold = _DocFold(doc_id, tokenizer, chunk_options)
+                for b in rows_of(fold.push_span(span)):
+                    yield pd.DataFrame(b, columns=_COLUMNS)
+        if fold is not None:
+            for b in close_fold():
+                yield pd.DataFrame(b, columns=_COLUMNS)
+        for b in state.end():
+            yield pd.DataFrame(b, columns=_COLUMNS)
+
+    return process_batches
+
+
+def _span_cmp(a, b):
+    """JVM-side comparator matching the fold's (offset, kind, text) sort
+    key: a deterministic tiebreak keeps span subsets byte-identical to the
+    Python sorted() order even for (out-of-contract) duplicate offsets
+    (comparator sorts are not stable)."""
+    ka, kb = (F.coalesce(x["kind"], F.lit("")) for x in (a, b))
+    ta, tb = (F.coalesce(x["text"], F.lit("")) for x in (a, b))
+    return (
+        F.when(a["offset"] < b["offset"], F.lit(-1))
+        .when(a["offset"] > b["offset"], F.lit(1))
+        .when(ka < kb, F.lit(-1)).when(ka > kb, F.lit(1))
+        .when(ta < tb, F.lit(-1)).when(ta > tb, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
 def repartition_for_skew(df: DataFrame, num_partitions: int) -> DataFrame:
     """Salted uniform redistribution of doc rows.
 
@@ -429,22 +549,7 @@ def extract_documents(
         # not guaranteed). Like process_document, the limit counts spans of
         # every kind including media: the limit bounds per-doc work, and a
         # media span occupies a document-order slot just as a page does.
-        def span_cmp(a, b):
-            # same (offset, kind, text) key as process_document's sorted():
-            # a deterministic tiebreak keeps the limited span subset
-            # byte-identical to the unlimited path even for duplicate
-            # offsets (comparator sorts are not stable)
-            ka, kb = (F.coalesce(x["kind"], F.lit("")) for x in (a, b))
-            ta, tb = (F.coalesce(x["text"], F.lit("")) for x in (a, b))
-            return (
-                F.when(a["offset"] < b["offset"], F.lit(-1))
-                .when(a["offset"] > b["offset"], F.lit(1))
-                .when(ka < kb, F.lit(-1)).when(ka > kb, F.lit(1))
-                .when(ta < tb, F.lit(-1)).when(ta > tb, F.lit(1))
-                .otherwise(F.lit(0))
-            )
-
-        by_offset = F.array_sort("spans", span_cmp)
+        by_offset = F.array_sort("spans", _span_cmp)
         pruned = pruned.withColumn(
             "spans", F.slice(by_offset, 1, chunk_options.page_limit)
         )
@@ -468,6 +573,93 @@ def extract_documents(
         )
     return pruned.mapInPandas(
         _make_processor(chunk_options, vocab_path), schema=OUTPUT_DDL
+    )
+
+
+def split_spans_table(df: DataFrame) -> DataFrame:
+    """documents(doc_id, spans) → the pre-split layout (doc_id, pos, span):
+    spans sorted into fold order (the (offset, kind, text) comparator) and
+    exploded one row per span. This is the STORAGE layout for the giant-doc
+    skew tail: authored ONCE at ingest (the author pays the whole-row
+    materialization once, on a node sized for it), after which every
+    pipeline run over the tail reads span-sized rows only — see
+    extract_documents_split(pre_split=True)."""
+    ordered = F.array_sort(F.col("spans"), _span_cmp)
+    return df.select("doc_id", F.posexplode(ordered).alias("pos", "span"))
+
+
+def extract_documents_split(
+    df: DataFrame,
+    chunk_options: ChunkOptions = ChunkOptions(),
+    parse_options: ParseOptions = ParseOptions(),
+    vocab_path: str | None = None,
+    pre_split: bool = False,
+) -> DataFrame:
+    """Skew-tail variant of extract_documents for GIANT documents: one row
+    per SPAN instead of one row per document, so no single Arrow batch —
+    and, with ``pre_split``, no single JVM row — ever holds a whole
+    document.
+
+    Why it exists: the zero-shuffle path materializes each document as one
+    JVM row feeding one Arrow batch — a 512 MB document needs ~5 GB of
+    executor heap (BENCH/GIANT_DOC_r5.json brackets), which at the 100x
+    skew tail dictates executor shape. Here the spans flow as (doc_id,
+    pos, span) rows, hash-repartitioned by doc_id and sorted within
+    partitions by (doc_id, pos) — each document arrives at the Python
+    worker as a consecutive run of span-sized rows, and _DocFold carries
+    the fold state across Arrow batch boundaries. Output is byte-identical
+    to extract_documents (pinned by test).
+
+    Two input shapes:
+
+    - ``pre_split=False``: ``df`` is the standard (doc_id, spans) table;
+      the span array is sorted and exploded here. Convenience form — the
+      scan + explode still materializes each source row ONCE in the JVM
+      (UnsafeRow projection), so the heap floor stays ~2.5-3x the largest
+      document (vs ~10x on the contiguous path).
+    - ``pre_split=True``: ``df`` is already (doc_id, pos, span) in fold
+      order (author it with split_spans_table — one-time, at ingest).
+      No giant row exists anywhere: the JVM floor collapses to ordinary
+      row sizes (BENCH/GIANT_DOC_r6.json).
+
+    Cost: ONE shuffle of the span data (as bounded-size rows) — this is
+    NOT the default path. At 100 TB, size-bucket the corpus (the A2 token
+    estimate is the cheap proxy), store the giant-doc bucket pre-split,
+    and route only it here; the bulk keeps the zero-shuffle plan.
+    """
+    chunk_options.validate()
+    spark = df.sparkSession
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        str(parse_options.arrow_max_records_per_batch),
+    )
+
+    if pre_split:
+        flat = df.select("doc_id", "pos", "span")
+        if chunk_options.page_limit > 0:
+            # pos is the fold order, so the pushdown is a plain filter —
+            # on a pos-partitioned store this also prunes whole files
+            flat = flat.filter(F.col("pos") < chunk_options.page_limit)
+    else:
+        ordered = F.array_sort(F.col("spans"), _span_cmp)
+        if chunk_options.page_limit > 0:
+            # same pushdown as the contiguous path; _DocFold's own limit
+            # check then never triggers (the slice already applied it)
+            ordered = F.slice(ordered, 1, chunk_options.page_limit)
+        flat = df.select("doc_id",
+                         F.posexplode(ordered).alias("pos", "span"))
+    n = parse_options.num_partitions \
+        or spark.sparkContext.defaultParallelism
+    flat = (flat.repartition(n, "doc_id")
+            .sortWithinPartitions("doc_id", "pos"))
+
+    if vocab_path is None:
+        from fast_pdf_parser_spark.functions.tokenizer import find_real_vocab
+
+        vocab_path = find_real_vocab()
+
+    return flat.mapInPandas(
+        _make_split_processor(chunk_options, vocab_path), schema=OUTPUT_DDL
     )
 
 

@@ -142,3 +142,36 @@ def test_spark_partition_invariance(spark):
     b = sorted(tuple(r) for r in
                extract_documents(df.repartition(11)).select(*key).collect())
     assert a == b
+
+
+def test_split_path_byte_identical(spark):
+    """The giant-doc split path (one row per span, shuffled by doc_id,
+    fold state carried across Arrow batches) must produce BYTE-IDENTICAL
+    output to the zero-shuffle one-row-per-doc path — every column
+    including the doc_* meta — with and without a page limit, over a
+    corpus with text+pdf+media+html spans."""
+    from fast_pdf_parser_spark.config import ChunkOptions, ParseOptions
+    from fast_pdf_parser_spark.operators.pipeline import (
+        extract_documents,
+        extract_documents_split,
+    )
+    from fast_pdf_parser_spark.sources.synth import SPANS_DDL, iter_docs
+
+    docs = list(iter_docs(24, seed=13, include_pdf=True, include_html=True))
+    df = spark.createDataFrame(pd.DataFrame(docs), schema=SPANS_DDL)
+    # tiny Arrow batches force documents to straddle batch boundaries in
+    # the split processor — the cross-batch fold-state carry is the point
+    popts = ParseOptions(arrow_max_records_per_batch=3)
+    from fast_pdf_parser_spark.operators.pipeline import split_spans_table
+
+    pre = split_spans_table(df)  # the skew-tail STORAGE layout
+    for opts in (ChunkOptions(), ChunkOptions(page_limit=3)):
+        a = sorted(tuple(r) for r in
+                   extract_documents(df, opts, popts).collect())
+        b = sorted(tuple(r) for r in
+                   extract_documents_split(df, opts, popts).collect())
+        assert a == b
+        c = sorted(tuple(r) for r in
+                   extract_documents_split(pre, opts, popts,
+                                           pre_split=True).collect())
+        assert a == c

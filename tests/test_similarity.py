@@ -209,12 +209,16 @@ def test_recall_report_planted_structure_vs_noise(spark):
     lsh_hits = sum(v for (t, _), v in rep.items() if t == "lsh")
     assert lsh_hits >= 4, rep  # planted rank-1 neighbor found per query
 
-    # (b) noise (driver corpus): lsh 0, grid recovers a multi-probe share
+    # (b) noise (driver corpus): lsh 0, grid recovers a multi-probe share,
+    # int8 quantization preserves the exact top-10 (its error is tiny
+    # relative to the cosine gaps even on noise)
     spark.read.parquet(f"{SF}/embeddings.parquet") \
         .createOrReplaceTempView("embeddings")
     rep = [(r.tier, r.query_id, r.hits, r.k)
            for r in spark.sql(spark_sql("ann_recall_report")).collect()]
-    assert len(rep) == 10  # 2 tiers x 5 queries
+    assert len(rep) == 15  # 3 tiers x 5 queries
     assert all(h == 0 for t, _, h, _ in rep if t == "lsh")
     grid = [h for t, _, h, _ in rep if t == "grid"]
     assert sum(grid) > 0 and all(h <= 10 for h in grid)
+    int8 = [h for t, _, h, _ in rep if t == "int8"]
+    assert len(int8) == 5 and all(h >= 8 for h in int8), rep

@@ -120,69 +120,114 @@ class PeakSampler(threading.Thread):
         self._halt.set()
 
 
-def main() -> None:
-    giant_mb = int(os.environ.get("SPARK_GRAFT_GIANT_MB", "256"))
-
-    from pyspark.sql import SparkSession, functions as F
+def _session(mem: str):
+    from pyspark.sql import SparkSession
 
     spark = (
         SparkSession.builder.master("local[2]")
         .appName("giant_doc_probe")
         .config("spark.sql.shuffle.partitions", "2")
-        .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_GIANT_MEM", "48g"))
+        # giant-row scans: the vectorized reader reserves one CONTIGUOUS
+        # column-vector for the whole row batch and grows it by doubling —
+        # a 512 MB single-row doc transiently needs ~3x its bytes in one
+        # allocation. The row-oriented reader streams the record instead;
+        # SPARK_GRAFT_GIANT_VECTORIZED=1 restores the default for A/B.
+        .config("spark.sql.parquet.enableVectorizedReader",
+                "true" if os.environ.get("SPARK_GRAFT_GIANT_VECTORIZED")
+                == "1" else "false")
+        .config("spark.driver.memory", mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def main() -> None:
+    giant_mb = int(os.environ.get("SPARK_GRAFT_GIANT_MB", "256"))
+    # SPARK_GRAFT_GIANT_SPLIT=1: route through the one-row-per-span split
+    # path over the PRE-SPLIT storage layout (split_spans_table authored
+    # once at ingest) — the skew-tail answer to the JVM's whole-row cost;
+    # byte-identity to the default path is pinned by
+    # tests/test_pipeline_properties.py
+    use_split = os.environ.get("SPARK_GRAFT_GIANT_SPLIT", "0") == "1"
+
+    from pyspark.sql import functions as F
 
     from fast_pdf_parser_spark.config import ParseOptions
     from fast_pdf_parser_spark.operators.pipeline import (
         _FLUSH_CHARS,
         extract_documents,
+        extract_documents_split,
+        split_spans_table,
     )
     from fast_pdf_parser_spark.util import ship_package
 
-    ship_package(spark)
-
-    # one giant doc: page-shaped text spans (~64 KB each) until ~giant_mb;
-    # built JVM-side (sequence + transform) so the driver python process
-    # doesn't hold the corpus. A small normal doc rides along to prove the
-    # fold still interleaves.
+    # one giant doc: page-shaped text spans (~64 KB each) until ~giant_mb
     span_kb = 64
     n_spans = giant_mb * 1024 // span_kb
-    page_expr = (
-        "concat('# h', CAST(i AS STRING), '\\n', "
-        f"repeat('w', {span_kb * 1024 - 24}))"
-    )
-    giant = spark.range(1).select(
-        F.lit("giant_doc").alias("doc_id"),
-        F.expr(
-            f"transform(sequence(0, {n_spans - 1}), i -> "
-            f"named_struct('kind', 'text', 'text', {page_expr}, "
-            "'media_ref', CAST(NULL AS STRING), 'offset', CAST(i AS INT)))"
-        ).alias("spans"),
-    )
-    small = spark.range(1).select(
-        F.lit("small_doc").alias("doc_id"),
-        F.expr(
-            "transform(sequence(0, 3), i -> named_struct("
-            "'kind', 'text', 'text', concat('# t', CAST(i AS STRING), "
-            "'\\nsome words here'), 'media_ref', CAST(NULL AS STRING), "
-            "'offset', CAST(i AS INT)))"
-        ).alias("spans"),
-    )
-    corpus = giant.union(small)
+
+    # ---- corpus authoring, in a SEPARATE big-heap session (not sampled):
+    # the pre-split layout's one-time whole-row materialization is an
+    # ingest cost paid on a node sized for it, never per pipeline run
     path = f"/tmp/spark_graft_giant_{giant_mb}mb"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        corpus.write.mode("overwrite").parquet(path)
-    spans = spark.read.parquet(path)
+    split_path = path + "_presplit"
+    need_base = not os.path.exists(os.path.join(path, "_SUCCESS"))
+    need_split = use_split and not os.path.exists(
+        os.path.join(split_path, "_SUCCESS"))
+    if need_base or need_split:
+        spark = _session("48g")
+        if need_base:
+            # spans built JVM-side (sequence + transform) so the driver
+            # python process doesn't hold the corpus. A small normal doc
+            # rides along to prove the fold still interleaves.
+            page_expr = (
+                "concat('# h', CAST(i AS STRING), '\\n', "
+                f"repeat('w', {span_kb * 1024 - 24}))"
+            )
+            giant = spark.range(1).select(
+                F.lit("giant_doc").alias("doc_id"),
+                F.expr(
+                    f"transform(sequence(0, {n_spans - 1}), i -> "
+                    f"named_struct('kind', 'text', 'text', {page_expr}, "
+                    "'media_ref', CAST(NULL AS STRING), "
+                    "'offset', CAST(i AS INT)))"
+                ).alias("spans"),
+            )
+            small = spark.range(1).select(
+                F.lit("small_doc").alias("doc_id"),
+                F.expr(
+                    "transform(sequence(0, 3), i -> named_struct("
+                    "'kind', 'text', 'text', concat('# t', "
+                    "CAST(i AS STRING), '\\nsome words here'), "
+                    "'media_ref', CAST(NULL AS STRING), "
+                    "'offset', CAST(i AS INT)))"
+                ).alias("spans"),
+            )
+            giant.union(small).write.mode("overwrite").parquet(path)
+        if need_split:
+            split_spans_table(spark.read.parquet(path)) \
+                .write.mode("overwrite").parquet(split_path)
+        spark.stop()
+
+    # ---- measured session at the driver memory under test
+    spark = _session(os.environ.get("SPARK_GRAFT_GIANT_MEM", "48g"))
+    ship_package(spark)
+    if use_split:
+        spans = spark.read.parquet(split_path)
+
+        def extract_fn(df, parse_options):
+            return extract_documents_split(
+                df, parse_options=parse_options, pre_split=True)
+    else:
+        spans = spark.read.parquet(path)
+        extract_fn = extract_documents
 
     sampler = PeakSampler()
     sampler.start()
     t0 = time.time()
-    out = extract_documents(spans, parse_options=ParseOptions(num_partitions=0))
+    out = extract_fn(spans, parse_options=ParseOptions(num_partitions=0))
     agg = out.agg(
         F.countDistinct("doc_id").alias("docs"),
         F.sum(F.when(F.col("kind") == "chunk", 1).otherwise(0)).alias("chunks"),
@@ -211,11 +256,12 @@ def main() -> None:
         "flush_chars_mb": _FLUSH_CHARS >> 20,
         "cpus": 2,
         "driver_mem": os.environ.get("SPARK_GRAFT_GIANT_MEM", "48g"),
+        "path": "split" if use_split else "contiguous",
     }
     spark.stop()
     line = json.dumps(result)
     print(line)
-    with open(os.path.join(REPO, "BENCH", "GIANT_DOC_r5.json"), "a") as f:
+    with open(os.path.join(REPO, "BENCH", "GIANT_DOC_r6.json"), "a") as f:
         f.write(line + "\n")
 
 
