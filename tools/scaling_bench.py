@@ -45,7 +45,18 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         capture_output=True, text=True, env=env, timeout=1200,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    res = json.loads(line)
+    # per-query spread moved out of the compact stdout line (r6) into the
+    # detail file — merge it back so the best-rep protocol keeps working
+    detail_path = res.get("detail_file")
+    if detail_path:
+        try:
+            with open(os.path.join(REPO, detail_path)) as f:
+                res["queries_spread"] = json.load(f).get(
+                    "queries_spread", {})
+        except (OSError, ValueError):
+            pass
+    return res
 
 
 def main() -> None:
