@@ -349,6 +349,7 @@ _PRIORITY_QUERIES = [
     "multimodal_frame_sample", "pipeline_html_extract", "ann_ivf_topk",
     # new in round 6
     "dedup_url_canonical", "ann_int8_topk", "warc_clean_write",
+    "text_registrable_domain", "text_domain_cap_registrable",
     # hybrid/stateful rows: their DuckDB twins live in HYBRID_ORACLES (or
     # they are by-design rows-only) — the driver row is their only/primary
     # hard signal, so they never rotate

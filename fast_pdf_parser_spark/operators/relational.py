@@ -912,6 +912,150 @@ QUERIES["dedup_url_canonical"] = _pair(
 )
 
 
+# PSL-based registrable domain — the real-world upgrade of the naive
+# 2-label registrable domain above: 'a.b.site.co.uk' and 'site.co.uk' are
+# the SAME site (registrable = site.co.uk), while 'x.github.io' and
+# 'y.github.io' are DIFFERENT sites (github.io is a public suffix). The
+# algorithm is the published Public Suffix List one (publicsuffix.org):
+# longest suffix of the host that appears in the list is the public
+# suffix; the registrable domain is that suffix plus one more label. A
+# deterministic PSL subset is embedded below (real entries, incl. the
+# multi-label co.uk / com.au / github.io / k12.va.us AND their shorter
+# parents uk / au / io / va.us / us, so longest-match is genuinely
+# exercised — matching 'us' when 'k12.va.us' applies is the classic PSL
+# bug). Scale shape: membership against the (broadcast-sized, ~10k-entry
+# in production) list is an IN-literal — a single zero-shuffle scan, no
+# join. Hosts are synthesized from doc_id in four shapes (0-2 extra
+# subdomain labels; every ~97th doc is a BARE public suffix, which has no
+# registrable domain). The Spark side PARSES generically (split + slice +
+# longest-match CASE); the DuckDB oracle re-derives suffix and registrable
+# domain arithmetically from doc_id — no parsing — so the matcher itself
+# is what's value-checked.
+_PSL_SET = ("'com','org','net','uk','au','io','us','jp','co.uk','org.uk',"
+            "'com.au','github.io','va.us','co.jp','k12.va.us'")
+
+# (suffix, label-count) drawn by doc_id % 6; host adds 0-2 sub labels
+_PSL_PICK = "array('com','org','co.uk','com.au','github.io','k12.va.us')"
+_PSL_PICK_DUCK = "['com','org','co.uk','com.au','github.io','k12.va.us']"
+
+_PSL_HOST_SPARK = (
+    "CASE WHEN doc_id % 97 = 0 THEN sfx ELSE concat("
+    "CASE WHEN doc_id % 3 = 2 THEN concat('a', CAST(doc_id % 7 AS STRING), "
+    "'.') ELSE '' END, "
+    "CASE WHEN doc_id % 3 >= 1 THEN concat('b', CAST(doc_id % 5 AS STRING), "
+    "'.') ELSE '' END, "
+    "'site', CAST(doc_id % 20 AS STRING), '.', sfx) END"
+)
+
+# hosts(doc_id, host[, q]) -> reg(doc_id, host, labs, sz, nsuf[, q]) with
+# the longest-PSL-suffix label count; shared by the extractor query and
+# the registrable-domain cap so the matcher the cap groups on cannot
+# drift from the one the extractor is value-checked on.
+def _psl_match_chain(carry: str = "") -> str:
+    return f"""parts AS (
+  SELECT doc_id{carry}, host, split(host, '\\\\.') AS labs,
+         size(split(host, '\\\\.')) AS sz
+  FROM hosts
+),
+reg AS (
+  SELECT doc_id{carry}, host, labs, sz,
+    CASE WHEN sz >= 3
+              AND array_join(slice(labs, sz - 2, 3), '.') IN ({_PSL_SET})
+           THEN 3
+         WHEN sz >= 2
+              AND array_join(slice(labs, sz - 1, 2), '.') IN ({_PSL_SET})
+           THEN 2
+         WHEN element_at(labs, sz) IN ({_PSL_SET}) THEN 1
+         ELSE 0 END AS nsuf
+  FROM parts
+)"""
+
+
+_PSL_REG_EXPR = ("CASE WHEN nsuf > 0 AND sz > nsuf "
+                 "THEN array_join(slice(labs, sz - nsuf, nsuf + 1), '.') "
+                 "ELSE '' END")
+
+_PSL_DUCK_HOST = (
+    "CASE WHEN doc_id % 97 = 0 THEN s ELSE "
+    "CASE WHEN doc_id % 3 = 2 THEN 'a' || CAST(doc_id % 7 AS VARCHAR) "
+    "|| '.' ELSE '' END || "
+    "CASE WHEN doc_id % 3 >= 1 THEN 'b' || CAST(doc_id % 5 AS VARCHAR) "
+    "|| '.' ELSE '' END || "
+    "'site' || CAST(doc_id % 20 AS VARCHAR) || '.' || s END"
+)
+_PSL_DUCK_REG = ("CASE WHEN doc_id % 97 = 0 THEN '' "
+                 "ELSE 'site' || CAST(doc_id % 20 AS VARCHAR) || '.' || s END")
+
+QUERIES["text_registrable_domain"] = _pair(
+    f"""WITH hosts AS (
+  SELECT doc_id, {_PSL_HOST_SPARK} AS host
+  FROM (SELECT doc_id,
+               element_at({_PSL_PICK}, CAST(doc_id % 6 AS INT) + 1) AS sfx
+        FROM documents) s
+),
+{_psl_match_chain()}
+SELECT doc_id, host,
+       CASE WHEN nsuf > 0
+            THEN array_join(slice(labs, sz - nsuf + 1, nsuf), '.')
+            ELSE '' END AS public_suffix,
+       {_PSL_REG_EXPR} AS registrable_domain
+FROM reg""",
+    f"""WITH sfx AS (
+  SELECT doc_id,
+         list_extract({_PSL_PICK_DUCK}, CAST(doc_id % 6 AS INT) + 1) AS s
+  FROM documents
+)
+SELECT doc_id, {_PSL_DUCK_HOST} AS host, s AS public_suffix,
+       {_PSL_DUCK_REG} AS registrable_domain
+FROM sfx""",
+)
+
+
+# Per-REGISTRABLE-DOMAIN cap — text_domain_cap upgraded with the PSL
+# matcher: subdomain mirrors (b1.site3.co.uk, a2.b4.site3.co.uk,
+# site3.co.uk) must count against ONE budget, which the naive per-source
+# or per-host cap misses entirely. Same scale shape as text_domain_cap:
+# single scan (the PSL match is an IN-literal projection) + ONE
+# hash-partitioned rank window on the registrable domain — no join. Bare
+# public-suffix hosts (registrable = '') share the '' group, keeping the
+# window total. The Spark side derives the group key by PARSING via the
+# shared _psl_match_chain; DuckDB re-derives it arithmetically.
+_PSL_CAP_TAIL = """ranked AS (
+  SELECT doc_id, registrable_domain,
+         row_number() OVER (PARTITION BY registrable_domain
+                            ORDER BY q DESC, doc_id ASC) AS domain_rank,
+         count(*) OVER (PARTITION BY registrable_domain) AS domain_total
+  FROM regdom
+)
+SELECT doc_id, registrable_domain,
+       CAST(domain_rank AS INT) AS domain_rank,
+       CAST(domain_total AS INT) AS domain_total,
+       CASE WHEN domain_rank <= 8 THEN 'keep' ELSE 'drop' END AS domain_gate
+FROM ranked"""
+
+QUERIES["text_domain_cap_registrable"] = _pair(
+    f"""WITH hosts AS (
+  SELECT doc_id, n_chars AS q, {_PSL_HOST_SPARK} AS host
+  FROM (SELECT doc_id, n_chars,
+               element_at({_PSL_PICK}, CAST(doc_id % 6 AS INT) + 1) AS sfx
+        FROM documents) s
+),
+{_psl_match_chain(carry=", q")},
+regdom AS (
+  SELECT doc_id, q, {_PSL_REG_EXPR} AS registrable_domain FROM reg
+),
+{_PSL_CAP_TAIL}""",
+    f"""WITH regdom AS (
+  SELECT doc_id, n_chars AS q, {_PSL_DUCK_REG} AS registrable_domain
+  FROM (SELECT doc_id, n_chars,
+               list_extract({_PSL_PICK_DUCK}, CAST(doc_id % 6 AS INT) + 1)
+                 AS s
+        FROM documents) t
+),
+{_PSL_CAP_TAIL}""",
+)
+
+
 # Symmetric int8 embedding quantization — the storage/bandwidth shrink
 # every embedding store runs before ANN (4x smaller vectors; faster
 # distance kernels). scale = amax/127 per vector; q_i = floor(v/scale +

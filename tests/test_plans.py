@@ -192,7 +192,8 @@ def test_cap_operators_single_partition_free_no_join(spark):
     single-partition stage, no global sort of the corpus."""
     entrymod._prepare(spark, SF_DIR)
     for name, key in (("text_domain_cap", "source"),
-                      ("embed_cluster_cap", "cell")):
+                      ("embed_cluster_cap", "cell"),
+                      ("text_domain_cap_registrable", "registrable_domain")):
         plan = physical(spark.sql(spark_sql(name)))
         assert f"hashpartitioning({key}" in plan, name
         assert "Exchange SinglePartition" not in plan, name

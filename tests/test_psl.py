@@ -1,0 +1,61 @@
+"""PSL registrable-domain matcher — adversarial-host semantics.
+
+The oracle row (relational.text_registrable_domain) value-checks the
+matcher over hosts synthesized from doc_id; this suite pins the matcher's
+CONTRACT on hand-picked adversarial hosts independent of that synthesis:
+longest-suffix-wins (the classic PSL bug is matching 'us' when
+'k12.va.us' applies), bare public suffixes having NO registrable domain,
+unknown TLDs, and single-label hosts.
+"""
+
+import pytest
+
+from fast_pdf_parser_spark.operators.relational import (
+    _PSL_REG_EXPR,
+    _psl_match_chain,
+)
+
+CASES = [
+    # host, public_suffix, registrable_domain ('' = none)
+    ("site7.com", "com", "site7.com"),
+    ("a.b.site3.co.uk", "co.uk", "site3.co.uk"),
+    ("site3.co.uk", "co.uk", "site3.co.uk"),
+    ("x.github.io", "github.io", "x.github.io"),
+    # github.io is the suffix, so x.github.io and y.github.io are
+    # DIFFERENT registrable domains even though both end in github.io
+    ("y.github.io", "github.io", "y.github.io"),
+    # longest match: k12.va.us beats va.us beats us
+    ("school.k12.va.us", "k12.va.us", "school.k12.va.us"),
+    ("deep.school.k12.va.us", "k12.va.us", "school.k12.va.us"),
+    # ...but a host under plain va.us (not k12) registers at va.us
+    ("agency.va.us", "va.us", "agency.va.us"),
+    # bare public suffixes: no registrable domain
+    ("co.uk", "co.uk", ""),
+    ("com", "com", ""),
+    ("k12.va.us", "k12.va.us", ""),
+    # unknown TLD: no suffix, no registrable domain
+    ("site.internalnet", "", ""),
+    ("localhost", "", ""),
+]
+
+
+@pytest.fixture(scope="module")
+def matched(spark):
+    rows = [(str(i), h) for i, (h, _, _) in enumerate(CASES)]
+    spark.createDataFrame(rows, "doc_id string, host string") \
+        .createOrReplaceTempView("psl_hosts")
+    out = spark.sql(f"""WITH hosts AS (SELECT doc_id, host FROM psl_hosts),
+{_psl_match_chain()}
+SELECT doc_id, host,
+       CASE WHEN nsuf > 0
+            THEN array_join(slice(labs, sz - nsuf + 1, nsuf), '.')
+            ELSE '' END AS public_suffix,
+       {_PSL_REG_EXPR} AS registrable_domain
+FROM reg""").collect()
+    return {r["host"]: (r["public_suffix"], r["registrable_domain"])
+            for r in out}
+
+
+@pytest.mark.parametrize("host,suffix,registrable", CASES)
+def test_psl_match(matched, host, suffix, registrable):
+    assert matched[host] == (suffix, registrable)
