@@ -338,6 +338,97 @@ def stream_dedup_docs(
     return query, name
 
 
+def _clean_capped_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    domain_cap: int,
+    watermark_minutes: int,
+    max_files_per_trigger: int,
+    schema,
+    carry_text: bool,
+):
+    """Shared gate chain of the two streaming cleaners (memory-sink probe
+    and durable sink): exact dedup → PII scrub → quality gate → doc-stable
+    98/1/1 split → per-source first-K cap. With ``carry_text`` the capped
+    rows keep the scrubbed text and its 60-bit hash, matching the batch
+    sink's (doc_id, source, split, clean_hash, clean_text) contract
+    (plans/checkpoint.write_docs_bucketed)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from fast_pdf_parser_spark.operators.relational import (
+        _PII_EMAIL_SPARK,
+        _PII_IP_SPARK,
+        _PII_SCRUB,
+    )
+
+    if schema is None:
+        schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(docs_dir)
+    )
+    hashed = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn(
+            "content_hash",
+            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long"))
+        .withWatermark("ts", f"{watermark_minutes} minutes")
+    )
+    deduped = hashed.dropDuplicatesWithinWatermark(["content_hash"])
+    scrub = _PII_SCRUB.format(email=_PII_EMAIL_SPARK, ip=_PII_IP_SPARK, g="")
+    cols = ["doc_id", "source", "split", "ts"]
+    out_cols = ["doc_id", "source", "split"]
+    out_ddl = "doc_id bigint, source string, split string"
+    if carry_text:
+        cols += ["text", "clean_hash"]
+        out_cols += ["clean_hash", "clean_text"]
+        out_ddl += ", clean_hash bigint, clean_text string"
+    gated = (
+        deduped.withColumn("text", F.expr(scrub))
+        .withColumn("nwords", F.size(F.split("text", " ")))
+        .withColumn("ndistinct",
+                    F.size(F.array_distinct(F.split("text", " "))))
+        .filter("nwords >= 50 AND ndistinct * CAST(1.0 AS DOUBLE) / nwords "
+                "> CAST(0.1 AS DOUBLE)")
+        .withColumn(
+            "clean_hash",
+            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long"))
+        .withColumn(
+            "split_coin",
+            F.expr("CAST(conv(substr(md5(concat('p:', "
+                   "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+        .withColumn(
+            "split",
+            F.expr("CASE WHEN split_coin % 100 < 98 THEN 'train' "
+                   "WHEN split_coin % 100 < 99 THEN 'val' "
+                   "ELSE 'test' END"))
+        .select(*cols)
+    )
+
+    def cap_fold(key, pdfs, state):
+        (source,) = key
+        taken = state.get[0] if state.exists else 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "doc_id"])  # deterministic replay
+        out = []
+        for _, r in rows.iterrows():
+            if taken < domain_cap:
+                taken += 1
+                rec = (int(r["doc_id"]), source, r["split"])
+                if carry_text:
+                    rec += (int(r["clean_hash"]), r["text"])
+                out.append(rec)
+        state.update((taken,))
+        yield pd.DataFrame(out, columns=out_cols)
+
+    return gated.groupBy("source").applyInPandasWithState(
+        cap_fold, out_ddl, "taken int", "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_clean_docs(
     spark: SparkSession,
     docs_dir: str,
@@ -364,73 +455,98 @@ def stream_clean_docs(
     per-key counter) — supported since Spark 3.5's multi-stateful-operator
     work. Returns (query, sink_name); results land in a memory sink.
     """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    from fast_pdf_parser_spark.operators.relational import (
-        _PII_EMAIL_SPARK,
-        _PII_IP_SPARK,
-        _PII_SCRUB,
-    )
-
-    if schema is None:
-        schema = spark.read.parquet(docs_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(docs_dir)
-    )
-    hashed = (
-        stream.withColumn("ts", F.col("ts").cast("timestamp"))
-        .withColumn(
-            "content_hash",
-            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long"))
-        .withWatermark("ts", f"{watermark_minutes} minutes")
-    )
-    deduped = hashed.dropDuplicatesWithinWatermark(["content_hash"])
-    scrub = _PII_SCRUB.format(email=_PII_EMAIL_SPARK, ip=_PII_IP_SPARK, g="")
-    gated = (
-        deduped.withColumn("text", F.expr(scrub))
-        .withColumn("nwords", F.size(F.split("text", " ")))
-        .withColumn("ndistinct",
-                    F.size(F.array_distinct(F.split("text", " "))))
-        .filter("nwords >= 50 AND ndistinct * CAST(1.0 AS DOUBLE) / nwords "
-                "> CAST(0.1 AS DOUBLE)")
-        .withColumn(
-            "split_coin",
-            F.expr("CAST(conv(substr(md5(concat('p:', "
-                   "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
-        .withColumn(
-            "split",
-            F.expr("CASE WHEN split_coin % 100 < 98 THEN 'train' "
-                   "WHEN split_coin % 100 < 99 THEN 'val' "
-                   "ELSE 'test' END"))
-        .select("doc_id", "source", "split", "ts")
-    )
-
-    def cap_fold(key, pdfs, state):
-        (source,) = key
-        taken = state.get[0] if state.exists else 0
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["ts", "doc_id"])  # deterministic replay
-        out = []
-        for _, r in rows.iterrows():
-            if taken < domain_cap:
-                taken += 1
-                out.append((int(r["doc_id"]), source, r["split"]))
-        state.update((taken,))
-        yield pd.DataFrame(out, columns=["doc_id", "source", "split"])
-
-    capped = gated.groupBy("source").applyInPandasWithState(
-        cap_fold, "doc_id bigint, source string, split string",
-        "taken int", "append", GroupStateTimeout.NoTimeout,
-    )
+    capped = _clean_capped_stream(
+        spark, docs_dir, domain_cap, watermark_minutes,
+        max_files_per_trigger, schema, carry_text=False)
     name = "stream_clean_docs"
     query = (
         capped.writeStream.outputMode("append").format("memory")
         .queryName(name).trigger(availableNow=True).start()
     )
     return query, name
+
+
+def stream_clean_write(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    domain_cap: int = 20,
+    watermark_minutes: int = 60,
+    max_files_per_trigger: int = 1,
+    schema=None,
+    fail_at_epoch: int | None = None,  # test hook: crash mid-stream
+) -> StreamingQuery:
+    """Durable twin of stream_clean_docs — the online path into the
+    clean-corpus sink, closing the loop from "cleaning stream in a memory
+    sink" to "cleaning stream that lands a resumable training corpus":
+
+    - each micro-batch's kept rows write to ``out/clean/epoch=<id>/
+      split=S/`` with mode=overwrite into the epoch's own directory —
+      idempotent under Spark's replay of a failed epoch (a restarted query
+      re-offers the batch with the SAME epoch id);
+    - one lineage row (plans/checkpoint.CHECKPOINT_SCHEMA, partition_id =
+      epoch id, doc/byte totals read back from the DURABLE copy) appends
+      to ``out/checkpoint`` AFTER the data write and only if that epoch
+      has no 'done' row yet — the same data-then-lineage ordering and
+      idempotence story as the batch sink (write_docs_bucketed): a crash
+      between the two replays the epoch over its own partial output,
+      never skips or duplicates it;
+    - Spark's own ``checkpointLocation`` (``out/_stream_checkpoint``)
+      carries source offsets + dedup/cap state across restarts.
+
+    Returns the StreamingQuery. Read the corpus back with
+    ``spark.read.parquet(out/clean)`` (epoch and split appear as partition
+    columns) and the lineage with ``plans.checkpoint.lineage``.
+    """
+    import time as _time
+
+    from fast_pdf_parser_spark.plans.checkpoint import (
+        CHECKPOINT_SCHEMA,
+        _fs_exists,
+    )
+
+    clean_dir = os.path.join(out_dir, "clean")
+    checkpoint_dir = os.path.join(out_dir, "checkpoint")
+    read_back_schema = ("doc_id bigint, source string, clean_hash bigint, "
+                       "clean_text string, split string")
+    capped = _clean_capped_stream(
+        spark, docs_dir, domain_cap, watermark_minutes,
+        max_files_per_trigger, schema, carry_text=True)
+
+    def sink(batch_df, epoch_id: int) -> None:
+        t0 = _time.time()
+        edir = os.path.join(clean_dir, f"epoch={epoch_id}")
+        batch_df.write.mode("overwrite").partitionBy("split").parquet(edir)
+        if fail_at_epoch is not None and epoch_id >= fail_at_epoch:
+            # crash AFTER the data write but BEFORE the lineage append —
+            # the worst-case window the replay must absorb
+            raise RuntimeError(f"simulated crash at epoch {epoch_id}")
+        if _fs_exists(spark, checkpoint_dir):
+            done = (spark.read.schema(CHECKPOINT_SCHEMA)
+                    .parquet(checkpoint_dir)
+                    .filter((F.col("partition_id") == int(epoch_id))
+                            & (F.col("status") == "done")).count())
+            if done:  # replay after a crash between lineage and commit
+                return
+        # explicit schema: an all-filtered epoch writes no data files
+        written = spark.read.schema(read_back_schema).parquet(edir)
+        stats = written.agg(
+            F.count("*").alias("docs"),
+            F.sum(F.octet_length("clean_text")).alias("bytes"),
+        ).collect()[0]
+        row = [("stream", int(epoch_id), int(stats["docs"] or 0),
+                int(stats["bytes"] or 0), 0,
+                int((_time.time() - t0) * 1000), "done")]
+        spark.createDataFrame(row, schema=CHECKPOINT_SCHEMA) \
+            .write.mode("append").parquet(checkpoint_dir)
+
+    return (
+        capped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation",
+                os.path.join(out_dir, "_stream_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 # The per-row MinHash band expression — the SAME signature definition as

@@ -386,3 +386,65 @@ def test_stream_dedup_starts_on_empty_dir(spark, tmp_path):
     q2.awaitTermination(120)
     got = {r.doc_id for r in spark.sql(f"SELECT * FROM {sink}").collect()}
     assert got == {7}
+
+
+def test_stream_clean_write_durable_restart(spark, tmp_path):
+    """The durable streaming sink (stream_clean_write): same gates as the
+    memory-sink twin, but each epoch lands in parquet + a lineage row, and
+    the query is KILLED in the worst-case window (epoch data written,
+    lineage + commit pending) then restarted on the same checkpoint. The
+    replayed epoch must overwrite its own partial output; the final corpus
+    equals the memory-sink keep set with no duplicates across epochs and
+    exactly one lineage row per epoch."""
+    import datetime as dt
+
+    from fast_pdf_parser_spark.plans.checkpoint import lineage
+    from fast_pdf_parser_spark.streaming.ingest import stream_clean_write
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    good = lambda tag: " ".join(f"{tag}w{i}" for i in range(60))
+    mk = lambda i, src, text, minute: {
+        "doc_id": i, "source": src, "text": text,
+        "ts": t0 + dt.timedelta(minutes=minute)}
+    arrivals = [
+        [mk(1, "a", good("x"), 0), mk(2, "a", good("y"), 1),
+         mk(3, "b", "too short", 2)],
+        [mk(4, "b", good("x"), 5),   # exact dup of doc 1 -> state drop
+         mk(5, "a", good("z"), 6),   # 3rd KEPT for 'a' -> cap drop (K=2)
+         mk(6, "b", good("q"), 7)],  # kept
+    ]
+    in_dir = str(tmp_path / "clean_in")
+    out_dir = str(tmp_path / "clean_out")
+    os.makedirs(in_dir)
+    for i, part in enumerate(arrivals):
+        spark.createDataFrame(pd.DataFrame(part)).coalesce(1) \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(in_dir, f"arrival={i}"))
+
+    # first run crashes at epoch 1 (epoch 0 committed; 1's data durable
+    # but unlogged and uncommitted)
+    q = stream_clean_write(spark, in_dir + "/*", out_dir, domain_cap=2,
+                           fail_at_epoch=1)
+    with pytest.raises(Exception, match="simulated crash at epoch 1"):
+        q.awaitTermination(180)
+
+    # restart on the SAME checkpoint, no failure injection
+    q2 = stream_clean_write(spark, in_dir + "/*", out_dir, domain_cap=2)
+    q2.awaitTermination(180)
+
+    corpus = spark.read.parquet(os.path.join(out_dir, "clean"))
+    rows = corpus.collect()
+    assert {r.doc_id for r in rows} == {1, 2, 6}
+    assert len(rows) == 3  # no replay duplicates across epoch dirs
+    assert all(r.split in ("train", "val", "test") for r in rows)
+    # clean_hash is the 60-bit hash of the text actually written
+    bad = corpus.filter(
+        F.expr("clean_hash != CAST(conv(substr(md5(clean_text), 1, 15), "
+               "16, 10) AS BIGINT)")).count()
+    assert bad == 0
+    # exactly one 'done' lineage row per epoch, totals match the corpus
+    lin = lineage(spark, out_dir).filter("status = 'done'").collect()
+    assert len({r.partition_id for r in lin}) == len(lin)
+    assert sum(r.docs_parsed for r in lin) == 3
+    assert sum(r.bytes_decoded for r in lin) == sum(
+        len(r.clean_text.encode()) for r in rows)
