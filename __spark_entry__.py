@@ -285,6 +285,26 @@ def _pipeline_clean_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def _text_encode_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed training sequences with MATERIALIZED token ids — the
+    artifact text_pack_manifest only points at, produced by the real
+    greedy tokenizer (operators/packing.pack_token_ids: zero-shuffle
+    encode → per-shard prefix sums → bounded explode → per-sequence
+    reassembly). Rows-only: ids aren't SQL-derivable; byte-exactness vs a
+    serial reference pack is pinned by tests/test_packing.py. The driver
+    projection is all-scalar (seq_id, n_docs, n_tokens, ids_sum)."""
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.operators.packing import pack_token_ids
+
+    _prepare(spark, sf_dir)
+    packed = pack_token_ids(spark.table("documents"))
+    return packed.select(
+        "seq_id", "n_docs", "n_tokens",
+        F.aggregate("ids", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x).alias("ids_sum"))
+
+
 def _pipeline_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1-G5: the full stateful extraction (rows-only check — its exact
     contract is pinned by the span-equality pytest fixtures)."""
@@ -350,6 +370,7 @@ _PRIORITY_QUERIES = [
     # new in round 6
     "dedup_url_canonical", "ann_int8_topk", "warc_clean_write",
     "text_registrable_domain", "text_domain_cap_registrable",
+    "text_encode_pack",
     # hybrid/stateful rows: their DuckDB twins live in HYBRID_ORACLES (or
     # they are by-design rows-only) — the driver row is their only/primary
     # hard signal, so they never rotate
@@ -392,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_chunk_distribution"] = _pipeline_distribution
     out["pipeline_docling_chunks"] = _pipeline_docling
     out["pipeline_docling_meta_oracle"] = _pipeline_docling_meta
+    out["text_encode_pack"] = _text_encode_pack
     out["warc_extract"] = _warc_extract
     out["warc_clean_write"] = _warc_clean_write
     out["pipeline_html_extract"] = _pipeline_html

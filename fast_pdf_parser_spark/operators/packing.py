@@ -1,0 +1,121 @@
+"""Token-id materialization: encode + concat-then-split sequence packing.
+
+``text_pack_manifest`` (operators/relational.py) computes WHERE every
+document's tokens land in the packed training stream — but a training run
+consumes the token ids themselves. This module materializes them with the
+REAL greedy longest-match tokenizer (functions/tokenizer.py, the Spark
+re-expression of the reference's tiktoken_tokenizer.h:150-186 encode
+loop):
+
+1. ``encode_token_ids`` — zero-shuffle Arrow-batched mapInPandas: one
+   ``array<int>`` of ids per document (byte fallback included, so any
+   input byte sequence encodes; ``decode`` inverts it exactly).
+2. ``pack_token_ids`` — the distributed concat-then-split pack, the way a
+   1000-executor cluster must run it: per-shard prefix-sum windows in
+   parallel (shards are contiguous doc_id ranges, so shard order ==
+   global order), a tiny one-row-per-shard totals relation turned into
+   base offsets by a trivially small running sum, a broadcast equi-join
+   back, then ONE bounded explode (each doc overlaps at most
+   ceil(n_ids/seq_len)+1 sequences) and a groupBy(seq_id) that reassembles
+   each training sequence's ids in order. No corpus-wide window, no
+   corpus-wide sort.
+
+The ids themselves aren't SQL-derivable (greedy vocab walk), so the
+driver row is rows-only; the exact contract is pinned by
+tests/test_packing.py against a single-process reference pack
+(concatenate ``encode()`` in doc_id order, cut every seq_len), and the
+manifest geometry it must agree with is oracle-checked via
+text_pack_manifest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+SEQ_LEN = 128          # tokens per packed training sequence
+SHARD_WIDTH = 100      # contiguous doc_ids per prefix-sum shard
+
+
+def encode_token_ids(docs: DataFrame, vocab_path: str | None = None,
+                     ) -> DataFrame:
+    """(doc_id, text, ...) → (doc_id, ids array<int>, n_ids int) via the
+    real greedy tokenizer. Zero-shuffle; input pruned to (doc_id, text);
+    empty/whitespace-only texts are dropped (they pack zero tokens),
+    mirroring text_pack_manifest's filter."""
+    import pandas as pd
+
+    from fast_pdf_parser_spark.util import ship_package
+
+    ship_package(docs.sparkSession)  # workers need the tokenizer module
+    pruned = (docs.select("doc_id", "text")
+              .filter(F.length(F.trim("text")) > 0))
+
+    def run(batches):
+        from fast_pdf_parser_spark.functions.tokenizer import get_tokenizer
+
+        tok = get_tokenizer(vocab_path)
+        for pdf in batches:
+            ids = [tok.encode(t) for t in pdf["text"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "ids": ids,
+                "n_ids": [len(x) for x in ids],
+            })
+
+    return pruned.mapInPandas(
+        run, schema="doc_id bigint, ids array<int>, n_ids int")
+
+
+def pack_token_ids(docs: DataFrame, seq_len: int = SEQ_LEN,
+                   shard_width: int = SHARD_WIDTH,
+                   vocab_path: str | None = None) -> DataFrame:
+    """Packed training sequences with materialized ids: one row per
+    sequence — (seq_id, n_docs, n_tokens, ids array<int>). Every sequence
+    except the last has exactly ``seq_len`` tokens; ids concatenate the
+    member documents' encodings in doc_id order."""
+    enc = encode_token_ids(docs, vocab_path).filter(F.col("n_ids") > 0)
+
+    shard = (F.col("doc_id") / shard_width).cast("long")
+    w_local = (Window.partitionBy("shard").orderBy("doc_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = (enc.withColumn("shard", shard)
+             .withColumn("local_end", F.sum("n_ids").over(w_local)))
+
+    shard_tot = local.groupBy("shard").agg(
+        F.sum("n_ids").alias("shard_tokens"))
+    w_off = (Window.orderBy("shard")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = shard_tot.select(
+        "shard",
+        F.coalesce(F.sum("shard_tokens").over(w_off), F.lit(0))
+        .alias("shard_start"))
+
+    placed = (local.join(F.broadcast(offsets), "shard")
+              .withColumn("start",
+                          F.col("shard_start") + F.col("local_end")
+                          - F.col("n_ids"))
+              .withColumn("end", F.col("shard_start") + F.col("local_end")))
+
+    seq = F.col("seq_id")
+    lo = F.greatest(F.col("start"), seq * seq_len)
+    hi = F.least(F.col("end"), (seq + 1) * seq_len)
+    exploded = placed.select(
+        "start", "end", "ids",
+        F.explode(F.sequence(
+            F.floor(F.col("start") / seq_len),
+            F.floor((F.col("end") - 1) / seq_len))).alias("seq_id"))
+    pieces = exploded.select(
+        "seq_id",
+        F.struct(
+            F.col("start").alias("start"),
+            F.slice("ids", (lo - F.col("start") + 1).cast("int"),
+                    (hi - lo).cast("int")).alias("piece"),
+        ).alias("p"))
+
+    # reassemble each sequence: pieces sorted by their global start offset
+    return (pieces.groupBy("seq_id").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.flatten(F.transform(F.array_sort(F.collect_list("p")),
+                              lambda s: s["piece"])).alias("ids"))
+        .select("seq_id", "n_docs",
+                F.size("ids").alias("n_tokens"), "ids"))
