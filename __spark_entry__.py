@@ -370,7 +370,7 @@ _PRIORITY_QUERIES = [
     # new in round 6
     "dedup_url_canonical", "ann_int8_topk", "warc_clean_write",
     "text_registrable_domain", "text_domain_cap_registrable",
-    "text_encode_pack",
+    "text_encode_pack", "text_url_filter",
     # hybrid/stateful rows: their DuckDB twins live in HYBRID_ORACLES (or
     # they are by-design rows-only) — the driver row is their only/primary
     # hard signal, so they never rotate

@@ -1056,6 +1056,85 @@ regdom AS (
 )
 
 
+# Blocklist URL filter — the UT1-blocklist-style gate crawl pipelines
+# (C4, RefinedWeb, FineWeb lineage) run BEFORE fetching or cleaning:
+# drop a URL when its PSL registrable domain is on a blocklist (so
+# b1.site3.co.uk and site3.co.uk block together — per-host blocklists
+# are trivially evaded by subdomains) or its path contains a blocked
+# keyword. Composes the PSL matcher above on PARSED urls. Scale shape:
+# pure projection — host/path via regexp_extract, registrable via the
+# shared _psl_match_chain (IN-literal), blocklist membership IN-literal
+# (production: broadcast the ~3M-entry UT1 set) — zero shuffle, zero
+# join. URLs are synthesized from doc_id (every 13th doc gets a blocked
+# path keyword; domain blocks fall out of the PSL synthesis); DuckDB
+# re-derives every verdict arithmetically, so the parse + match + gate
+# chain is what's value-checked.
+_URL_BLOCKED_DOMAINS = "'site3.com.au','site7.co.uk','site13.github.io'"
+
+_URL_FILTER_SPARK_URL = (
+    "concat('https://', {host}, CASE WHEN doc_id % 13 = 0 "
+    "THEN concat('/casino/', CAST(doc_id AS STRING)) "
+    "ELSE concat('/p/', CAST(doc_id AS STRING)) END)"
+)
+
+QUERIES["text_url_filter"] = _pair(
+    f"""WITH raw AS (
+  SELECT doc_id, {_URL_FILTER_SPARK_URL.format(host=_PSL_HOST_SPARK)} AS url
+  FROM (SELECT doc_id,
+               element_at({_PSL_PICK}, CAST(doc_id % 6 AS INT) + 1) AS sfx
+        FROM documents) s
+),
+hosts AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^https://([^/]*)', 1) AS host,
+         regexp_extract(url, '^https://[^/]*(/.*)$', 1) AS path
+  FROM raw
+),
+{_psl_match_chain(carry=", url, path")},
+verdicts AS (
+  SELECT doc_id, url,
+         CASE WHEN {_PSL_REG_EXPR} IN ({_URL_BLOCKED_DOMAINS})
+              THEN 1 ELSE 0 END AS domain_blocked,
+         CASE WHEN path LIKE '%/casino/%' THEN 1 ELSE 0 END AS path_blocked
+  FROM reg
+)
+SELECT doc_id, url,
+       CAST(domain_blocked AS INT) AS domain_blocked,
+       CAST(path_blocked AS INT) AS path_blocked,
+       CASE WHEN domain_blocked = 1 THEN 'domain'
+            WHEN path_blocked = 1 THEN 'path'
+            ELSE '' END AS block_reason,
+       CASE WHEN domain_blocked + path_blocked = 0
+            THEN 'keep' ELSE 'drop' END AS url_gate
+FROM verdicts""",
+    f"""WITH sfx AS (
+  SELECT doc_id,
+         list_extract({_PSL_PICK_DUCK}, CAST(doc_id % 6 AS INT) + 1) AS s
+  FROM documents
+),
+verdicts AS (
+  SELECT doc_id,
+         'https://' || {_PSL_DUCK_HOST} ||
+           CASE WHEN doc_id % 13 = 0
+                THEN '/casino/' || CAST(doc_id AS VARCHAR)
+                ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS url,
+         CASE WHEN ({_PSL_DUCK_REG}) IN ({_URL_BLOCKED_DOMAINS})
+              THEN 1 ELSE 0 END AS domain_blocked,
+         CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS path_blocked
+  FROM sfx
+)
+SELECT doc_id, url,
+       CAST(domain_blocked AS INT) AS domain_blocked,
+       CAST(path_blocked AS INT) AS path_blocked,
+       CASE WHEN domain_blocked = 1 THEN 'domain'
+            WHEN path_blocked = 1 THEN 'path'
+            ELSE '' END AS block_reason,
+       CASE WHEN domain_blocked + path_blocked = 0
+            THEN 'keep' ELSE 'drop' END AS url_gate
+FROM verdicts""",
+)
+
+
 # Symmetric int8 embedding quantization — the storage/bandwidth shrink
 # every embedding store runs before ANN (4x smaller vectors; faster
 # distance kernels). scale = amax/127 per vector; q_i = floor(v/scale +

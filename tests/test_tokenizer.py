@@ -96,6 +96,26 @@ def test_trie_regex_equals_walk_fuzz():
         assert tok.count_tokens(text) == len(tok.encode(text))
 
 
+def test_encode_regex_equals_walk_fuzz():
+    """The regex-driven encode() must produce the IDENTICAL id sequence
+    (not just count) as the reference prefix-walk encoder, on vocab-word
+    mashups, arbitrary unicode, and byte-fallback-heavy strings."""
+    import random
+
+    tok = get_tokenizer()
+    rnd = random.Random(4321)
+    words = [w.decode("utf-8", errors="ignore") for w in
+             list(tok._encoder)[:400]]
+    for _ in range(300):
+        s = "".join(rnd.choice(words) for _ in range(rnd.randint(0, 25)))
+        s += "".join(chr(rnd.randrange(0x2500))
+                     for _ in range(rnd.randint(0, 8)))
+        assert tok.encode(s) == tok._encode_walk(s), repr(s)
+    for text in ["", "naïve — café 日本語 🚀", "\n\n\t mixed \x00 bytes"]:
+        assert tok.encode(text) == tok._encode_walk(text)
+        assert tok.decode(tok.encode(text)) == text
+
+
 def test_find_real_vocab_env_and_dropin(tmp_path, monkeypatch):
     from fast_pdf_parser_spark.functions import tokenizer as T
 
