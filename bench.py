@@ -154,7 +154,8 @@ def main() -> None:
         for name in ["text_quality_score", "events_sessionize",
                      "ann_cosine_topk", "f4_semantic_units",
                      "dedup_minhash_signatures", "dedup_lsh_pairs",
-                     "pipeline_clean_corpus", "warc_extract"]:
+                     "pipeline_clean_corpus", "text_encode_pack",
+                     "warc_extract"]:
             walls = []
             for _ in range(reps):
                 t0 = time.time()

@@ -186,6 +186,18 @@ def test_url_dedup_one_window_no_join(spark):
     assert plan.count("Scan parquet") == 1, plan
 
 
+def test_psl_operators_zero_shuffle_no_join(spark):
+    """The PSL registrable-domain extractor and the blocklist URL filter
+    are pure projections (IN-literal membership, no suffix-table join) —
+    a single scan with NO exchange at any corpus size."""
+    entrymod._prepare(spark, SF_DIR)
+    for name in ("text_registrable_domain", "text_url_filter"):
+        plan = physical(spark.sql(spark_sql(name)))
+        assert "Exchange" not in plan, name
+        assert "Join" not in plan, name
+        assert plan.count("Scan parquet") == 1, name
+
+
 def test_cap_operators_single_partition_free_no_join(spark):
     """Both cap operators (per-domain, per-embedding-cell) must be ONE
     hash-partitioned window over their grouping key — no join, no
