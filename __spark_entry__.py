@@ -298,7 +298,12 @@ def _text_encode_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fast_pdf_parser_spark.operators.packing import pack_token_ids
 
     _prepare(spark, sf_dir)
-    packed = pack_token_ids(spark.table("documents"))
+    # the small sf corpus is one parquet split — spread the compute-bound
+    # encoder across cores (at 100 TB the scan splits make this a no-op
+    # knob; see encode_token_ids docstring)
+    packed = pack_token_ids(
+        spark.table("documents"),
+        num_partitions=spark.sparkContext.defaultParallelism)
     return packed.select(
         "seq_id", "n_docs", "n_tokens",
         F.aggregate("ids", F.lit(0).cast("bigint"),

@@ -37,20 +37,28 @@ SHARD_WIDTH = 100      # contiguous doc_ids per prefix-sum shard
 
 
 def encode_token_ids(docs: DataFrame, vocab_path: str | None = None,
-                     ) -> DataFrame:
+                     num_partitions: int = 0) -> DataFrame:
     """(doc_id, text, ...) → (doc_id, ids array<int>, n_ids int) via the
-    real greedy tokenizer. Zero-shuffle; input pruned to (doc_id, text);
-    empty/whitespace-only texts are dropped (they pack zero tokens),
-    mirroring text_pack_manifest's filter."""
+    real greedy tokenizer. Zero-shuffle by default; input pruned to
+    (doc_id, text); empty/whitespace-only texts are dropped (they pack
+    zero tokens), mirroring text_pack_manifest's filter.
+
+    ``num_partitions``: at 100 TB the parquet scan yields plenty of
+    splits and the encoder parallelizes for free — leave 0 (no shuffle).
+    A SMALL corpus (one parquet file = one split) would serialize the
+    compute-bound encoder on one core; pass the cluster's parallelism to
+    spread it (the same knob extract_documents exposes via
+    ParseOptions.num_partitions)."""
     import pandas as pd
 
     from fast_pdf_parser_spark.util import ship_package
 
     ship_package(docs.sparkSession)  # workers need the tokenizer module
-    pruned = (docs.select("doc_id", "text")
-              .filter(F.length(F.trim("text")) > 0))
+    pruned = _pruned(docs)
+    if num_partitions:
+        pruned = pruned.repartition(num_partitions, "doc_id")
 
-    def run(batches):
+    def encode_fold(batches):
         from fast_pdf_parser_spark.functions.tokenizer import get_tokenizer
 
         tok = get_tokenizer(vocab_path)
@@ -63,17 +71,51 @@ def encode_token_ids(docs: DataFrame, vocab_path: str | None = None,
             })
 
     return pruned.mapInPandas(
-        run, schema="doc_id bigint, ids array<int>, n_ids int")
+        encode_fold, schema="doc_id bigint, ids array<int>, n_ids int")
+
+
+def _pruned(docs: DataFrame) -> DataFrame:
+    return (docs.select("doc_id", "text")
+            .filter(F.length(F.trim("text")) > 0))
+
+
+def count_token_ids(docs: DataFrame, vocab_path: str | None = None,
+                    ) -> DataFrame:
+    """(doc_id, text, ...) → (doc_id, n_ids int) — the id-free counting
+    pass. ``count_tokens`` rides the same trie regex as ``encode`` and is
+    fuzz-pinned to len(encode(text)) (tests/test_tokenizer.py), so this is
+    the cheap way to learn the pack geometry without materializing (or
+    recomputing) a single id array."""
+    import pandas as pd
+
+    from fast_pdf_parser_spark.util import ship_package
+
+    ship_package(docs.sparkSession)
+
+    def count_fold(batches):
+        from fast_pdf_parser_spark.functions.tokenizer import get_tokenizer
+
+        tok = get_tokenizer(vocab_path)
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_ids": tok.count_tokens_many(list(pdf["text"])),
+            })
+
+    return _pruned(docs).mapInPandas(
+        count_fold, schema="doc_id bigint, n_ids int")
 
 
 def pack_token_ids(docs: DataFrame, seq_len: int = SEQ_LEN,
                    shard_width: int = SHARD_WIDTH,
-                   vocab_path: str | None = None) -> DataFrame:
+                   vocab_path: str | None = None,
+                   num_partitions: int = 0) -> DataFrame:
     """Packed training sequences with materialized ids: one row per
     sequence — (seq_id, n_docs, n_tokens, ids array<int>). Every sequence
     except the last has exactly ``seq_len`` tokens; ids concatenate the
     member documents' encodings in doc_id order."""
-    enc = encode_token_ids(docs, vocab_path).filter(F.col("n_ids") > 0)
+    enc = encode_token_ids(docs, vocab_path, num_partitions) \
+        .filter(F.col("n_ids") > 0)
 
     shard = (F.col("doc_id") / shard_width).cast("long")
     w_local = (Window.partitionBy("shard").orderBy("doc_id")
@@ -81,8 +123,16 @@ def pack_token_ids(docs: DataFrame, seq_len: int = SEQ_LEN,
     local = (enc.withColumn("shard", shard)
              .withColumn("local_end", F.sum("n_ids").over(w_local)))
 
-    shard_tot = local.groupBy("shard").agg(
-        F.sum("n_ids").alias("shard_tokens"))
+    # shard totals come from a separate ID-FREE counting pass: deriving
+    # them from `local` would put the encoder in TWO plan branches and run
+    # it twice over the whole corpus (2x the dominant compute at scale);
+    # counting is ~3x cheaper than encoding and count == len(encode) is
+    # fuzz-pinned, so the geometry is identical
+    shard_tot = (count_token_ids(docs, vocab_path)
+                 .filter(F.col("n_ids") > 0)
+                 .withColumn("shard", shard)
+                 .groupBy("shard").agg(
+                     F.sum("n_ids").alias("shard_tokens")))
     w_off = (Window.orderBy("shard")
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = shard_tot.select(

@@ -88,3 +88,7 @@ def test_pack_plan_no_corpus_wide_single_partition(docs):
     singles = plan.split("Exchange SinglePartition")
     # at most the one shard-offsets running-sum stage
     assert len(singles) - 1 <= 1, plan
+    # the ENCODER runs exactly once: shard totals come from the id-free
+    # counting pass, never from a second encode branch
+    assert plan.count("encode_fold") == 1, plan
+    assert plan.count("count_fold") == 1, plan
