@@ -287,8 +287,9 @@ def _pipeline_clean_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _text_encode_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed training sequences with MATERIALIZED token ids — the
-    artifact text_pack_manifest only points at, produced by the real
-    greedy tokenizer (operators/packing.pack_token_ids: zero-shuffle
+    artifact a training run consumes (text_pack_manifest oracle-checks
+    the same algorithm over a whitespace-count proxy), produced by the
+    real greedy tokenizer (operators/packing.pack_token_ids: zero-shuffle
     encode → per-shard prefix sums → bounded explode → per-sequence
     reassembly). Rows-only: ids aren't SQL-derivable; byte-exactness vs a
     serial reference pack is pinned by tests/test_packing.py. The driver

@@ -289,10 +289,15 @@ def main() -> None:
         "cpu_control_mops": control_mops,
     }
     # full detail (spread, chunk matrix) goes to a file; the stdout line
-    # must stay compact — the driver tail-captures only the last ~2 kB
+    # must stay compact — the driver tail-captures only the last ~2 kB.
+    # The filename carries the config (sf + corpus size): a sf0.001 smoke
+    # run must never clobber committed sf0.1 measurement evidence (it did
+    # once — review finding, round 6)
     detail = dict(result, queries_spread=queries_spread,
                   chunk_matrix=chunk_matrix)
-    detail_file = os.path.join(REPO, "BENCH", "BENCH_DETAIL_last.json")
+    detail_file = os.path.join(
+        REPO, "BENCH",
+        f"BENCH_DETAIL_{sf_name}_{int(agg['docs'])}d.json")
     try:
         with open(detail_file, "w") as f:
             json.dump(detail, f, indent=1)

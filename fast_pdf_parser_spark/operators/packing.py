@@ -23,9 +23,14 @@ loop):
 The ids themselves aren't SQL-derivable (greedy vocab walk), so the
 driver row is rows-only; the exact contract is pinned by
 tests/test_packing.py against a single-process reference pack
-(concatenate ``encode()`` in doc_id order, cut every seq_len), and the
-manifest geometry it must agree with is oracle-checked via
-text_pack_manifest.
+(concatenate ``encode()`` in doc_id order, cut every seq_len).
+``text_pack_manifest`` oracle-checks the SAME concat-then-split
+ALGORITHM (shards, prefix sums, seq assignment) over a whitespace token
+count both SQL engines can compute — its offsets are a proxy geometry,
+NOT this module's (real-tokenizer counts differ from word counts on
+essentially every document); the real geometry is pinned here by the
+reference-pack equality test and the seqs == ceil(tokens/seq_len)
+assertion in tools/pack_scale_probe.py.
 """
 
 from __future__ import annotations
@@ -54,6 +59,7 @@ def encode_token_ids(docs: DataFrame, vocab_path: str | None = None,
     from fast_pdf_parser_spark.util import ship_package
 
     ship_package(docs.sparkSession)  # workers need the tokenizer module
+    vocab_path = _driver_vocab(vocab_path)
     pruned = _pruned(docs)
     if num_partitions:
         pruned = pruned.repartition(num_partitions, "doc_id")
@@ -79,8 +85,22 @@ def _pruned(docs: DataFrame) -> DataFrame:
             .filter(F.length(F.trim("text")) > 0))
 
 
+def _driver_vocab(vocab_path: str | None) -> str | None:
+    """Resolve the vocabulary ONCE, on the driver (the pipeline.py:559-567
+    invariant): per-worker discovery (env var / drop-in file) can resolve
+    differently across executors — or between the count pass and the
+    encode pass — silently mixing two tokenizations within one pack, which
+    would corrupt every slice offset downstream. An explicit path an
+    executor cannot read fails loudly instead."""
+    if vocab_path is not None:
+        return vocab_path
+    from fast_pdf_parser_spark.functions.tokenizer import find_real_vocab
+
+    return find_real_vocab()
+
+
 def count_token_ids(docs: DataFrame, vocab_path: str | None = None,
-                    ) -> DataFrame:
+                    num_partitions: int = 0) -> DataFrame:
     """(doc_id, text, ...) → (doc_id, n_ids int) — the id-free counting
     pass. ``count_tokens`` rides the same trie regex as ``encode`` and is
     fuzz-pinned to len(encode(text)) (tests/test_tokenizer.py), so this is
@@ -91,6 +111,10 @@ def count_token_ids(docs: DataFrame, vocab_path: str | None = None,
     from fast_pdf_parser_spark.util import ship_package
 
     ship_package(docs.sparkSession)
+    vocab_path = _driver_vocab(vocab_path)
+    pruned = _pruned(docs)
+    if num_partitions:
+        pruned = pruned.repartition(num_partitions, "doc_id")
 
     def count_fold(batches):
         from fast_pdf_parser_spark.functions.tokenizer import get_tokenizer
@@ -102,7 +126,7 @@ def count_token_ids(docs: DataFrame, vocab_path: str | None = None,
                 "n_ids": tok.count_tokens_many(list(pdf["text"])),
             })
 
-    return _pruned(docs).mapInPandas(
+    return pruned.mapInPandas(
         count_fold, schema="doc_id bigint, n_ids int")
 
 
@@ -114,6 +138,10 @@ def pack_token_ids(docs: DataFrame, seq_len: int = SEQ_LEN,
     sequence — (seq_id, n_docs, n_tokens, ids array<int>). Every sequence
     except the last has exactly ``seq_len`` tokens; ids concatenate the
     member documents' encodings in doc_id order."""
+    # one vocabulary for BOTH passes, resolved here on the driver — the
+    # count and encode passes must tokenize identically or every slice
+    # offset downstream is wrong
+    vocab_path = _driver_vocab(vocab_path)
     enc = encode_token_ids(docs, vocab_path, num_partitions) \
         .filter(F.col("n_ids") > 0)
 
@@ -128,7 +156,7 @@ def pack_token_ids(docs: DataFrame, seq_len: int = SEQ_LEN,
     # it twice over the whole corpus (2x the dominant compute at scale);
     # counting is ~3x cheaper than encoding and count == len(encode) is
     # fuzz-pinned, so the geometry is identical
-    shard_tot = (count_token_ids(docs, vocab_path)
+    shard_tot = (count_token_ids(docs, vocab_path, num_partitions)
                  .filter(F.col("n_ids") > 0)
                  .withColumn("shard", shard)
                  .groupBy("shard").agg(

@@ -1069,7 +1069,15 @@ regdom AS (
 # path keyword; domain blocks fall out of the PSL synthesis); DuckDB
 # re-derives every verdict arithmetically, so the parse + match + gate
 # chain is what's value-checked.
-_URL_BLOCKED_DOMAINS = "'site3.com.au','site7.co.uk','site13.github.io'"
+# Each entry is REACHABLE under the doc_id synthesis (suffix index and
+# site number must agree mod lcm(6,20)=60) and the three together pin all
+# subdomain depths: site8.co.uk fires at doc_id ≡ 8 (mod 60) → depth 2
+# (a?.b?.site8.co.uk — the subdomain-mirror case the registrable-domain
+# gate exists for), site14.github.io at ≡ 34 → depth 1, site3.com.au at
+# ≡ 3 → depth 0 (bare registrable). Depth coverage is asserted in
+# tests/test_psl.py so a synthesis change can't silently strand the
+# blocklist on unreachable or subdomain-free hosts again.
+_URL_BLOCKED_DOMAINS = "'site8.co.uk','site3.com.au','site14.github.io'"
 
 _URL_FILTER_SPARK_URL = (
     "concat('https://', {host}, CASE WHEN doc_id % 13 = 0 "

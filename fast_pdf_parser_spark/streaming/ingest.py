@@ -357,10 +357,16 @@ def _clean_capped_stream(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from fast_pdf_parser_spark.operators.relational import (
+        _HASH60_SPARK,
         _PII_EMAIL_SPARK,
         _PII_IP_SPARK,
         _PII_SCRUB,
     )
+
+    # the ONE 60-bit content-hash definition (relational._HASH60_SPARK):
+    # the batch capstone, the batch sink and both streaming hashes must
+    # stay in sync or the claimed batch/stream contract parity breaks
+    hash60 = F.expr(_HASH60_SPARK.format(x="text"))  # already BIGINT
 
     if schema is None:
         schema = spark.read.parquet(docs_dir).schema
@@ -371,9 +377,7 @@ def _clean_capped_stream(
     )
     hashed = (
         stream.withColumn("ts", F.col("ts").cast("timestamp"))
-        .withColumn(
-            "content_hash",
-            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long"))
+        .withColumn("content_hash", hash60)
         .withWatermark("ts", f"{watermark_minutes} minutes")
     )
     deduped = hashed.dropDuplicatesWithinWatermark(["content_hash"])
@@ -392,9 +396,7 @@ def _clean_capped_stream(
                     F.size(F.array_distinct(F.split("text", " "))))
         .filter("nwords >= 50 AND ndistinct * CAST(1.0 AS DOUBLE) / nwords "
                 "> CAST(0.1 AS DOUBLE)")
-        .withColumn(
-            "clean_hash",
-            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long"))
+        .withColumn("clean_hash", hash60)
         .withColumn(
             "split_coin",
             F.expr("CAST(conv(substr(md5(concat('p:', "

@@ -59,3 +59,36 @@ FROM reg""").collect()
 @pytest.mark.parametrize("host,suffix,registrable", CASES)
 def test_psl_match(matched, host, suffix, registrable):
     assert matched[host] == (suffix, registrable)
+
+
+import os  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF_DIR, "documents.parquet")),
+    reason="driver testdata not present")
+def test_url_filter_blocklist_reaches_all_subdomain_depths(spark):
+    """The blocklist must actually FIRE under the doc_id synthesis, and at
+    every subdomain depth — the review-caught failure mode was entries
+    whose (suffix index, site number) residues were arithmetically
+    unsatisfiable, leaving the subdomain-mirror behavior (the point of a
+    registrable-domain blocklist) untested by the oracle."""
+    import __spark_entry__ as entrymod
+    from fast_pdf_parser_spark.operators.relational import spark_sql
+
+    entrymod._prepare(spark, SF_DIR)
+    rows = spark.sql(spark_sql("text_url_filter")) \
+        .filter("domain_blocked = 1").collect()
+    assert rows, "no domain_blocked rows at all"
+    hosts = [r["url"].split("/")[2] for r in rows]
+    # dots before 'site' = total dots minus the dots in the tail
+    depths = {h.count(".") - h.split("site", 1)[1].count(".")
+              for h in hosts if "site" in h}
+    # extra subdomain labels before 'site...': 0 (bare registrable),
+    # 1 (b?.site...), 2 (a?.b?.site...) must all appear
+    assert depths == {0, 1, 2}, hosts
+    # and the path gate fires independently of the domain gate
+    assert spark.sql(spark_sql("text_url_filter")) \
+        .filter("path_blocked = 1 AND domain_blocked = 0").count() > 0
