@@ -285,6 +285,67 @@ def _pipeline_clean_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-incremental dedup — the daily-crawl workflow: today's batch
+    is deduplicated AGAINST THE MATERIALIZED CORPUS from previous runs,
+    not just within itself (the streaming path holds this state in a
+    store; the batch path must read it back from the durable sink).
+    Here the 'previous run' is the even-doc_id half pushed through the
+    REAL resume-safe sink (write_docs_bucketed), and the incoming batch
+    is the odd half plus injected clones of even docs (doc_id %% 4 == 0,
+    negative ids) that MUST be dropped because their hash is already in
+    the corpus read back from disk. Scale shape: one anti-join-shaped
+    LEFT JOIN on the 60-bit hash (AQE-managed shuffle; corpus side prunes
+    to the hash column) + one first-occurrence window within the batch.
+    DuckDB re-derives every verdict from `documents` directly, so the
+    sink round-trip + join + window chain is what's value-checked."""
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.plans.checkpoint import (
+        _fs_delete,
+        write_docs_bucketed,
+    )
+
+    _prepare(spark, sf_dir)
+    h = "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)"
+    prev = spark.sql(f"""
+        SELECT doc_id, source, 'train' AS split,
+               {h} AS clean_hash, text AS clean_text
+        FROM (SELECT *, row_number() OVER (PARTITION BY {h}
+                                           ORDER BY doc_id ASC) AS rn
+              FROM documents WHERE doc_id % 2 = 0)
+        WHERE rn = 1""")
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/spark_graft_incr_{sf_name}_{os.getpid()}"
+    _fs_delete(spark, out)
+    corpus = write_docs_bucketed(spark, prev, out, run_id="prev",
+                                 num_buckets=4)
+    corpus_hashes = corpus.select("clean_hash").distinct()
+
+    batch = spark.sql(f"""
+        SELECT doc_id, {h} AS h FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT -(doc_id + 1) AS doc_id, {h} AS h
+        FROM documents WHERE doc_id % 4 = 0""")
+    ranked = batch.withColumn(
+        "rn", F.expr("row_number() OVER (PARTITION BY h "
+                     "ORDER BY doc_id ASC)"))
+    verdict = (ranked.join(corpus_hashes,
+                           ranked["h"] == corpus_hashes["clean_hash"],
+                           "left")
+               .select(
+                   "doc_id",
+                   F.when(F.col("clean_hash").isNotNull(), 1).otherwise(0)
+                   .cast("int").alias("in_corpus"),
+                   F.when(F.col("clean_hash").isNull() & (F.col("rn") == 1),
+                          1).otherwise(0).cast("int").alias("kept")))
+    # materialize, then drop the scratch corpus the verdicts were read from
+    result = spark.createDataFrame(verdict.collect(), schema=verdict.schema)
+    _fs_delete(spark, out)
+    return result
+
+
 def _text_encode_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed training sequences with MATERIALIZED token ids — the
     artifact a training run consumes (text_pack_manifest oracle-checks
@@ -376,7 +437,7 @@ _PRIORITY_QUERIES = [
     # new in round 6
     "dedup_url_canonical", "ann_int8_topk", "warc_clean_write",
     "text_registrable_domain", "text_domain_cap_registrable",
-    "text_encode_pack", "text_url_filter",
+    "text_encode_pack", "text_url_filter", "dedup_incremental",
     # hybrid/stateful rows: their DuckDB twins live in HYBRID_ORACLES (or
     # they are by-design rows-only) — the driver row is their only/primary
     # hard signal, so they never rotate
@@ -420,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_docling_chunks"] = _pipeline_docling
     out["pipeline_docling_meta_oracle"] = _pipeline_docling_meta
     out["text_encode_pack"] = _text_encode_pack
+    out["dedup_incremental"] = _dedup_incremental
     out["warc_extract"] = _warc_extract
     out["warc_clean_write"] = _warc_clean_write
     out["pipeline_html_extract"] = _pipeline_html

@@ -2042,6 +2042,35 @@ FROM lines GROUP BY doc_id, CAST(line_no // 12 AS INT)""",
     "multimodal_media_features": _media_features_oracle_duck(),
     "multimodal_resize": _media_resize_oracle_duck(),
     "multimodal_frame_sample": _media_frames_oracle_duck(),
+    # batch-incremental dedup: the Spark side materializes the even-half
+    # "previous run" through the REAL durable sink and reads the corpus
+    # hashes back from disk before anti-joining the incoming batch
+    # (__spark_entry__._dedup_incremental); the oracle re-derives every
+    # verdict from `documents` directly — in_corpus iff the text hash
+    # appears in the even half, kept iff novel AND first occurrence
+    # within the batch
+    "dedup_incremental": f"""WITH a AS (
+  SELECT DISTINCT {_HASH60_DUCK.format(x='text')} AS ch
+  FROM documents WHERE doc_id % 2 = 0
+),
+b AS (
+  SELECT doc_id, {_HASH60_DUCK.format(x='text')} AS h
+  FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT -(doc_id + 1) AS doc_id, {_HASH60_DUCK.format(x='text')} AS h
+  FROM documents WHERE doc_id % 4 = 0
+),
+ranked AS (
+  SELECT doc_id, h,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id ASC) AS rn
+  FROM b
+)
+SELECT r.doc_id,
+       CAST(CASE WHEN a.ch IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS in_corpus,
+       CAST(CASE WHEN a.ch IS NULL AND r.rn = 1 THEN 1 ELSE 0 END AS INT)
+         AS kept
+FROM ranked r LEFT JOIN a ON r.h = a.ch""",
 }
 
 
