@@ -197,3 +197,34 @@ def pack_token_ids(docs: DataFrame, seq_len: int = SEQ_LEN,
                               lambda s: s["piece"])).alias("ids"))
         .select("seq_id", "n_docs",
                 F.size("ids").alias("n_tokens"), "ids"))
+
+
+SEQS_PER_SHARD = 8192  # sequences per training-shard file group
+
+
+def write_packed_sequences(docs: DataFrame, out_dir: str,
+                           seq_len: int = SEQ_LEN,
+                           seqs_per_shard: int = SEQS_PER_SHARD,
+                           shard_width: int = SHARD_WIDTH,
+                           vocab_path: str | None = None,
+                           num_partitions: int = 0) -> DataFrame:
+    """The last mile of the training-data path: pack_token_ids landed on
+    disk as shard-partitioned parquet (``out/shard=K/``) — the artifact a
+    data loader actually opens. Shards are contiguous seq_id ranges
+    (``seq_id // seqs_per_shard``), so a loader streams shard K and reads
+    sequences in order without touching the rest of the corpus, and
+    partition pruning serves "give me shards 17-20" for free.
+
+    Returns the reader over the written table (shard is a partition
+    column). Validation belongs to the caller/test: total tokens and the
+    all-full-but-last invariant survive the round trip
+    (tests/test_packing.py::test_write_packed_sequences_roundtrip)."""
+    packed = pack_token_ids(docs, seq_len, shard_width,
+                            vocab_path=vocab_path,
+                            num_partitions=num_partitions)
+    (packed.withColumn(
+        "shard", (F.col("seq_id") / seqs_per_shard).cast("long"))
+        .repartition("shard")
+        .sortWithinPartitions("seq_id")
+        .write.mode("overwrite").partitionBy("shard").parquet(out_dir))
+    return docs.sparkSession.read.parquet(out_dir)

@@ -77,6 +77,33 @@ def test_pack_matches_reference_exactly(docs, seq_len):
         assert got[s]["n_tokens"] == seq_len
 
 
+def test_write_packed_sequences_roundtrip(docs, spark, tmp_path):
+    """The durable training shards must read back byte-identical to the
+    in-memory pack: same sequences, same ids, correct shard assignment,
+    ordered streamable ranges."""
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.operators.packing import (
+        pack_token_ids,
+        write_packed_sequences,
+    )
+
+    out = str(tmp_path / "shards")
+    back = write_packed_sequences(docs, out, seq_len=16, seqs_per_shard=4,
+                                  shard_width=3)
+    mem = {r["seq_id"]: list(r["ids"])
+           for r in pack_token_ids(docs, seq_len=16, shard_width=3)
+           .collect()}
+    got = back.collect()
+    assert {r["seq_id"]: list(r["ids"]) for r in got} == mem
+    # shard = seq_id // seqs_per_shard, and partition pruning works
+    assert all(r["shard"] == r["seq_id"] // 4 for r in got)
+    pruned = back.filter(F.col("shard") == 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == min(4, len(mem))
+    assert "PartitionFilters: [isnotnull(shard" in plan
+
+
 def test_pack_plan_no_corpus_wide_single_partition(docs):
     """The only SinglePartition exchange feeds the tiny one-row-per-shard
     offsets relation (same contract as text_pack_manifest's plan pin);
