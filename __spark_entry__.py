@@ -7,8 +7,9 @@ UDF, built-ins only) and runs the zero-shuffle mapInPandas extraction
 HierarchicalChunker::chunk_file (src/hierarchical_chunker.cpp:552-634).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
-SURVEY.md §2 plus the training-data operators (45 queries, 39 with DuckDB
-oracles); SQL-expressible ones carry a DuckDB oracle
+SURVEY.md §2 plus the training-data operators (see COVERAGE.md for the
+full census; counts are asserted, not documented, in
+tests/test_driver_contract.py); SQL-expressible ones carry a DuckDB oracle
 (operators/relational.py pairs the dialects; HYBRID_ORACLES pair the real
 mapInPandas stages with pure-SQL re-derivations: pipeline meta counters
 for the text and html axes, sha256-arithmetic twins for the three
@@ -292,7 +293,7 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     store; the batch path must read it back from the durable sink).
     Here the 'previous run' is the even-doc_id half pushed through the
     REAL resume-safe sink (write_docs_bucketed), and the incoming batch
-    is the odd half plus injected clones of even docs (doc_id %% 4 == 0,
+    is the odd half plus injected clones of even docs (doc_id mod 4 == 0,
     negative ids) that MUST be dropped because their hash is already in
     the corpus read back from disk. Scale shape: one anti-join-shaped
     LEFT JOIN on the 60-bit hash (AQE-managed shuffle; corpus side prunes
@@ -301,13 +302,16 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink round-trip + join + window chain is what's value-checked."""
     from pyspark.sql import functions as F
 
+    from fast_pdf_parser_spark.operators.relational import _HASH60_SPARK
     from fast_pdf_parser_spark.plans.checkpoint import (
         _fs_delete,
         write_docs_bucketed,
     )
 
     _prepare(spark, sf_dir)
-    h = "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)"
+    # the ONE shared 60-bit hash — its DuckDB parity is the documented
+    # invariant the oracle rides on
+    h = _HASH60_SPARK.format(x="text")
     prev = spark.sql(f"""
         SELECT doc_id, source, 'train' AS split,
                {h} AS clean_hash, text AS clean_text
@@ -340,8 +344,10 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .cast("int").alias("in_corpus"),
                    F.when(F.col("clean_hash").isNull() & (F.col("rn") == 1),
                           1).otherwise(0).cast("int").alias("kept")))
-    # materialize, then drop the scratch corpus the verdicts were read from
-    result = spark.createDataFrame(verdict.collect(), schema=verdict.schema)
+    # materialize executor-side (the verdict is O(batch) rows — never
+    # round-trip it through the driver), then drop the scratch corpus the
+    # verdicts were read from
+    result = verdict.localCheckpoint(eager=True)
     _fs_delete(spark, out)
     return result
 

@@ -222,9 +222,17 @@ def write_packed_sequences(docs: DataFrame, out_dir: str,
     packed = pack_token_ids(docs, seq_len, shard_width,
                             vocab_path=vocab_path,
                             num_partitions=num_partitions)
+    # sort key must start with the dynamic-partition column: otherwise
+    # the writer inserts its own SortExec(shard) and within-shard seq_id
+    # order would rest on unspecified sort stability
     (packed.withColumn(
         "shard", (F.col("seq_id") / seqs_per_shard).cast("long"))
         .repartition("shard")
-        .sortWithinPartitions("seq_id")
+        .sortWithinPartitions("shard", "seq_id")
         .write.mode("overwrite").partitionBy("shard").parquet(out_dir))
-    return docs.sparkSession.read.parquet(out_dir)
+    # explicit schema: an all-filtered corpus writes only _SUCCESS and a
+    # schema-inferred read would raise AFTER the write durably succeeded
+    # (the write_docs_bucketed guard, plans/checkpoint.py)
+    return docs.sparkSession.read.schema(
+        "seq_id bigint, n_docs int, n_tokens int, ids array<int>, "
+        "shard bigint").parquet(out_dir)

@@ -30,18 +30,8 @@ def test_queries_and_oracles_consistent():
     # stateful pipeline entries are rows-only by design
     assert "pipeline_extract_spans" in q and "pipeline_extract_spans" not in o
     assert len(o) >= 15
-    # evidence-curation guard: every priority name must actually exist in
-    # queries() — the builder filters unknown names silently, so a typo
-    # would quietly demote an operator out of guaranteed driver coverage
-    missing = [n for n in entrymod._PRIORITY_QUERIES if n not in q]
-    assert not missing, missing
-    # and the priority block itself must fit the driver window, or the
-    # scheme stops guaranteeing anything
-    assert len(entrymod._PRIORITY_QUERIES) <= entrymod._DRIVER_WINDOW
-    # rotation covers every non-priority name within a bounded cadence
-    overflow = len(q) - entrymod._DRIVER_WINDOW
-    rest = len(q) - len(entrymod._PRIORITY_QUERIES)
-    assert overflow < rest  # otherwise some name could never rotate in
+    # evidence-curation guards live UNGATED in tests/test_entry_curation.py
+    # (this module is skipped without testdata; those need none)
 
 
 @pytest.mark.parametrize(

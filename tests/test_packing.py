@@ -98,6 +98,17 @@ def test_write_packed_sequences_roundtrip(docs, spark, tmp_path):
     assert {r["seq_id"]: list(r["ids"]) for r in got} == mem
     # shard = seq_id // seqs_per_shard, and partition pruning works
     assert all(r["shard"] == r["seq_id"] // 4 for r in got)
+    # the documented loader contract: within a shard FILE, sequences are
+    # stored in seq_id order (no .orderBy — raw file order is the claim)
+    per_shard = {}
+    for r in back.collect():  # collect preserves file row order per split
+        per_shard.setdefault(r["shard"], []).append(r["seq_id"])
+    for shard, seqs in per_shard.items():
+        assert seqs == sorted(seqs), (shard, seqs)
+    # an all-filtered corpus must read back empty, not crash
+    empty = spark.createDataFrame([(1, "   ")], "doc_id long, text string")
+    assert write_packed_sequences(
+        empty, str(tmp_path / "empty_shards")).count() == 0
     pruned = back.filter(F.col("shard") == 0)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert pruned.count() == min(4, len(mem))
