@@ -323,8 +323,11 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/spark_graft_incr_{sf_name}_{os.getpid()}"
     _fs_delete(spark, out)
+    # 2 buckets: still exercises the multi-bucket sink loop, but each
+    # bucket is ~3 serial Spark jobs (write, read-back, lineage) and the
+    # bucket loop dominates this row's wall at sf0.01
     corpus = write_docs_bucketed(spark, prev, out, run_id="prev",
-                                 num_buckets=4)
+                                 num_buckets=2)
     corpus_hashes = corpus.select("clean_hash").distinct()
 
     batch = spark.sql(f"""
