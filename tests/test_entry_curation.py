@@ -31,3 +31,31 @@ def test_priority_block_fits_window_and_rotation_covers():
 def test_every_oracle_has_a_query():
     q, o = entrymod.queries(), entrymod.oracle_sql()
     assert set(o) <= set(q)
+
+
+def test_rotation_covers_every_name_within_bounded_rounds(monkeypatch):
+    """The documented guarantee: every queries() name lands inside the
+    driver's _DRIVER_WINDOW within ceil(rest/overflow) consecutive
+    rounds. Simulate rounds by patching the round index and take the
+    union of window prefixes."""
+    import math
+
+    import __spark_entry__ as em
+
+    q0 = em.queries()
+    overflow = len(q0) - em._DRIVER_WINDOW
+    rest = len(q0) - len([n for n in em._PRIORITY_QUERIES if n in q0])
+    if overflow <= 0:
+        return  # everything always fits; nothing to prove
+    cadence = math.ceil(rest / overflow)
+    covered = set()
+    windows = []
+    for r in range(cadence):
+        monkeypatch.setattr(em, "_round_index", lambda r=r: r)
+        window = list(em.queries())[:em._DRIVER_WINDOW]
+        windows.append(window)
+        covered.update(window)
+    assert covered == set(q0), sorted(set(q0) - covered)
+    # priority names appear in EVERY round's window
+    for w in windows:
+        assert set(em._PRIORITY_QUERIES) <= set(w)
