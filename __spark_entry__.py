@@ -447,6 +447,7 @@ _PRIORITY_QUERIES = [
     "dedup_url_canonical", "ann_int8_topk", "warc_clean_write",
     "text_registrable_domain", "text_domain_cap_registrable",
     "text_encode_pack", "text_url_filter", "dedup_incremental",
+    "text_bigram_surprisal",
     # hybrid/stateful rows: their DuckDB twins live in HYBRID_ORACLES (or
     # they are by-design rows-only) — the driver row is their only/primary
     # hard signal, so they never rotate

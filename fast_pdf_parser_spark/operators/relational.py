@@ -1705,6 +1705,73 @@ QUERIES["text_unigram_surprisal"] = _pair(
 )
 
 
+# Bigram-interpolated LM surprisal — the CCNet-lineage perplexity filter
+# one order up from the unigram model: score each document by the average
+# of -ln(0.7·p(w2|w1) + 0.3·p(w2)) over its adjacent word pairs, with the
+# bigram and unigram models fit on the corpus itself (fit = two count
+# aggregates; score = equi-joins against the small vocabulary/bigram
+# relations — the same fit-then-transform shape as the unigram operator
+# and IVF). The interpolation term is what makes it a real LM filter:
+# unseen-in-context words fall back to their unigram mass instead of
+# -inf. Same exactness discipline as _SURPRISAL_TAIL: every per-pair
+# surprisal is quantized to a 1e6 fixed-point INTEGER before summing
+# (integer aggregation is partitioning-order-immune); the single ln() is
+# the only <=1-ulp step, and the boundary-margin guard in
+# tests/test_oracle_stability.py scans every distinct probability tuple
+# at every sf (observed worst margin 1.0e-4 — ~25,000x the ~4e-9 ln
+# drift bound). The 0.7/0.3 literals parse to identical doubles in both
+# engines (decimal->double is correctly rounded); all other float ops
+# are single correctly-rounded operations on exactly-representable
+# inputs.
+_BIGRAM_TAIL = """,
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM pos GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM pos GROUP BY w1),
+cu AS (SELECT w2 AS w, count(*) AS cu FROM pos GROUP BY w2),
+tot AS (SELECT count(*) AS nn FROM pos),
+sb AS (
+  SELECT c2.w1, c2.w2,
+         CAST(floor(-ln(CAST(0.7 AS DOUBLE)
+                          * (c2.c2 * CAST(1.0 AS DOUBLE) / c1.c1)
+                        + CAST(0.3 AS DOUBLE)
+                          * (cu.cu * CAST(1.0 AS DOUBLE) / t.nn))
+                    * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              AS BIGINT) AS s
+  FROM c2 JOIN c1 ON c2.w1 = c1.w1 JOIN cu ON c2.w2 = cu.w
+  CROSS JOIN tot t
+),
+docsum AS (
+  SELECT p.doc_id, sum(s.s) AS tot_s, count(*) AS n_bigrams
+  FROM pos p JOIN sb s ON p.w1 = s.w1 AND p.w2 = s.w2
+  GROUP BY p.doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
+       CAST(floor(tot_s * CAST(1.0 AS DOUBLE) / n_bigrams
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS avg_surprisal_x1e6,
+       CASE WHEN tot_s * CAST(1.0 AS DOUBLE) / n_bigrams
+                 > CAST(9000000 AS DOUBLE)
+            THEN 'flag' ELSE 'keep' END AS lm_gate
+FROM docsum"""
+
+QUERIES["text_bigram_surprisal"] = _pair(
+    r"""WITH docs_w AS (
+  SELECT doc_id, split(trim(text), '[ \t\n]+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+),
+multi AS (SELECT * FROM docs_w WHERE size(ws) >= 2),
+pos AS (
+  SELECT doc_id, element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2
+  FROM multi LATERAL VIEW explode(sequence(1, size(ws) - 1)) t AS i
+)""" + _BIGRAM_TAIL,
+    r"""WITH docs_w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n]+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+),
+pos0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM docs_w),
+pos AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM pos0)"""
+    + _BIGRAM_TAIL,
+)
+
+
 # ---------------------------------------------------------------------------
 # Hybrid oracles: DuckDB SQL paired with a NON-SQL Spark side (the real
 # mapInPandas pipeline). These don't appear in QUERIES/names() — the Spark

@@ -71,3 +71,44 @@ def test_integer_division_is_engine_exact():
             [a, b]).fetchone()[0]
         py = math.floor(a / b + 0.5)
         assert duck == py, (a, b)
+
+
+MARGIN_BIGRAM = 1e-5  # observed worst 1.0e-4 at sf0.1; drift bound 4e-9
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_bigram_surprisal_boundary_margin(sf_dir):
+    """Same guard for the bigram-interpolated model: every distinct
+    interpolated probability's scaled surprisal must keep >= 1e-5 from
+    its floor(x+0.5) boundary — ~2,500x the cross-engine ln() drift.
+    (The bigram tuple space is larger than the vocabulary, so the
+    corpus-lottery margin is smaller than the unigram 1e-3 bar; the
+    drift headroom is what matters.)"""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    rows = con.execute(r"""
+WITH docs_w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n]+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+),
+pos0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM docs_w),
+pos AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM pos0),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM pos GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM pos GROUP BY w1),
+cu AS (SELECT w2 AS w, count(*) AS cu FROM pos GROUP BY w2),
+tot AS (SELECT count(*) AS nn FROM pos)
+SELECT DISTINCT c2.c2, c1.c1, cu.cu, t.nn
+FROM c2 JOIN c1 ON c2.w1 = c1.w1 JOIN cu ON c2.w2 = cu.w
+CROSS JOIN tot t""").fetchall()
+    assert rows
+    worst = 1.0
+    for c2, c1, cu, nn in rows:
+        p = 0.7 * (c2 / c1) + 0.3 * (cu / nn)
+        x = -math.log(p) * 1e6 + 0.5
+        worst = min(worst, abs(x - round(x)))
+    assert worst > MARGIN_BIGRAM, (
+        f"corpus {sf_dir}: a bigram tuple sits {worst:.2e} from its "
+        f"rounding boundary — within cross-engine ln() drift risk")
+    assert MARGIN_BIGRAM > 1000 * ULP_DRIFT
