@@ -323,6 +323,7 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/spark_graft_incr_{sf_name}_{os.getpid()}"
     _fs_delete(spark, out)
+    _fs_delete(spark, out + "_verdict")  # prior run's durable verdict
     # 2 buckets: still exercises the multi-bucket sink loop, but each
     # bucket is ~3 serial Spark jobs (write, read-back, lineage) and the
     # bucket loop dominates this row's wall at sf0.01
@@ -347,12 +348,18 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .cast("int").alias("in_corpus"),
                    F.when(F.col("clean_hash").isNull() & (F.col("rn") == 1),
                           1).otherwise(0).cast("int").alias("kept")))
-    # materialize executor-side (the verdict is O(batch) rows — never
-    # round-trip it through the driver), then drop the scratch corpus the
-    # verdicts were read from
-    result = verdict.localCheckpoint(eager=True)
+    # materialize the verdict DURABLY before dropping the scratch corpus
+    # it was derived from: localCheckpoint blocks are not fault-tolerant,
+    # so on a real cluster an executor loss after the delete would make a
+    # checkpointed verdict unrecomputable (and the verdict is O(batch)
+    # rows — never round-trip it through the driver). A parquet write +
+    # read-back is the fault-tolerant equivalent; the tiny verdict dir is
+    # reclaimed at the start of the next run.
+    vout = out + "_verdict"
+    verdict.write.mode("overwrite").parquet(vout)
     _fs_delete(spark, out)
-    return result
+    return spark.read.schema(
+        "doc_id bigint, in_corpus int, kept int").parquet(vout)
 
 
 def _text_encode_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,11 +436,12 @@ def _pipeline_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      oracles live outside relational.QUERIES (they have no other hard
 #      signal) plus anything new this round.
 #   2. The long-stable relational names fill the remaining window slots,
-#      ROTATED by (overflow x round-index) — the round index is the count
-#      of driver-written CORRECTNESS_r*.json files, so each round a
-#      different contiguous block of names sits outside the window and
-#      every name lands a driver row on a bounded cadence
-#      (ceil(len/overflow) rounds).
+#      ROTATED by (shown-slots x round-index) — the round index is the
+#      count of driver-written CORRECTNESS_r*.json files, so consecutive
+#      rounds show contiguous arcs of the rest-circle and every name
+#      lands a driver row within ceil(len(rest)/shown) consecutive
+#      rounds from ANY starting round (≤ the documented
+#      ceil(len(rest)/overflow) cadence).
 _DRIVER_WINDOW = 50
 
 _PRIORITY_QUERIES = [
@@ -505,8 +513,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pri = [n for n in _PRIORITY_QUERIES if n in out]
     rest = [n for n in out if n not in set(pri)]
     overflow = max(0, len(out) - _DRIVER_WINDOW)
-    if overflow and rest:
-        k = (overflow * _round_index()) % len(rest)
+    shown = _DRIVER_WINDOW - len(pri)  # rest slots inside the window
+    if overflow and rest and shown > 0:
+        # rotate by the SHOWN count, not the overflow: consecutive rounds
+        # then tile the rest-circle with contiguous arcs [shown*r,
+        # shown*(r+1)), so ANY ceil(len(rest)/shown) consecutive rounds
+        # cover every name regardless of starting offset. An overflow-step
+        # rotation only guarantees windows anchored at round 0 — when
+        # overflow doesn't divide len(rest) the excluded block wraps and
+        # a name can sit outside two consecutive arbitrary-offset windows
+        # (r6 advice; property-tested over all offsets in
+        # tests/test_entry_curation.py).
+        k = (shown * _round_index()) % len(rest)
         rest = rest[k:] + rest[:k]
     return {n: out[n] for n in pri + rest}
 

@@ -93,8 +93,20 @@ def _checkpointed(df: DataFrame):
     global _warned_no_handle
     ckpt = df.localCheckpoint(eager=True)
     try:
+        from py4j.protocol import Py4JError
+
+        expected = (AttributeError, Py4JError)
+    except ImportError:  # Spark Connect ships no py4j at all
+        expected = (AttributeError,)
+    try:
         jrdd = ckpt._jdf.queryExecution().analyzed().rdd()
-    except Exception as exc:
+    except expected as exc:
+        # ONLY the API-removal / internals-shape failure modes degrade to
+        # ContextCleaner-based freeing (AttributeError: _jdf or a plan
+        # method gone; Py4JError incl. Py4JJavaError: the JVM call shape
+        # changed). A transient runtime error must surface — the
+        # once-per-process warning would otherwise swallow every
+        # recurrence after the first.
         if not _warned_no_handle:
             _warned_no_handle = True
             import warnings

@@ -46,7 +46,11 @@ def encode_token_ids(docs: DataFrame, vocab_path: str | None = None,
     """(doc_id, text, ...) → (doc_id, ids array<int>, n_ids int) via the
     real greedy tokenizer. Zero-shuffle by default; input pruned to
     (doc_id, text); empty/whitespace-only texts are dropped (they pack
-    zero tokens), mirroring text_pack_manifest's filter.
+    zero tokens). NOTE: this drop uses full ASCII-whitespace semantics
+    (tab/newline-only docs are dropped, matching the serial reference
+    pack's str.strip()); text_pack_manifest's SQL filter is the
+    space-trim proxy — its geometry is a word-count proxy anyway, never
+    this module's.
 
     ``num_partitions``: at 100 TB the parquet scan yields plenty of
     splits and the encoder parallelizes for free — leave 0 (no shuffle).
@@ -81,8 +85,13 @@ def encode_token_ids(docs: DataFrame, vocab_path: str | None = None,
 
 
 def _pruned(docs: DataFrame) -> DataFrame:
+    # full ASCII-whitespace semantics, matching the serial reference
+    # pack's str.strip() drop (tests/test_packing.py): F.trim strips only
+    # ' ', so a tab/newline-only document would otherwise be kept here but
+    # dropped by the reference — a silent geometry divergence
     return (docs.select("doc_id", "text")
-            .filter(F.length(F.trim("text")) > 0))
+            .filter(F.length(
+                F.regexp_replace("text", r"[ \t\n\x0B\f\r]", "")) > 0))
 
 
 def _driver_vocab(vocab_path: str | None) -> str | None:

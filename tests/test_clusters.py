@@ -245,3 +245,27 @@ def test_checkpointed_handle_is_live_jrdd(spark):
     ckpt.count()  # the checkpointed lineage is readable while persisted
     handle.unpersist(False)
     assert rid not in persistent_ids()
+
+
+def test_checkpointed_transient_error_surfaces():
+    """The fallback in clusters._checkpointed is for API-removal shapes
+    (AttributeError / Py4JError) ONLY: a transient runtime failure while
+    reading the handle must propagate — the once-per-process warning
+    would otherwise swallow every recurrence after the first."""
+    import pytest
+
+    from fast_pdf_parser_spark.operators.clusters import _checkpointed
+
+    class _BoomJdf:
+        def queryExecution(self):
+            raise RuntimeError("transient JVM hiccup")
+
+    class _FakeCkpt:
+        _jdf = _BoomJdf()
+
+    class _FakeDf:
+        def localCheckpoint(self, eager=True):  # noqa: ARG002
+            return _FakeCkpt()
+
+    with pytest.raises(RuntimeError, match="transient JVM hiccup"):
+        _checkpointed(_FakeDf())

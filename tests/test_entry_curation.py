@@ -48,14 +48,22 @@ def test_rotation_covers_every_name_within_bounded_rounds(monkeypatch):
     if overflow <= 0:
         return  # everything always fits; nothing to prove
     cadence = math.ceil(rest / overflow)
-    covered = set()
+    # the driver experiences ARBITRARY starting offsets, and when
+    # rest % overflow != 0 the excluded block wraps — so prove coverage
+    # for every window of `cadence` consecutive rounds across a span
+    # where the wrap pattern fully cycles (lcm(rest, cadence) rounds is
+    # enough; rest*cadence is a cheap superset of it)
+    span = rest * cadence + cadence
     windows = []
-    for r in range(cadence):
+    for r in range(span):
         monkeypatch.setattr(em, "_round_index", lambda r=r: r)
         window = list(em.queries())[:em._DRIVER_WINDOW]
         windows.append(window)
-        covered.update(window)
-    assert covered == set(q0), sorted(set(q0) - covered)
+    for r0 in range(span - cadence + 1):
+        covered = set()
+        for w in windows[r0:r0 + cadence]:
+            covered.update(w)
+        assert covered == set(q0), (r0, sorted(set(q0) - covered))
     # priority names appear in EVERY round's window
     for w in windows:
         assert set(em._PRIORITY_QUERIES) <= set(w)
