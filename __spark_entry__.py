@@ -362,6 +362,58 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, in_corpus int, kept int").parquet(vout)
 
 
+def _text_pack_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed-sequence SINK end to end — the artifact a training run
+    opens: a deterministic synthetic encoding (ids = 1..n for the
+    whitespace word count, the text_pack_manifest proxy) pushed through
+    the REAL distributed pack (operators/packing.pack_token_ids: per-shard
+    prefix sums, bounded explode, per-sequence reassembly) and the REAL
+    shard-partitioned writer (write_packed_sequences), then per-shard
+    geometry + id checksums READ BACK from the written parquet. The
+    synthetic ids are SQL-derivable, so DuckDB re-derives every column —
+    n_seqs, doc slices, token totals, the all-full-but-last invariant
+    (full_seqs) and even ids_sum — from `documents` arithmetically; the
+    real-tokenizer pack stays pinned byte-exact by tests/test_packing.py
+    and rows-only text_encode_pack."""
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.operators.packing import (
+        write_packed_sequences,
+    )
+    from fast_pdf_parser_spark.plans.checkpoint import _fs_delete
+
+    _prepare(spark, sf_dir)
+    enc = spark.sql("""
+        SELECT doc_id,
+               transform(sequence(1, nwords), i -> CAST(i AS INT)) AS ids,
+               CAST(nwords AS INT) AS n_ids
+        FROM (SELECT doc_id,
+                     size(split(trim(text), '[ \\t\\n]+')) AS nwords
+              FROM documents WHERE length(trim(text)) > 0)""")
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/spark_graft_pack_{sf_name}_{os.getpid()}"
+    _fs_delete(spark, out)
+    back = write_packed_sequences(spark.table("documents"), out,
+                                  seq_len=128, seqs_per_shard=64,
+                                  shard_width=100, encoded=enc)
+    per_shard = (back.groupBy(F.col("shard").cast("long").alias("shard"))
+                 .agg(
+        F.count("*").cast("long").alias("n_seqs"),
+        F.sum("n_docs").cast("long").alias("doc_slices"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.aggregate("ids", F.lit(0).cast("long"),
+                          lambda a, x: a + x)).cast("long").alias("ids_sum"),
+        F.sum(F.when(F.col("n_tokens") == 128, 1).otherwise(0))
+        .cast("long").alias("full_seqs")))
+    # the per-shard relation is tiny (seqs/64 rows); materialize it, then
+    # drop the scratch shards — the returned DataFrame must not depend on
+    # files we just deleted (the warc_clean_write idiom)
+    result = spark.createDataFrame(per_shard.collect(),
+                                   schema=per_shard.schema)
+    _fs_delete(spark, out)
+    return result
+
+
 def _text_encode_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed training sequences with MATERIALIZED token ids — the
     artifact a training run consumes (text_pack_manifest oracle-checks
@@ -456,6 +508,8 @@ _PRIORITY_QUERIES = [
     "text_registrable_domain", "text_domain_cap_registrable",
     "text_encode_pack", "text_url_filter", "dedup_incremental",
     "text_bigram_surprisal",
+    # new in round 7
+    "text_pack_write",
     # hybrid/stateful rows: their DuckDB twins live in HYBRID_ORACLES (or
     # they are by-design rows-only) — the driver row is their only/primary
     # hard signal, so they never rotate
@@ -499,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_docling_chunks"] = _pipeline_docling
     out["pipeline_docling_meta_oracle"] = _pipeline_docling_meta
     out["text_encode_pack"] = _text_encode_pack
+    out["text_pack_write"] = _text_pack_write
     out["dedup_incremental"] = _dedup_incremental
     out["warc_extract"] = _warc_extract
     out["warc_clean_write"] = _warc_clean_write

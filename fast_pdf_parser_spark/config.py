@@ -77,3 +77,12 @@ class ParseOptions(_PartialUpdate):
     # direction) vs mapInPandas. Same fold, same output — benchmarked in
     # BENCH/ARROW_NATIVE_r5.json; False restores the pandas path.
     arrow_native: bool = True
+    # Giant-doc auto-routing threshold in span-text bytes (the Spark
+    # analogue of the reference's per-page/batch memory budget,
+    # fast_pdf_parser.h:15-18). 0 = off (every doc takes the zero-shuffle
+    # contiguous path). When > 0, extract_documents size-buckets the
+    # input with the cheap JVM-side span-bytes estimate and routes docs
+    # at/above the threshold through the one-shuffle split path, so one
+    # skewed document stops dictating executor memory shape for the
+    # whole corpus (BENCH/GIANT_DOC_r6.json brackets the two paths).
+    giant_doc_bytes: int = 0

@@ -142,31 +142,49 @@ def count_token_ids(docs: DataFrame, vocab_path: str | None = None,
 def pack_token_ids(docs: DataFrame, seq_len: int = SEQ_LEN,
                    shard_width: int = SHARD_WIDTH,
                    vocab_path: str | None = None,
-                   num_partitions: int = 0) -> DataFrame:
+                   num_partitions: int = 0,
+                   encoded: DataFrame | None = None) -> DataFrame:
     """Packed training sequences with materialized ids: one row per
     sequence — (seq_id, n_docs, n_tokens, ids array<int>). Every sequence
     except the last has exactly ``seq_len`` tokens; ids concatenate the
-    member documents' encodings in doc_id order."""
-    # one vocabulary for BOTH passes, resolved here on the driver — the
-    # count and encode passes must tokenize identically or every slice
-    # offset downstream is wrong
-    vocab_path = _driver_vocab(vocab_path)
-    enc = encode_token_ids(docs, vocab_path, num_partitions) \
-        .filter(F.col("n_ids") > 0)
+    member documents' encodings in doc_id order.
 
+    ``encoded``: optional pre-encoded relation (doc_id, ids array<int>,
+    n_ids int) to pack INSTEAD of running the real tokenizer — the pack
+    machinery is encoder-agnostic. Used by the driver's text_pack_write
+    oracle row, whose synthetic encoding (ids = 1..n for a whitespace
+    word count) both SQL engines can derive, making the whole
+    pack+sink+read-back chain value-checkable; cheap projections may be
+    evaluated in both the ids branch and the totals branch (only the
+    real encoder needs the separate counting pass below)."""
     shard = (F.col("doc_id") / shard_width).cast("long")
+    if encoded is None:
+        # one vocabulary for BOTH passes, resolved here on the driver —
+        # the count and encode passes must tokenize identically or every
+        # slice offset downstream is wrong
+        vocab_path = _driver_vocab(vocab_path)
+        enc = encode_token_ids(docs, vocab_path, num_partitions) \
+            .filter(F.col("n_ids") > 0)
+        # shard totals come from a separate ID-FREE counting pass:
+        # deriving them from `local` would put the encoder in TWO plan
+        # branches and run it twice over the whole corpus (2x the
+        # dominant compute at scale); counting is ~3x cheaper than
+        # encoding and count == len(encode) is fuzz-pinned, so the
+        # geometry is identical
+        totals_src = (count_token_ids(docs, vocab_path, num_partitions)
+                      .filter(F.col("n_ids") > 0))
+    else:
+        enc = (encoded.select("doc_id", "ids", "n_ids")
+               .filter(F.col("n_ids") > 0))
+        totals_src = (encoded.select("doc_id", "n_ids")
+                      .filter(F.col("n_ids") > 0))
+
     w_local = (Window.partitionBy("shard").orderBy("doc_id")
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = (enc.withColumn("shard", shard)
              .withColumn("local_end", F.sum("n_ids").over(w_local)))
 
-    # shard totals come from a separate ID-FREE counting pass: deriving
-    # them from `local` would put the encoder in TWO plan branches and run
-    # it twice over the whole corpus (2x the dominant compute at scale);
-    # counting is ~3x cheaper than encoding and count == len(encode) is
-    # fuzz-pinned, so the geometry is identical
-    shard_tot = (count_token_ids(docs, vocab_path, num_partitions)
-                 .filter(F.col("n_ids") > 0)
+    shard_tot = (totals_src
                  .withColumn("shard", shard)
                  .groupBy("shard").agg(
                      F.sum("n_ids").alias("shard_tokens")))
@@ -216,7 +234,8 @@ def write_packed_sequences(docs: DataFrame, out_dir: str,
                            seqs_per_shard: int = SEQS_PER_SHARD,
                            shard_width: int = SHARD_WIDTH,
                            vocab_path: str | None = None,
-                           num_partitions: int = 0) -> DataFrame:
+                           num_partitions: int = 0,
+                           encoded: DataFrame | None = None) -> DataFrame:
     """The last mile of the training-data path: pack_token_ids landed on
     disk as shard-partitioned parquet (``out/shard=K/``) — the artifact a
     data loader actually opens. Shards are contiguous seq_id ranges
@@ -230,7 +249,8 @@ def write_packed_sequences(docs: DataFrame, out_dir: str,
     (tests/test_packing.py::test_write_packed_sequences_roundtrip)."""
     packed = pack_token_ids(docs, seq_len, shard_width,
                             vocab_path=vocab_path,
-                            num_partitions=num_partitions)
+                            num_partitions=num_partitions,
+                            encoded=encoded)
     # sort key must start with the dynamic-partition column: otherwise
     # the writer inserts its own SortExec(shard) and within-shard seq_id
     # order would rest on unspecified sort stability

@@ -521,17 +521,51 @@ def repartition_for_skew(df: DataFrame, num_partitions: int) -> DataFrame:
     return df.repartition(num_partitions, F.xxhash64("doc_id"))
 
 
+def doc_bytes_estimate(spans_col: str = "spans"):
+    """Cheap JVM-side per-document size estimate: total span-text bytes
+    (media spans' NULL text counts 0). The routing analogue of the A2
+    token estimate (functions/tokenizer.estimate_tokens) and of the
+    reference's memory budget (fast_pdf_parser.h:15-18) — evaluated
+    entirely inside whole-stage codegen, no Python."""
+    return F.aggregate(
+        spans_col,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.coalesce(F.octet_length(s["text"]), F.lit(0)).cast("long"),
+    )
+
+
 def extract_documents(
     df: DataFrame,
     chunk_options: ChunkOptions = ChunkOptions(),
     parse_options: ParseOptions = ParseOptions(),
     vocab_path: str | None = None,
+    split_df: DataFrame | None = None,
 ) -> DataFrame:
     """documents(doc_id, spans) → output span rows (OUTPUT_DDL).
 
     The flagship operator: the Spark re-expression of
     HierarchicalChunker::chunk_file (src/hierarchical_chunker.cpp:552-634)
     over every document at once.
+
+    Skew-tail routing (``parse_options.giant_doc_bytes > 0``): the input
+    is size-bucketed with :func:`doc_bytes_estimate` and documents at or
+    above the threshold take the one-shuffle split path
+    (:func:`extract_documents_split`) instead of the zero-shuffle
+    contiguous path; results union back into one DataFrame. The bulk
+    keeps the plan you want at 100 TB (no Exchange, pruned scan, one
+    Arrow-batched fold) while a skewed giant stops dictating executor
+    memory shape. The source is scanned once per bucket (twice total) —
+    scan is the cheap term next to parse, and the single-scan alternative
+    would shuffle the whole corpus. Plan shape is pinned by
+    tests/test_plans.py.
+
+    ``split_df``: an optional PRE-SPLIT store (doc_id, pos, span) authored
+    at ingest with :func:`split_spans_table` — the storage layout for docs
+    too large to ever materialize as one row (BENCH/GIANT_DOC_r6.json:
+    512 MB/1 GB docs at 1 g heap). It is routed through the split path
+    with ``pre_split=True`` and unioned in, making this the ONE entry
+    point over a corpus stored as contiguous-bulk + pre-split-tail.
     """
     chunk_options.validate()
     spark = df.sparkSession
@@ -539,8 +573,46 @@ def extract_documents(
         "spark.sql.execution.arrow.maxRecordsPerBatch",
         str(parse_options.arrow_max_records_per_batch),
     )
+    if vocab_path is None:
+        # resolve the vocab ONCE, on the driver, and thread the explicit
+        # path into the UDF closure: per-worker discovery (env var / data
+        # dir) can resolve differently on executors than on the driver,
+        # silently mixing two tokenizations within one job. An explicit
+        # path an executor cannot read fails loudly instead.
+        from fast_pdf_parser_spark.functions.tokenizer import find_real_vocab
 
-    pruned = df.select("doc_id", "spans")
+        vocab_path = find_real_vocab()
+
+    base = df.select("doc_id", "spans")
+    parts: list[DataFrame] = []
+    if parse_options.giant_doc_bytes > 0:
+        est = doc_bytes_estimate()
+        parts.append(_extract_contiguous(
+            base.filter(est < parse_options.giant_doc_bytes),
+            chunk_options, parse_options, vocab_path))
+        parts.append(extract_documents_split(
+            base.filter(est >= parse_options.giant_doc_bytes),
+            chunk_options, parse_options, vocab_path))
+    else:
+        parts.append(_extract_contiguous(
+            base, chunk_options, parse_options, vocab_path))
+    if split_df is not None:
+        parts.append(extract_documents_split(
+            split_df, chunk_options, parse_options, vocab_path,
+            pre_split=True))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _extract_contiguous(
+    pruned: DataFrame,
+    chunk_options: ChunkOptions,
+    parse_options: ParseOptions,
+    vocab_path: str | None,
+) -> DataFrame:
+    """The zero-shuffle one-row-per-document fold (the default plan)."""
     if chunk_options.page_limit > 0:
         # true limit pushdown below the parse UDF (SURVEY.md §4): keep only
         # the first N spans per document before any decoding happens.
@@ -555,16 +627,6 @@ def extract_documents(
         )
     if parse_options.num_partitions > 0:
         pruned = repartition_for_skew(pruned, parse_options.num_partitions)
-
-    if vocab_path is None:
-        # resolve the vocab ONCE, on the driver, and thread the explicit
-        # path into the UDF closure: per-worker discovery (env var / data
-        # dir) can resolve differently on executors than on the driver,
-        # silently mixing two tokenizations within one job. An explicit
-        # path an executor cannot read fails loudly instead.
-        from fast_pdf_parser_spark.functions.tokenizer import find_real_vocab
-
-        vocab_path = find_real_vocab()
 
     if parse_options.arrow_native:
         return pruned.mapInArrow(

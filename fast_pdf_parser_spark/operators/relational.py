@@ -2074,6 +2074,45 @@ FROM documents""",
     # per-split counts + byte totals READ BACK from disk; the oracle
     # re-derives the same totals from `documents` directly
     "warc_clean_write": _warc_clean_oracle_duck(),
+    # packed-sequence sink (__spark_entry__._text_pack_write): the Spark
+    # side packs a synthetic encoding (ids = 1..n for the whitespace word
+    # count) through the real distributed pack + shard-partitioned writer
+    # and aggregates per-shard geometry from the READ-BACK parquet; the
+    # oracle re-derives the whole concat-then-split arithmetic — a single
+    # global prefix sum is equivalent to the pack's shard-decomposed one
+    # because shard order == doc_id order. seq_len=128, seqs_per_shard=64.
+    "text_pack_write": """WITH toks AS (
+  SELECT doc_id,
+         CAST(length(regexp_split_to_array(trim(text), '[ \t\n]+'))
+              AS BIGINT) AS n
+  FROM documents WHERE length(trim(text)) > 0
+),
+ordered AS (
+  SELECT doc_id, n,
+         sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) - n AS start
+  FROM toks
+),
+expl AS (
+  SELECT doc_id, start, unnest(range(0, n)) AS i FROM ordered
+),
+pos AS (
+  SELECT doc_id, (start + i) // 128 AS seq_id, i + 1 AS id_val FROM expl
+),
+per_seq AS (
+  SELECT seq_id, count(*) AS n_tok,
+         count(DISTINCT doc_id) AS n_docs,
+         sum(id_val) AS seq_ids_sum
+  FROM pos GROUP BY seq_id
+)
+SELECT CAST(seq_id // 64 AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(n_docs) AS BIGINT) AS doc_slices,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(seq_ids_sum) AS BIGINT) AS ids_sum,
+       CAST(sum(CASE WHEN n_tok = 128 THEN 1 ELSE 0 END) AS BIGINT)
+         AS full_seqs
+FROM per_seq GROUP BY seq_id // 64""",
     "pipeline_html_meta_oracle": _html_meta_oracle_duck(),
     # content-level HTML twin: extraction inverts the wrap exactly, so the
     # extracted markdown per page equals the page's non-blank lines in

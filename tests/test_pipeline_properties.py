@@ -175,3 +175,42 @@ def test_split_path_byte_identical(spark):
                    extract_documents_split(pre, opts, popts,
                                            pre_split=True).collect())
         assert a == c
+
+
+def test_routed_extraction_byte_identical(spark):
+    """ONE entry point, three physical routes: with giant_doc_bytes set,
+    extract_documents size-buckets docs between the contiguous and split
+    paths (threshold chosen so BOTH buckets are non-empty) and optionally
+    unions a pre-split store — and the merged output must be
+    byte-identical, every column, to the unrouted run over the same
+    corpus."""
+    from fast_pdf_parser_spark.config import ChunkOptions, ParseOptions
+    from fast_pdf_parser_spark.operators.pipeline import (
+        doc_bytes_estimate,
+        extract_documents,
+        split_spans_table,
+    )
+    from fast_pdf_parser_spark.sources.synth import SPANS_DDL, iter_docs
+
+    docs = list(iter_docs(24, seed=21, include_pdf=True, include_html=True))
+    df = spark.createDataFrame(pd.DataFrame(docs), schema=SPANS_DDL)
+    opts = ChunkOptions()
+    # median span-bytes threshold: both buckets genuinely populated
+    sizes = sorted(r[0] for r in df.select(doc_bytes_estimate()).collect())
+    thr = sizes[len(sizes) // 2]
+    n_tail = sum(1 for s in sizes if s >= thr)
+    assert 0 < n_tail < len(sizes)
+
+    want = sorted(tuple(r) for r in extract_documents(df, opts).collect())
+    routed = extract_documents(
+        df, opts, ParseOptions(giant_doc_bytes=thr))
+    assert sorted(tuple(r) for r in routed.collect()) == want
+
+    # the pre-split store rides the SAME call: route a corpus whose tail
+    # half lives pre-split and whose bulk half is contiguous
+    est = doc_bytes_estimate()
+    bulk_df = df.filter(est < thr)
+    pre = split_spans_table(df.filter(est >= thr))
+    merged = extract_documents(
+        bulk_df, opts, ParseOptions(giant_doc_bytes=thr), split_df=pre)
+    assert sorted(tuple(r) for r in merged.collect()) == want

@@ -211,3 +211,22 @@ def test_cap_operators_single_partition_free_no_join(spark):
         assert "Exchange SinglePartition" not in plan, name
         assert "Join" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_routed_extraction_plan_shape(spark, wide_corpus):
+    """Auto-routed skew tail (ParseOptions.giant_doc_bytes): the union
+    plan carries EXACTLY ONE Exchange — the split-path repartition of the
+    giant bucket's span rows — while the bulk side stays the zero-shuffle
+    pruned-scan fold. Both branches' scans stay pruned to (doc_id, spans)."""
+    from fast_pdf_parser_spark.config import ParseOptions
+    from fast_pdf_parser_spark.operators.pipeline import extract_documents
+
+    plan = physical(extract_documents(
+        wide_corpus, parse_options=ParseOptions(giant_doc_bytes=2048)))
+    assert "Union" in plan
+    assert plan.count("Exchange") == 1, plan
+    # the one Exchange is the tail's doc_id hash repartition, not a
+    # corpus-wide single partition
+    assert "SinglePartition" not in plan
+    for read_schema in plan.split("ReadSchema:")[1:]:
+        assert "extra" not in read_schema[:200]

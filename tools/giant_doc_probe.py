@@ -152,6 +152,15 @@ def main() -> None:
     # byte-identity to the default path is pinned by
     # tests/test_pipeline_properties.py
     use_split = os.environ.get("SPARK_GRAFT_GIANT_SPLIT", "0") == "1"
+    # SPARK_GRAFT_GIANT_ROUTED=1: the r7 ONE-entry-point form — a mixed
+    # corpus (SPARK_GRAFT_GIANT_NDOCS normal contiguous docs + the giant
+    # doc living in the pre-split store) through a single
+    # extract_documents call with giant_doc_bytes routing active and the
+    # pre-split store passed as split_df. Proves the composed API holds
+    # the split path's heap floor while the bulk keeps the zero-shuffle
+    # plan.
+    use_routed = os.environ.get("SPARK_GRAFT_GIANT_ROUTED", "0") == "1"
+    n_normal = int(os.environ.get("SPARK_GRAFT_GIANT_NDOCS", "4000"))
 
     from pyspark.sql import functions as F
 
@@ -173,9 +182,18 @@ def main() -> None:
     # ingest cost paid on a node sized for it, never per pipeline run
     path = f"/tmp/spark_graft_giant_{giant_mb}mb"
     split_path = path + "_presplit"
+    normal_path = f"/tmp/spark_graft_giant_normal_{n_normal}d"
     need_base = not os.path.exists(os.path.join(path, "_SUCCESS"))
-    need_split = use_split and not os.path.exists(
+    need_split = (use_split or use_routed) and not os.path.exists(
         os.path.join(split_path, "_SUCCESS"))
+    need_normal = use_routed and not os.path.exists(
+        os.path.join(normal_path, "_SUCCESS"))
+    if need_normal:
+        from fast_pdf_parser_spark.sources.synth import write_corpus
+
+        spark = _session("4g")
+        write_corpus(spark, normal_path, n_normal, num_partitions=8)
+        spark.stop()
     if need_base or need_split:
         spark = _session("48g")
         if need_base:
@@ -214,7 +232,22 @@ def main() -> None:
     # ---- measured session at the driver memory under test
     spark = _session(os.environ.get("SPARK_GRAFT_GIANT_MEM", "48g"))
     ship_package(spark)
-    if use_split:
+    if use_routed:
+        bulk = spark.read.parquet(normal_path)
+        pre = spark.read.parquet(split_path)
+
+        def extract_fn(df, parse_options):
+            # ONE call: size-estimate routing on the contiguous bulk
+            # (all under threshold → zero-shuffle path) + the pre-split
+            # giant store through the bounded-row split path
+            return extract_documents(
+                df,
+                parse_options=parse_options.updated(
+                    giant_doc_bytes=64 << 20),
+                split_df=pre)
+
+        spans = bulk
+    elif use_split:
         spans = spark.read.parquet(split_path)
 
         def extract_fn(df, parse_options):
@@ -256,7 +289,9 @@ def main() -> None:
         "flush_chars_mb": _FLUSH_CHARS >> 20,
         "cpus": 2,
         "driver_mem": os.environ.get("SPARK_GRAFT_GIANT_MEM", "48g"),
-        "path": "split" if use_split else "contiguous",
+        "normal_docs": n_normal if use_routed else 0,
+        "path": ("routed" if use_routed else
+                 "split" if use_split else "contiguous"),
     }
     spark.stop()
     line = json.dumps(result)
