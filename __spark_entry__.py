@@ -362,6 +362,58 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, in_corpus int, kept int").parquet(vout)
 
 
+def _dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-incremental NEAR-dup — the near-duplicate twin of
+    dedup_incremental (which is exact-hash only): today's batch (odd ids
+    + one-word-mutated clones of even ids, negative ids) is checked for
+    NEAR duplicates of the materialized corpus. The corpus is the even
+    half pushed through the REAL bucketed sink and READ BACK; MinHash
+    band signatures (16 seeds, 4x4 bands — the dedup_lsh_pairs family)
+    are derived on read, candidates come from a banded equi-join with
+    the corpus-side mega-bucket cap, and word-set jaccard verifies each
+    candidate (threshold relational.NEAR_INCR_THRESHOLD_X1E4). This is
+    the batch form of the streaming band-claim store
+    (streaming/ingest.py:269-328). DuckDB re-derives corpus, bands and
+    verdicts from `documents` directly, so the whole sink-roundtrip +
+    band + verify chain is value-checked."""
+    from fast_pdf_parser_spark.operators.relational import (
+        _HASH60_SPARK,
+        near_incremental_spark_sql,
+    )
+    from fast_pdf_parser_spark.plans.checkpoint import (
+        _fs_delete,
+        write_docs_bucketed,
+    )
+
+    _prepare(spark, sf_dir)
+    h = _HASH60_SPARK.format(x="text")
+    prev = spark.sql(f"""
+        SELECT doc_id, source, 'train' AS split,
+               {h} AS clean_hash, text AS clean_text
+        FROM (SELECT *, row_number() OVER (PARTITION BY {h}
+                                           ORDER BY doc_id ASC) AS rn
+              FROM documents WHERE doc_id % 2 = 0)
+        WHERE rn = 1""")
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/spark_graft_incrnear_{sf_name}_{os.getpid()}"
+    _fs_delete(spark, out)
+    _fs_delete(spark, out + "_verdict")
+    corpus = write_docs_bucketed(spark, prev, out, run_id="prev",
+                                 num_buckets=2)
+    corpus.createOrReplaceTempView("incr_near_corpus")
+    verdict = spark.sql(near_incremental_spark_sql("incr_near_corpus"))
+    # durable materialization before the scratch delete (the
+    # dedup_incremental pattern: localCheckpoint would not survive an
+    # executor loss once the corpus files are gone)
+    vout = out + "_verdict"
+    verdict.write.mode("overwrite").parquet(vout)
+    _fs_delete(spark, out)
+    return spark.read.schema(
+        "doc_id bigint, near_in_corpus int, best_jaccard_x1e4 bigint"
+    ).parquet(vout)
+
+
 def _text_pack_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The packed-sequence SINK end to end — the artifact a training run
     opens: a deterministic synthetic encoding (ids = 1..n for the
@@ -509,7 +561,7 @@ _PRIORITY_QUERIES = [
     "text_encode_pack", "text_url_filter", "dedup_incremental",
     "text_bigram_surprisal",
     # new in round 7
-    "text_pack_write",
+    "text_pack_write", "dedup_incremental_near",
     # hybrid/stateful rows: their DuckDB twins live in HYBRID_ORACLES (or
     # they are by-design rows-only) — the driver row is their only/primary
     # hard signal, so they never rotate
@@ -554,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_docling_meta_oracle"] = _pipeline_docling_meta
     out["text_encode_pack"] = _text_encode_pack
     out["text_pack_write"] = _text_pack_write
+    out["dedup_incremental_near"] = _dedup_incremental_near
     out["dedup_incremental"] = _dedup_incremental
     out["warc_extract"] = _warc_extract
     out["warc_clean_write"] = _warc_clean_write

@@ -469,6 +469,176 @@ _LSH_DUCK = (
 QUERIES["dedup_lsh_pairs"] = _pair(_LSH_SPARK, _LSH_DUCK)
 
 
+# ---- batch-incremental NEAR-dup (the daily-crawl twin of the streaming
+# band-claim store, streaming/ingest.py:269-328): an incoming batch is
+# checked for NEAR duplicates of the MATERIALIZED corpus — corpus band
+# signatures derived on read (or stored in the sink at write time), a
+# banded equi-join generates candidates, word-set jaccard verifies them.
+# Scale shape: both signature passes are linear (explode words x 16
+# seeds, group), the candidate join is an equi-join on (band, band_key)
+# with the corpus-side mega-bucket cap bounding any bucket fanout, and
+# the verify join touches only candidate pairs. Nothing is all-pairs.
+NEAR_INCR_THRESHOLD_X1E4 = 9000
+_NEAR_BUCKET_CAP = 100
+
+_BAND_KEY_SPARK = _HASH60_SPARK.format(
+    x="array_join(array_sort(collect_list("
+      "concat(CAST(seed AS STRING), '=', CAST(minhash AS STRING)))), ',')")
+_BAND_KEY_DUCK = _HASH60_DUCK.format(
+    x="array_to_string(list_sort(list("
+      "concat(CAST(seed AS VARCHAR), '=', CAST(minhash AS VARCHAR)))), ',')")
+
+
+def _minhash_band_ctes_spark(tbl: str) -> str:
+    """CTE chain {tbl}_w/{tbl}_sig/{tbl}_band over any (doc_id, text)
+    relation — the _MINHASH_SPARK pipeline parameterized by table."""
+    h = _HASH60_SPARK.format(
+        x="concat(CAST(seed AS STRING), ':', word)")
+    return f"""{tbl}_w AS (
+  SELECT DISTINCT doc_id, word
+  FROM {tbl} LATERAL VIEW explode(split(text, ' ')) t AS word
+),
+{tbl}_sig AS (
+  SELECT doc_id, seed, min({h}) AS minhash
+  FROM {tbl}_w LATERAL VIEW explode(sequence(0, 15)) s AS seed
+  GROUP BY doc_id, seed
+),
+{tbl}_band AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+         {_BAND_KEY_SPARK} AS band_key
+  FROM {tbl}_sig
+  GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+)"""
+
+
+def _minhash_band_ctes_duck(tbl: str) -> str:
+    h = _HASH60_DUCK.format(
+        x="concat(CAST(seed AS VARCHAR), ':', word)")
+    return f"""{tbl}_w AS (
+  SELECT DISTINCT doc_id, unnest(split(text, ' ')) AS word FROM {tbl}
+),
+{tbl}_sig AS (
+  SELECT doc_id, seed, min({h}) AS minhash
+  FROM {tbl}_w, unnest(range(0, 16)) AS t(seed)
+  GROUP BY doc_id, seed
+),
+{tbl}_band AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+         {_BAND_KEY_DUCK} AS band_key
+  FROM {tbl}_sig
+  GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+)"""
+
+
+# incoming batch: the odd half of documents plus near-dup clones of the
+# even (corpus) half — one appended word, so word-set jaccard with the
+# original is n/(n+1) (above threshold for any doc with >9 distinct
+# words). Clones carry NEGATIVE ids (never collide with real ids).
+_NEAR_BATCH_CTE = """batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT -(doc_id + 1) AS doc_id, concat(text, ' znearq') AS text
+  FROM documents WHERE doc_id % 4 = 0
+)"""
+
+# verdict tail: corpus-side bucket cap (<= cap; size-1 buckets are valid
+# here — this is a batch->corpus join, not a self-join), banded candidate
+# join, word-set jaccard verify, per-batch-doc verdict. {cmember} differs
+# per dialect (window vs HAVING+join — same reason as dedup_lsh_pairs);
+# {inter}/{uni} are the set-function spellings.
+_NEAR_TAIL = """cand AS (
+  SELECT DISTINCT b.doc_id AS bdoc, c.doc_id AS cdoc
+  FROM batch_band b JOIN cmember c
+    ON b.band = c.band AND b.band_key = c.band_key
+),
+bws AS (SELECT doc_id, {distinct_words} AS ws FROM batch),
+cws AS (SELECT doc_id, {distinct_words} AS ws FROM corpus),
+verified AS (
+  SELECT cand.bdoc,
+         max(CAST(floor({inter} * CAST(10000.0 AS DOUBLE) / {uni} + 0.5)
+             AS BIGINT)) AS best_j
+  FROM cand JOIN bws a ON cand.bdoc = a.doc_id
+            JOIN cws c ON cand.cdoc = c.doc_id
+  GROUP BY cand.bdoc
+)
+SELECT b.doc_id,
+       CAST(CASE WHEN coalesce(v.best_j, 0) >= {thr} THEN 1 ELSE 0 END
+            AS INT) AS near_in_corpus,
+       CAST(coalesce(v.best_j, 0) AS BIGINT) AS best_jaccard_x1e4
+FROM batch b LEFT JOIN verified v ON b.doc_id = v.bdoc"""
+
+_NEAR_TAIL_SPARK = (
+    """cmember AS (
+  SELECT doc_id, band, band_key FROM (
+    SELECT doc_id, band, band_key,
+           count(*) OVER (PARTITION BY band, band_key) AS bsize
+    FROM corpus_band) t
+  WHERE bsize <= {cap}
+),
+""".format(cap=_NEAR_BUCKET_CAP)
+    + _NEAR_TAIL.format(
+        distinct_words="array_distinct(split(text, ' '))",
+        inter="size(array_intersect(a.ws, c.ws))",
+        uni="size(array_union(a.ws, c.ws))",
+        thr=NEAR_INCR_THRESHOLD_X1E4,
+    )
+)
+
+_NEAR_TAIL_DUCK = (
+    """cbuckets AS (
+  SELECT band, band_key FROM corpus_band
+  GROUP BY band, band_key HAVING count(*) <= {cap}
+),
+cmember AS (
+  SELECT cb.doc_id, cb.band, cb.band_key
+  FROM corpus_band cb JOIN cbuckets s
+    ON cb.band = s.band AND cb.band_key = s.band_key
+),
+""".format(cap=_NEAR_BUCKET_CAP)
+    + _NEAR_TAIL.format(
+        distinct_words="list_distinct(split(text, ' '))",
+        inter="length(list_intersect(a.ws, c.ws))",
+        uni="length(list_distinct(list_concat(a.ws, c.ws)))",
+        thr=NEAR_INCR_THRESHOLD_X1E4,
+    )
+)
+
+
+def near_incremental_spark_sql(corpus_view: str) -> str:
+    """Spark side of dedup_incremental_near: ``corpus_view`` is the
+    READ-BACK materialized corpus (doc_id, clean_text, ...) from
+    write_docs_bucketed — band signatures are derived on read."""
+    return (
+        "WITH " + _NEAR_BATCH_CTE + ",\n"
+        + f"corpus AS (SELECT doc_id, clean_text AS text "
+          f"FROM {corpus_view}),\n"
+        + _minhash_band_ctes_spark("batch") + ",\n"
+        + _minhash_band_ctes_spark("corpus") + ",\n"
+        + _NEAR_TAIL_SPARK
+    )
+
+
+def _near_incremental_duck_sql() -> str:
+    """DuckDB twin: re-derives the corpus (first occurrence per 60-bit
+    hash among even ids — exactly what the Spark side wrote through the
+    sink) and every band/jaccard verdict straight from `documents`."""
+    h = _HASH60_DUCK.format(x="text")
+    corpus = f"""corpus AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY {h} ORDER BY doc_id ASC) AS rn
+    FROM documents WHERE doc_id % 2 = 0) t
+  WHERE rn = 1
+)"""
+    return (
+        "WITH " + _NEAR_BATCH_CTE + ",\n"
+        + corpus + ",\n"
+        + _minhash_band_ctes_duck("batch") + ",\n"
+        + _minhash_band_ctes_duck("corpus") + ",\n"
+        + _NEAR_TAIL_DUCK
+    )
+
+
 def dedup_lsh_pairs_df(spark):
     """Faster Spark path for dedup_lsh_pairs — identical output.
 
@@ -1772,6 +1942,78 @@ pos AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM pos0)"""
 )
 
 
+# Fit/transform split (r6 verdict #8) — the published CCNet usage: the LM
+# is fit on a HELD-OUT reference corpus (here doc_id % 10 = 0) and scores
+# the REST, so the model relations are genuinely broadcast-small (a fixed
+# reference slice, not the scored corpus) and scored documents can contain
+# words/bigrams the model never saw. OOV handling makes the probability
+# total and strictly positive: p = 0.7*p(w2|w1) + 0.3*p_u(w2), with
+# p(w2|w1) = c2/c1 when w1 is in the model (0 for unseen bigrams, 0 when
+# w1 itself is unseen) and add-one-smoothed p_u(w2) = (cu+1)/(nn+V+1)
+# (>0 even for unseen w2). Same 1e6 fixed-point-before-sum discipline;
+# the boundary-margin guard scans every distinct (c2,c1,cu) tuple of THIS
+# model too (tests/test_oracle_stability.py). Scale shape: fit = two
+# count aggregates over a 10% slice; score = three broadcast equi-joins
+# against the small model relations + one per-doc sum. The tail is
+# dialect-portable (shared string), like _BIGRAM_TAIL.
+_BIGRAM_HELDOUT_TAIL = """,
+fit AS (SELECT w1, w2 FROM pos WHERE doc_id % 10 = 0),
+score AS (SELECT doc_id, w1, w2 FROM pos WHERE doc_id % 10 <> 0),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM fit GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM fit GROUP BY w1),
+cu AS (SELECT w2 AS w, count(*) AS cu FROM fit GROUP BY w2),
+tot AS (SELECT count(*) AS nn FROM fit),
+voc AS (SELECT count(*) AS v FROM cu),
+sp AS (
+  SELECT s.doc_id,
+         CAST(floor(-ln(
+               CAST(0.7 AS DOUBLE)
+                 * (CASE WHEN c1.c1 IS NULL THEN CAST(0.0 AS DOUBLE)
+                    ELSE coalesce(c2.c2, 0) * CAST(1.0 AS DOUBLE) / c1.c1
+                    END)
+             + CAST(0.3 AS DOUBLE)
+                 * ((coalesce(cu.cu, 0) + 1) * CAST(1.0 AS DOUBLE)
+                    / (t.nn + v.v + 1)))
+               * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              AS BIGINT) AS s
+  FROM score s
+  LEFT JOIN c1 ON s.w1 = c1.w1
+  LEFT JOIN c2 ON s.w1 = c2.w1 AND s.w2 = c2.w2
+  LEFT JOIN cu ON s.w2 = cu.w
+  CROSS JOIN tot t CROSS JOIN voc v
+),
+docsum AS (
+  SELECT doc_id, sum(s) AS tot_s, count(*) AS n_bigrams
+  FROM sp GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
+       CAST(floor(tot_s * CAST(1.0 AS DOUBLE) / n_bigrams
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS avg_surprisal_x1e6,
+       CASE WHEN tot_s * CAST(1.0 AS DOUBLE) / n_bigrams
+                 > CAST(9000000 AS DOUBLE)
+            THEN 'flag' ELSE 'keep' END AS lm_gate
+FROM docsum"""
+
+QUERIES["text_bigram_heldout"] = _pair(
+    r"""WITH docs_w AS (
+  SELECT doc_id, split(trim(text), '[ \t\n]+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+),
+multi AS (SELECT * FROM docs_w WHERE size(ws) >= 2),
+pos AS (
+  SELECT doc_id, element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2
+  FROM multi LATERAL VIEW explode(sequence(1, size(ws) - 1)) t AS i
+)""" + _BIGRAM_HELDOUT_TAIL,
+    r"""WITH docs_w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n]+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+),
+pos0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM docs_w),
+pos AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM pos0)"""
+    + _BIGRAM_HELDOUT_TAIL,
+)
+
+
 # ---------------------------------------------------------------------------
 # Hybrid oracles: DuckDB SQL paired with a NON-SQL Spark side (the real
 # mapInPandas pipeline). These don't appear in QUERIES/names() — the Spark
@@ -2074,6 +2316,12 @@ FROM documents""",
     # per-split counts + byte totals READ BACK from disk; the oracle
     # re-derives the same totals from `documents` directly
     "warc_clean_write": _warc_clean_oracle_duck(),
+    # batch-incremental NEAR-dup (__spark_entry__._dedup_incremental_near):
+    # the Spark side derives band signatures from the corpus READ BACK
+    # from the real bucketed sink; the oracle re-derives corpus, bands and
+    # every jaccard verdict from `documents` — a value mismatch would
+    # expose sink corruption, band drift, or jaccard divergence
+    "dedup_incremental_near": _near_incremental_duck_sql(),
     # packed-sequence sink (__spark_entry__._text_pack_write): the Spark
     # side packs a synthetic encoding (ids = 1..n for the whitespace word
     # count) through the real distributed pack + shard-partitioned writer
@@ -2556,6 +2804,64 @@ FROM ranked WHERE rank <= 10"""
 QUERIES["ann_int8_topk"] = _pair(_INT8_ANN_SPARK, _INT8_ANN_DUCK)
 
 
+# int8 through the BUCKETED path (r6 verdict #6): the grid-IVF probe
+# structure (cell keys + multi-probe + equi-join + exact-cosine verify)
+# running entirely over dequantized-int8 vectors — cells AND scores both
+# come from the quantized data, so this is the plan an int8-only corpus
+# at 1e9 vectors actually executes: 4x less scan bandwidth per probed
+# cell, no float copy of the corpus anywhere. Recall cost vs the float
+# exact baseline is the 'ivf_int8' tier in ann_recall_report.
+_IVF_INT8_CELL_SPARK = _band_key_sql(
+    _GRID_BAND, "element_at(e, {i})", _GRID_BITS)
+_IVF_INT8_CELL_DUCK = _band_key_sql(_GRID_BAND, "e[{i}]", _GRID_BITS)
+
+_IVF_INT8_SPARK = f"""WITH {_int8_iv_cte('transform', _EQ_SPARK)},
+c AS (
+  SELECT vec_id, e, {_IVF_INT8_CELL_SPARK} AS cell
+  FROM iv WHERE vec_id >= 5
+),
+q AS (
+  SELECT vec_id AS query_id, e, {_IVF_INT8_CELL_SPARK} AS cell0
+  FROM iv WHERE vec_id < 5
+),
+probes AS (
+  SELECT query_id, e, probe AS cell
+  FROM q LATERAL VIEW explode(array({_grid_probe_list()})) t AS probe
+),
+scored AS (
+  SELECT a.query_id, b.vec_id, {_COS_SPARK} AS cos
+  FROM probes a JOIN c b ON b.cell = a.cell
+),
+{_GRID_RANKED_TAIL}"""
+
+_IVF_INT8_DUCK = f"""WITH {_int8_iv_cte('list_transform', _EQ_DUCK)},
+c AS (
+  SELECT vec_id, e, {_IVF_INT8_CELL_DUCK} AS cell
+  FROM iv WHERE vec_id >= 5
+),
+q AS (
+  SELECT vec_id AS query_id, e, {_IVF_INT8_CELL_DUCK} AS cell0
+  FROM iv WHERE vec_id < 5
+),
+probes AS (
+  SELECT query_id, e, unnest([{_grid_probe_list()}]) AS cell FROM q
+),
+raw AS (
+  SELECT a.query_id, b.vec_id, unnest(list_zip(a.e, b.e)) AS z
+  FROM probes a JOIN c b ON b.cell = a.cell
+),
+scored AS (
+  SELECT query_id, vec_id,
+         round(sum(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)) /
+               (sqrt(sum(CAST(z[1] AS DOUBLE) * CAST(z[1] AS DOUBLE))) *
+                sqrt(sum(CAST(z[2] AS DOUBLE) * CAST(z[2] AS DOUBLE)))), 6) AS cos
+  FROM raw GROUP BY query_id, vec_id
+),
+{_GRID_RANKED_TAIL}"""
+
+QUERIES["ann_ivf_int8"] = _pair(_IVF_INT8_SPARK, _IVF_INT8_DUCK)
+
+
 # Recall report for the approximate ANN tiers against the exact brute-force
 # baseline — deterministic tiers (banded LSH, hyperplane grid), so the
 # recall itself is a pure function of the data and DuckDB can re-derive it.
@@ -2575,10 +2881,15 @@ QUERIES["ann_int8_topk"] = _pair(_INT8_ANN_SPARK, _INT8_ANN_DUCK)
 # neighbors at rank 1 (tests/test_similarity.py pins this with a planted
 # corpus). That contrast is the point of the report: bucketed ANN is a
 # scale path for clustered data, not a substitute ranking on noise.
-def _recall_sql(exact: str, lsh: str, grid: str, int8: str) -> str:
+def _recall_sql(exact: str, lsh: str, grid: str, int8: str,
+                ivf_int8: str) -> str:
     """The 'int8' tier (added r6) measures the quantization recall cost:
     int8 top-10 vs the FLOAT exact baseline — the number that tells you
-    whether the 4x-smaller vectors changed the answers."""
+    whether the 4x-smaller vectors changed the answers. The 'ivf_int8'
+    tier (r7) composes quantization INTO the bucketed scale path: grid
+    cells and cosines both computed from dequantized-int8 vectors, scored
+    against the float exact baseline — quantization error + probe miss in
+    one number."""
     return f"""WITH exact AS (
 {exact}
 ),
@@ -2590,6 +2901,9 @@ grid AS (
 ),
 int8 AS (
 {int8}
+),
+ivf_int8 AS (
+{ivf_int8}
 ),
 per AS (
   SELECT 'lsh' AS tier, e.query_id, CAST(3 AS INT) AS k,
@@ -2612,6 +2926,13 @@ per AS (
   LEFT JOIN int8 i
     ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
   GROUP BY e.query_id
+  UNION ALL
+  SELECT 'ivf_int8' AS tier, e.query_id, CAST(10 AS INT) AS k,
+         CAST(count(v.neighbor_id) AS INT) AS hits
+  FROM exact e
+  LEFT JOIN ivf_int8 v
+    ON v.query_id = e.query_id AND v.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
 )
 SELECT tier, query_id, k, hits,
        CAST(floor(hits * CAST(10000.0 AS DOUBLE) / k
@@ -2621,9 +2942,11 @@ FROM per"""
 
 QUERIES["ann_recall_report"] = _pair(
     _recall_sql(_ANN_SPARK, QUERIES["ann_lsh_topk"]["spark"],
-                QUERIES["ann_ivf_grid"]["spark"], _INT8_ANN_SPARK),
+                QUERIES["ann_ivf_grid"]["spark"], _INT8_ANN_SPARK,
+                _IVF_INT8_SPARK),
     _recall_sql(_ANN_DUCK, QUERIES["ann_lsh_topk"]["duck"],
-                QUERIES["ann_ivf_grid"]["duck"], _INT8_ANN_DUCK),
+                QUERIES["ann_ivf_grid"]["duck"], _INT8_ANN_DUCK,
+                _IVF_INT8_DUCK),
 )
 
 

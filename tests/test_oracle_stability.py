@@ -112,3 +112,46 @@ CROSS JOIN tot t""").fetchall()
         f"corpus {sf_dir}: a bigram tuple sits {worst:.2e} from its "
         f"rounding boundary — within cross-engine ln() drift risk")
     assert MARGIN_BIGRAM > 1000 * ULP_DRIFT
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_bigram_heldout_boundary_margin(sf_dir):
+    """Margin guard for the fit/transform-split model
+    (text_bigram_heldout): every distinct smoothed-probability tuple a
+    SCORED pair can produce — including the OOV shapes (unseen bigram,
+    unseen w1, unseen w2) — must keep >= MARGIN_BIGRAM from its
+    floor(x+0.5) boundary."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    rows = con.execute(r"""
+WITH docs_w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n]+') AS ws
+  FROM documents WHERE length(trim(text)) > 0
+),
+pos0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM docs_w),
+pos AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM pos0),
+fit AS (SELECT w1, w2 FROM pos WHERE doc_id % 10 = 0),
+score AS (SELECT doc_id, w1, w2 FROM pos WHERE doc_id % 10 <> 0),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM fit GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM fit GROUP BY w1),
+cu AS (SELECT w2 AS w, count(*) AS cu FROM fit GROUP BY w2),
+tot AS (SELECT count(*) AS nn FROM fit),
+voc AS (SELECT count(*) AS v FROM cu)
+SELECT DISTINCT c1.c1, coalesce(c2.c2, 0), coalesce(cu.cu, 0), t.nn, v.v
+FROM score s
+LEFT JOIN c1 ON s.w1 = c1.w1
+LEFT JOIN c2 ON s.w1 = c2.w1 AND s.w2 = c2.w2
+LEFT JOIN cu ON s.w2 = cu.w
+CROSS JOIN tot t CROSS JOIN voc v""").fetchall()
+    assert rows
+    worst = 1.0
+    for c1, c2, cu, nn, v in rows:
+        p = 0.7 * (0.0 if c1 is None else c2 / c1) \
+            + 0.3 * ((cu + 1) / (nn + v + 1))
+        x = -math.log(p) * 1e6 + 0.5
+        worst = min(worst, abs(x - round(x)))
+    assert worst > MARGIN_BIGRAM, (
+        f"corpus {sf_dir}: a held-out bigram tuple sits {worst:.2e} from "
+        f"its rounding boundary — within cross-engine ln() drift risk")
