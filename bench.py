@@ -37,6 +37,14 @@ alongside ("spread" keys) — single-shot wall times on a shared-JVM box
 swing ±15% run-to-run, which is wider than the effects being tracked
 round-over-round, so sub-spread deltas must not be read as regressions
 or wins (round-3 verdict, measurement item).
+
+Headline isolation (r7): the OFFICIAL pipeline_extract number comes from
+a FRESH-JVM subprocess (SPARK_GRAFT_SKIP_QUERIES=1 form) that runs
+before this process builds any Spark state, so it no longer depends on
+the query phase's heap pressure (r6 verdict: a ~24% composition artifact
+that drift correction could not remove). The same extraction re-run in
+the query-phase JVM is recorded as pipeline_extract_inproc — the
+composition effect is measured every round instead of debated.
 """
 
 from __future__ import annotations
@@ -76,6 +84,33 @@ def corpus_docs_for(sf_dir: str) -> int:
     return int(os.environ.get("SPARK_GRAFT_NDOCS", table.get(name, 800)))
 
 
+def _headline_subprocess() -> dict | None:
+    """Run THIS script headline-only in a FRESH JVM (a subprocess with
+    SPARK_GRAFT_SKIP_QUERIES=1) and return its parsed result line.
+
+    Why (r6 verdict, perf #1-2): the official pipeline_extract wall was
+    composition-dependent — the in-process query phase's heap pressure
+    ahead of the timed reps inflated it 2.057→2.633 s, a ~24% artifact of
+    HOW MANY queries happened to precede it, surviving drift correction.
+    A fresh JVM gives the quiet-window number by construction; the
+    in-process rerun is still recorded (pipeline_extract_inproc) so the
+    composition effect itself stays measured, per round, for free."""
+    import subprocess
+
+    env = dict(os.environ,
+               SPARK_GRAFT_SKIP_QUERIES="1",
+               SPARK_GRAFT_MATRIX="0",
+               SPARK_GRAFT_HEADLINE_SUBPROC="0")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600)
+        line = proc.stdout.strip().splitlines()[-1]
+        return json.loads(line)
+    except Exception:
+        return None  # fall back to the in-process headline
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -85,6 +120,13 @@ def main() -> None:
 
     # same-day hardware control, measured BEFORE the JVM exists
     control_mops = cpu_control_mops()
+
+    # official headline: fresh-JVM subprocess, BEFORE this process builds
+    # any Spark state (its own control rides along in its result line)
+    headline = None
+    if os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "0") != "1" and \
+            os.environ.get("SPARK_GRAFT_HEADLINE_SUBPROC", "1") == "1":
+        headline = _headline_subprocess()
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -206,9 +248,20 @@ def main() -> None:
         agg = a  # counts are identical across runs
         _cooldown()
     e2e = median(walls)
-    queries["pipeline_extract"] = round(e2e, 3)
-    queries_spread["pipeline_extract"] = {
-        "min": round(min(walls), 3), "max": round(max(walls), 3), "n": reps}
+    if headline is not None:
+        # official number = the fresh-JVM run; the in-process rerun stays
+        # visible as the composition-effect record
+        queries["pipeline_extract"] = headline["value"]
+        queries["pipeline_extract_inproc"] = round(e2e, 3)
+        queries_spread["pipeline_extract_inproc"] = {
+            "min": round(min(walls), 3), "max": round(max(walls), 3),
+            "n": reps}
+        e2e = headline["value"]
+    else:
+        queries["pipeline_extract"] = round(e2e, 3)
+        queries_spread["pipeline_extract"] = {
+            "min": round(min(walls), 3), "max": round(max(walls), 3),
+            "n": reps}
 
     # --- chunk-size matrix: maxTokens ∈ {256, 512, 1024}, minTokens =
     # floor(max*0.3), mirroring the reference's benchmark configs
@@ -288,16 +341,36 @@ def main() -> None:
         "decoded_mb_per_sec": round(agg["bytes"] / 1e6 / e2e, 2),
         "cpu_control_mops": control_mops,
     }
+    if headline is not None:
+        # the headline's own same-moment control (measured in the fresh
+        # process before ITS JVM started) — the pair to drift-correct
+        # round-over-round headline ratios with:
+        # (wall_a * ctl_a) / (wall_b * ctl_b)
+        result["cpu_control_mops_headline"] = headline.get(
+            "cpu_control_mops")
+        result["headline_jvm"] = "fresh"
     # full detail (spread, chunk matrix) goes to a file; the stdout line
     # must stay compact — the driver tail-captures only the last ~2 kB.
     # The filename carries the config (sf + corpus size): a sf0.001 smoke
     # run must never clobber committed sf0.1 measurement evidence (it did
     # once — review finding, round 6)
-    detail = dict(result, queries_spread=queries_spread,
-                  chunk_matrix=chunk_matrix)
     detail_file = os.path.join(
         REPO, "BENCH",
         f"BENCH_DETAIL_{sf_name}_{int(agg['docs'])}d.json")
+    if headline is not None:
+        # the fresh-JVM subprocess wrote its own detail (same filename,
+        # SKIP_QUERIES form) — fold its headline spread in before we
+        # overwrite the file with the full-phase detail
+        try:
+            with open(detail_file) as f:
+                sub_spread = json.load(f).get("queries_spread", {})
+            if "pipeline_extract" in sub_spread:
+                queries_spread["pipeline_extract"] = \
+                    sub_spread["pipeline_extract"]
+        except (OSError, ValueError):
+            pass
+    detail = dict(result, queries_spread=queries_spread,
+                  chunk_matrix=chunk_matrix)
     try:
         with open(detail_file, "w") as f:
             json.dump(detail, f, indent=1)

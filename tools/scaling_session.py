@@ -1,0 +1,159 @@
+#!/usr/bin/env python3
+"""ONE-session scaling evidence (r6 verdict #1): the pinned in-JVM 8->32
+ladder, the multi-JVM 4->16 executor analogue, AND the same-moment
+pure-CPU ceiling, measured back-to-back by one process and written to a
+single artifact with the ratio-to-ceiling stated for both.
+
+Why: this box drifts 15-25% hour-over-hour and its core-scaling ceiling
+(turbo/co-tenancy) differs day to day, so a ladder measured in one window
+against a ceiling measured in another is unadjudicable — r6's 0.570
+ladder vs a same-day-but-different-window 0.85 control read as 0.67x of
+ceiling while r5's same-session pair read 0.855x. This tool removes the
+window variable: every number in the artifact shares one session.
+
+Components:
+  1. pure-CPU ceiling — K pinned processes (cores 0..K-1) each running
+     the bench.py LCG loop; aggregate Mops at 4/8/16/32 active cores.
+     eff_8_32 and eff_4_16 are the host's own core-scaling ratios; no
+     Spark job can beat them.
+  2. pinned in-JVM ladder — tools/scaling_bench.py local[8] vs local[32]
+     (SPARK_GRAFT_PIN_CORES=1, SKIP_QUERIES=1) on the SF1 corpus.
+  3. multi-JVM analogue — tools/multi_jvm_scaling.py, 1 vs 4 pinned JVMs
+     x local[4] (4->16 cores, 3g heaps) on the same corpus: the truest
+     local model of "N vs 4N executors" (no shared GC/Arrow path).
+
+Writes BENCH/SCALING_SESSION_r7.json.
+
+Usage: python3 tools/scaling_session.py [n_docs] [ladder_reps] [mjvm_reps]
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+LCG_ITERS = 30_000_000  # ~3 s per process: long enough to ride out turbo
+
+
+def _lcg_worker(core: int, barrier, out_q) -> None:
+    try:
+        os.sched_setaffinity(0, {core})
+    except OSError:
+        pass
+    x = 123456789
+    barrier.wait()
+    t0 = time.perf_counter()
+    for _ in range(LCG_ITERS):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFFFFFF
+    wall = time.perf_counter() - t0
+    if x == 0:
+        print("", end="")
+    out_q.put(wall)
+
+
+def ceiling_level(k: int) -> float:
+    """Aggregate Mops with exactly k cores active (pinned 0..k-1)."""
+    barrier = mp.Barrier(k)
+    out_q = mp.Queue()
+    procs = [mp.Process(target=_lcg_worker, args=(i, barrier, out_q))
+             for i in range(k)]
+    for p in procs:
+        p.start()
+    walls = [out_q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    return round(sum(LCG_ITERS / w for w in walls) / 1e6, 1)
+
+
+def measure_ceiling() -> dict:
+    levels = {k: ceiling_level(k) for k in (4, 8, 16, 32)}
+    return {
+        "mops": {str(k): v for k, v in levels.items()},
+        "eff_8_32": round(levels[32] / (4 * levels[8]), 3),
+        "eff_4_16": round(levels[16] / (4 * levels[4]), 3),
+    }
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
+    ladder_reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    mjvm_reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    from bench import cpu_control_mops
+
+    t_start = time.time()
+    report: dict = {"corpus_docs": n_docs}
+    report["single_core_control_mops_start"] = cpu_control_mops()
+
+    print("[1/4] pure-CPU ceiling (pinned LCG at 4/8/16/32 cores)",
+          flush=True)
+    report["ceiling"] = measure_ceiling()
+    print(json.dumps(report["ceiling"]), flush=True)
+
+    env = dict(os.environ,
+               SPARK_GRAFT_PIN_CORES="1",
+               SPARK_GRAFT_SKIP_QUERIES="1",
+               SPARK_GRAFT_NDOCS=str(n_docs),
+               SPARK_GRAFT_PDF="1",
+               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1")
+
+    print("[2/4] pinned in-JVM ladder 8->32", flush=True)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "scaling_bench.py"),
+         "/root/testdata/sf0.1", str(ladder_reps), "8", "32"],
+        env=env, capture_output=True, text=True, timeout=5400)
+    sys.stdout.write(out.stdout)
+    if out.returncode != 0:
+        raise RuntimeError(f"ladder failed:\n{out.stderr[-2000:]}")
+    report["ladder_8_32"] = json.loads(
+        [l for l in out.stdout.strip().splitlines()
+         if l.startswith("{")][-1])
+
+    print("[3/4] multi-JVM 1v4 x local[4] (4->16 cores)", flush=True)
+    env_m = dict(env, SPARK_GRAFT_MJVM_MEM="3g")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "multi_jvm_scaling.py"),
+         str(n_docs), str(mjvm_reps), "1", "4"],
+        env=env_m, capture_output=True, text=True, timeout=5400)
+    sys.stdout.write(out.stdout)
+    if out.returncode != 0:
+        raise RuntimeError(f"multi-JVM failed:\n{out.stderr[-2000:]}")
+    report["multi_jvm_1v4"] = json.loads(
+        [l for l in out.stdout.strip().splitlines()
+         if l.startswith("{")][-1])
+
+    print("[4/4] closing controls", flush=True)
+    report["single_core_control_mops_end"] = cpu_control_mops()
+    report["ceiling_end"] = measure_ceiling()
+
+    lad = report["ladder_8_32"]["scaling_efficiency"]
+    lad_best = report["ladder_8_32"].get("scaling_efficiency_best_rep")
+    mj = report["multi_jvm_1v4"]["scaling_efficiency"]
+    ceil = report["ceiling"]
+    report["ratio_to_ceiling"] = {
+        "ladder_8_32": round(lad / ceil["eff_8_32"], 3),
+        "ladder_8_32_best_rep": (round(lad_best / ceil["eff_8_32"], 3)
+                                 if lad_best else None),
+        "multi_jvm_4_16": round(mj / ceil["eff_4_16"], 3),
+        "note": ("every component of these ratios was measured in THIS "
+                 "session; ceiling_end shows intra-session drift"),
+    }
+    report["session_wall_min"] = round((time.time() - t_start) / 60, 1)
+
+    out_path = os.path.join(REPO, "BENCH", "SCALING_SESSION_r7.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({"ratio_to_ceiling": report["ratio_to_ceiling"],
+                      "ladder": lad, "mjvm": mj,
+                      "ceiling": ceil}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
