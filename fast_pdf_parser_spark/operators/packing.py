@@ -156,7 +156,15 @@ def pack_token_ids(docs: DataFrame, seq_len: int = SEQ_LEN,
     word count) both SQL engines can derive, making the whole
     pack+sink+read-back chain value-checkable; cheap projections may be
     evaluated in both the ids branch and the totals branch (only the
-    real encoder needs the separate counting pass below)."""
+    real encoder needs the separate counting pass below).
+
+    Scale note: the shard-offset running sum below is a single-partition
+    window, but over the SHARD-TOTALS relation (one row per
+    ``shard_width`` docs), not the corpus — at 10^9 docs the default
+    shard_width=100 makes that a 10^7-row window on one core (~seconds);
+    raise shard_width to shrink it linearly (10^4 → 10^5 rows) without
+    touching the packed output, since shard boundaries only affect WHERE
+    prefix sums are stitched, not the doc_id-ordered token stream."""
     shard = (F.col("doc_id") / shard_width).cast("long")
     if encoded is None:
         # one vocabulary for BOTH passes, resolved here on the driver —

@@ -216,9 +216,13 @@ def test_recall_report_planted_structure_vs_noise(spark):
         .createOrReplaceTempView("embeddings")
     rep = [(r.tier, r.query_id, r.hits, r.k)
            for r in spark.sql(spark_sql("ann_recall_report")).collect()]
-    assert len(rep) == 15  # 3 tiers x 5 queries
+    assert len(rep) == 20  # 4 tiers x 5 queries
     assert all(h == 0 for t, _, h, _ in rep if t == "lsh")
     grid = [h for t, _, h, _ in rep if t == "grid"]
     assert sum(grid) > 0 and all(h <= 10 for h in grid)
     int8 = [h for t, _, h, _ in rep if t == "int8"]
     assert len(int8) == 5 and all(h >= 8 for h in int8), rep
+    # ivf_int8 = the grid probe structure over dequantized-int8 vectors:
+    # same probe misses as grid, plus (tiny) quantization error on top
+    ivf8 = [h for t, _, h, _ in rep if t == "ivf_int8"]
+    assert len(ivf8) == 5 and sum(ivf8) > 0 and all(h <= 10 for h in ivf8)

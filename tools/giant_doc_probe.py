@@ -296,7 +296,8 @@ def main() -> None:
     spark.stop()
     line = json.dumps(result)
     print(line)
-    with open(os.path.join(REPO, "BENCH", "GIANT_DOC_r6.json"), "a") as f:
+    out_name = os.environ.get("SPARK_GRAFT_GIANT_OUT", "GIANT_DOC_r7.json")
+    with open(os.path.join(REPO, "BENCH", out_name), "a") as f:
         f.write(line + "\n")
 
 
