@@ -544,8 +544,9 @@ def _pipeline_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      count of driver-written CORRECTNESS_r*.json files, so consecutive
 #      rounds show contiguous arcs of the rest-circle and every name
 #      lands a driver row within ceil(len(rest)/shown) consecutive
-#      rounds from ANY starting round (≤ the documented
-#      ceil(len(rest)/overflow) cadence).
+#      rounds from ANY starting round — shown (the arc length advanced
+#      per round) sets the cadence, which exceeds ceil(len(rest)/
+#      overflow) once the priority block grows past window - overflow.
 _DRIVER_WINDOW = 50
 
 _PRIORITY_QUERIES = [
@@ -561,7 +562,7 @@ _PRIORITY_QUERIES = [
     "text_encode_pack", "text_url_filter", "dedup_incremental",
     "text_bigram_surprisal",
     # new in round 7
-    "text_pack_write", "dedup_incremental_near",
+    "text_pack_write", "dedup_incremental_near", "text_mixture_sample",
     # hybrid/stateful rows: their DuckDB twins live in HYBRID_ORACLES (or
     # they are by-design rows-only) — the driver row is their only/primary
     # hard signal, so they never rotate

@@ -1620,6 +1620,63 @@ QUERIES["text_quality_sample"] = _pair(
 )
 
 
+# Mixture sampling to a token budget — the corpus-ASSEMBLY step of a
+# pretraining pipeline (Pile/DoReMi-style): given per-source token
+# masses T_s, compute temperature-reweighted target weights
+# w_s ∝ T_s^0.5 (alpha < 1 upweights rare sources), split a global token
+# budget (half the corpus here) across sources by those weights, then
+# greedily fill each source's budget quality-first (n_chars proxy,
+# doc_id tiebreak), keeping the boundary doc. Determinism discipline:
+# weights go through 1e6 fixed-point BEFORE the normalizing sum, so the
+# only cross-engine float ops are single IEEE sqrt/divide/multiply/floor
+# steps on exact integers — no order-dependent double accumulation (same
+# rule as text_bigram_surprisal's 1e6 fixed-point). Scale shape: source
+# totals = one partial-agg scan; weights/budgets = a #sources-row
+# relation joined back (broadcast); the greedy fill = ONE running-sum
+# window hash-partitioned by source (same shape and mega-domain note as
+# text_domain_cap — a totals-prefilter can skip the sort entirely for
+# sources whose whole mass fits their budget). Same SQL text in both
+# dialects.
+_MIXTURE_SAMPLE = """WITH tok AS (
+  SELECT doc_id, source, n_chars,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+totals AS (
+  SELECT source, sum(toks) AS src_toks FROM tok GROUP BY source
+),
+weights AS (
+  SELECT source, src_toks,
+         CAST(floor(sqrt(CAST(src_toks AS DOUBLE)) * 1000000) AS BIGINT)
+           AS w_fp
+  FROM totals
+),
+budgets AS (
+  SELECT source, w_fp,
+         CAST(floor(CAST(w_fp AS DOUBLE) / sum(w_fp) OVER () *
+                    floor(CAST(0.5 AS DOUBLE) * sum(src_toks) OVER ()))
+              AS BIGINT) AS budget_toks
+  FROM weights
+),
+ranked AS (
+  SELECT t.doc_id, t.source, t.toks, b.budget_toks,
+         sum(t.toks) OVER (PARTITION BY t.source
+                           ORDER BY t.n_chars DESC, t.doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - t.toks AS cum_before
+  FROM tok t JOIN budgets b ON t.source = b.source
+)
+SELECT doc_id, source,
+       CAST(toks AS INT) AS doc_toks,
+       CAST(budget_toks AS INT) AS budget_toks,
+       CAST(CASE WHEN cum_before < budget_toks THEN 1 ELSE 0 END AS INT)
+         AS kept
+FROM ranked"""
+
+QUERIES["text_mixture_sample"] = _pair(_MIXTURE_SAMPLE, _MIXTURE_SAMPLE)
+
+
 # Sequence-packing manifest — the concat-then-split packing GPT-style
 # pretraining uses: lay every document's tokens end to end in a canonical
 # order and cut every SEQ tokens; emit, per document, where its tokens

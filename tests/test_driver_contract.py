@@ -145,6 +145,64 @@ def test_quality_sample_deterministic_and_rate_shaped(spark):
         assert r.kept in (0, 1)
 
 
+def test_mixture_sample_sqrt_budgets_and_greedy_fill(spark):
+    """text_mixture_sample: per-source token budgets follow the 1e6
+    fixed-point sqrt reweighting exactly, and each source's kept set is
+    the greedy quality-first prefix (n_chars desc, doc_id tiebreak)
+    including the boundary doc that crosses the budget."""
+    import math
+
+    from fast_pdf_parser_spark.operators.relational import spark_sql
+
+    # deliberately skewed masses: 50 / 8 / 2 docs per source
+    rows = []
+    for i in range(60):
+        src = "big" if i < 50 else ("mid" if i < 58 else "small")
+        n_words = 5 + (i * 3) % 11
+        rows.append((i, "w " * (n_words - 1) + "w", src, (i * 17) % 200))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).createOrReplaceTempView("documents")
+    out = spark.sql(spark_sql("text_mixture_sample")).collect()
+    assert len(out) == 60
+
+    toks = {i: rows[i][1].count(" ") + 1 for i in range(60)}
+    assert all(r.doc_toks == toks[r.doc_id] for r in out)
+    src_of = {i: rows[i][2] for i in range(60)}
+    masses = {}
+    for i, t in toks.items():
+        masses[src_of[i]] = masses.get(src_of[i], 0) + t
+    w_fp = {s: math.floor(math.sqrt(float(t)) * 1_000_000)
+            for s, t in masses.items()}
+    z = sum(w_fp.values())
+    global_budget = math.floor(0.5 * sum(masses.values()))
+    budgets = {s: math.floor(w / z * global_budget)
+               for s, w in w_fp.items()}
+    for r in out:
+        assert r.budget_toks == budgets[r.source], (r.source, r.budget_toks)
+
+    # sqrt reweighting: the small source's budget share exceeds its mass
+    # share, the big source's is below it
+    assert budgets["small"] / global_budget > masses["small"] / sum(
+        masses.values())
+    assert budgets["big"] / global_budget < masses["big"] / sum(
+        masses.values())
+
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    n_chars = {i: rows[i][3] for i in range(60)}
+    for src, rs in by_src.items():
+        order = sorted(rs, key=lambda r: (-n_chars[r.doc_id], r.doc_id))
+        cum = 0
+        expect_kept = set()
+        for r in order:
+            if cum < budgets[src]:
+                expect_kept.add(r.doc_id)  # boundary doc included
+            cum += toks[r.doc_id]
+        assert {r.doc_id for r in rs if r.kept == 1} == expect_kept, src
+
+
 def test_pack_manifest_sharded_prefix_sum_equals_global_window(spark):
     """The distributed (per-shard + base-offset) prefix sum must emit
     byte-identical offsets to the naive single-window packing."""

@@ -35,9 +35,12 @@ def test_every_oracle_has_a_query():
 
 def test_rotation_covers_every_name_within_bounded_rounds(monkeypatch):
     """The documented guarantee: every queries() name lands inside the
-    driver's _DRIVER_WINDOW within ceil(rest/overflow) consecutive
-    rounds. Simulate rounds by patching the round index and take the
-    union of window prefixes."""
+    driver's _DRIVER_WINDOW within ceil(rest/shown) consecutive rounds,
+    where shown is the number of window slots left after the priority
+    block — that is the arc length the rotation advances per round, so
+    it (not overflow) sets the cadence whenever shown < overflow.
+    Simulate rounds by patching the round index and take the union of
+    window prefixes."""
     import math
 
     import __spark_entry__ as em
@@ -47,7 +50,10 @@ def test_rotation_covers_every_name_within_bounded_rounds(monkeypatch):
     rest = len(q0) - len([n for n in em._PRIORITY_QUERIES if n in q0])
     if overflow <= 0:
         return  # everything always fits; nothing to prove
-    cadence = math.ceil(rest / overflow)
+    shown = em._DRIVER_WINDOW - len(
+        [n for n in em._PRIORITY_QUERIES if n in q0])
+    assert shown > 0  # priority block must leave rotation slots
+    cadence = math.ceil(rest / shown)
     # the driver experiences ARBITRARY starting offsets, and when
     # rest % overflow != 0 the excluded block wraps — so prove coverage
     # for every window of `cadence` consecutive rounds across a span

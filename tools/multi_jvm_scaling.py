@@ -19,8 +19,10 @@ Protocol per level:
     throughput(K) = total pages / wall
   - efficiency = throughput(4N_jvms) / (4 × throughput(N_jvms))
 
-Usage: python3 tools/multi_jvm_scaling.py [n_docs] [repeats]
-Writes BENCH/SCALING_MULTI_JVM.json.
+Usage: python3 tools/multi_jvm_scaling.py [n_docs] [repeats] [lo] [hi]
+Per-JVM thread count via SPARK_GRAFT_MJVM_CORES (default 4) — e.g. 2 for a
+1v4 x local[2] run, the 2->8-core executor analogue in the host's linear
+core-scaling region. Writes BENCH/SCALING_MULTI_JVM.json.
 """
 
 from __future__ import annotations
@@ -42,11 +44,12 @@ files = json.load(open(sys.argv[1]))
 flagdir = sys.argv[2]
 wid = sys.argv[3]
 from pyspark.sql import SparkSession, functions as F
-spark = (SparkSession.builder.master("local[4]")
+cores = os.environ.get("SPARK_GRAFT_MJVM_CORES", "4")
+spark = (SparkSession.builder.master("local[" + cores + "]")
          .appName("mjvm_worker_" + wid)
          .config("spark.driver.memory",
                  os.environ.get("SPARK_GRAFT_MJVM_MEM", "3g"))
-         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.shuffle.partitions", cores)
          .config("spark.sql.files.maxPartitionBytes", "8m")
          .config("spark.sql.files.openCostInBytes", "1m")
          .config("spark.ui.enabled", "false")
@@ -91,6 +94,7 @@ def ensure_corpus(n_docs: int) -> str:
 
 
 def run_level(corpus: str, k: int) -> dict:
+    cores = int(os.environ.get("SPARK_GRAFT_MJVM_CORES", "4"))
     files = sorted(glob.glob(os.path.join(corpus, "part-*.parquet")))
     shards = [files[i::k] for i in range(k)]
     with tempfile.TemporaryDirectory() as flagdir:
@@ -106,7 +110,8 @@ def run_level(corpus: str, k: int) -> dict:
                 # OWN 4 cores — a floating 2-JVM level otherwise spreads
                 # over all 32 cores and inflates the low leg, exactly the
                 # artifact scaling_bench's pinning corrects
-                cmd = ["taskset", "-c", f"{4 * i}-{4 * i + 3}"] + cmd
+                cmd = ["taskset", "-c",
+                       f"{cores * i}-{cores * i + cores - 1}"] + cmd
             procs.append(subprocess.Popen(
                 cmd,
                 stdout=subprocess.PIPE, stderr=errlog,
@@ -129,7 +134,8 @@ def run_level(corpus: str, k: int) -> dict:
     stats = [json.loads(o.strip().splitlines()[-1]) for o in outs]
     pages = sum(s["pages"] for s in stats)
     byts = sum(s["bytes"] for s in stats)
-    return {"jvms": k, "cores_total": 4 * k, "wall_sec": round(wall, 3),
+    return {"jvms": k, "cores_total": cores * k,
+            "wall_sec": round(wall, 3),
             "pages": pages,
             "pages_per_sec": round(pages / wall, 1),
             "decoded_mb_per_sec": round(byts / 1e6 / wall, 2),
@@ -141,12 +147,13 @@ def main() -> None:
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     levels = ((int(sys.argv[3]), int(sys.argv[4]))
               if len(sys.argv) > 4 else (1, 4))
+    cores = int(os.environ.get("SPARK_GRAFT_MJVM_CORES", "4"))
     corpus = ensure_corpus(n_docs)
     best: dict[int, dict] = {}
     for k in levels:
         for r in range(repeats):
             res = run_level(corpus, k)
-            print(f"{k} JVMs x local[4] run {r}: {res['wall_sec']}s "
+            print(f"{k} JVMs x local[{cores}] run {r}: {res['wall_sec']}s "
                   f"{res['pages_per_sec']} pages/s", flush=True)
             if k not in best or res["pages_per_sec"] > best[k]["pages_per_sec"]:
                 best[k] = res
@@ -154,8 +161,9 @@ def main() -> None:
     eff = best[n4]["pages_per_sec"] / (
         (n4 / n) * best[n]["pages_per_sec"])
     report = {
-        "methodology": "K disjoint-shard JVMs x local[4] each (executor "
-                       "analogue); barrier start; wall = go -> last exit",
+        "methodology": f"K disjoint-shard JVMs x local[{cores}] each "
+                       "(executor analogue); barrier start; "
+                       "wall = go -> last exit",
         "corpus_docs": n_docs,
         "levels": best,
         "scaling_efficiency": round(eff, 3),

@@ -25,6 +25,11 @@ Components:
 Writes BENCH/SCALING_SESSION_r7.json.
 
 Usage: python3 tools/scaling_session.py [n_docs] [ladder_reps] [mjvm_reps]
+                                        [lo hi]
+Default legs are (8, 32); pass `2 8` for the linear-region N->4N pair the
+north rule actually grades (ladder local[2]->local[8] plus a 1v4 x
+local[2] executor analogue on the same 2->8 core pair) — written to
+BENCH/SCALING_SESSION_2_8_r7.json.
 """
 
 from __future__ import annotations
@@ -72,29 +77,37 @@ def ceiling_level(k: int) -> float:
     return round(sum(LCG_ITERS / w for w in walls) / 1e6, 1)
 
 
-def measure_ceiling() -> dict:
-    levels = {k: ceiling_level(k) for k in (4, 8, 16, 32)}
-    return {
-        "mops": {str(k): v for k, v in levels.items()},
-        "eff_8_32": round(levels[32] / (4 * levels[8]), 3),
-        "eff_4_16": round(levels[16] / (4 * levels[4]), 3),
-    }
+def measure_ceiling(levels: tuple[int, ...] = (4, 8, 16, 32)) -> dict:
+    mops = {k: ceiling_level(k) for k in levels}
+    out = {"mops": {str(k): v for k, v in mops.items()}}
+    for k in levels:
+        if 4 * k in mops:
+            out[f"eff_{k}_{4 * k}"] = round(mops[4 * k] / (4 * mops[k]), 3)
+    return out
 
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
     ladder_reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     mjvm_reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    lo, hi = ((int(sys.argv[4]), int(sys.argv[5]))
+              if len(sys.argv) > 5 else (8, 32))
+    # executor analogue: 1 vs 4 JVMs, each local[hi//4], so its core pair
+    # is (hi//4 -> hi) — for (8,32) that's the r5/r6 4->16 instrument; for
+    # (2,8) it lands on the SAME 2->8 pair as the ladder, inside the
+    # host's linear core-scaling region.
+    mj_cores = max(1, hi // 4)
+    ceil_levels = tuple(sorted({lo, hi, mj_cores, 4 * mj_cores}))
 
     from bench import cpu_control_mops
 
     t_start = time.time()
-    report: dict = {"corpus_docs": n_docs}
+    report: dict = {"corpus_docs": n_docs, "legs": [lo, hi]}
     report["single_core_control_mops_start"] = cpu_control_mops()
 
-    print("[1/4] pure-CPU ceiling (pinned LCG at 4/8/16/32 cores)",
+    print(f"[1/4] pure-CPU ceiling (pinned LCG at {ceil_levels} cores)",
           flush=True)
-    report["ceiling"] = measure_ceiling()
+    report["ceiling"] = measure_ceiling(ceil_levels)
     print(json.dumps(report["ceiling"]), flush=True)
 
     env = dict(os.environ,
@@ -104,20 +117,23 @@ def main() -> None:
                SPARK_GRAFT_PDF="1",
                SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1")
 
-    print("[2/4] pinned in-JVM ladder 8->32", flush=True)
+    print(f"[2/4] pinned in-JVM ladder {lo}->{hi}", flush=True)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "scaling_bench.py"),
-         "/root/testdata/sf0.1", str(ladder_reps), "8", "32"],
+         "/root/testdata/sf0.1", str(ladder_reps), str(lo), str(hi)],
         env=env, capture_output=True, text=True, timeout=5400)
     sys.stdout.write(out.stdout)
     if out.returncode != 0:
         raise RuntimeError(f"ladder failed:\n{out.stderr[-2000:]}")
-    report["ladder_8_32"] = json.loads(
+    ladder_key = f"ladder_{lo}_{hi}"
+    report[ladder_key] = json.loads(
         [l for l in out.stdout.strip().splitlines()
          if l.startswith("{")][-1])
 
-    print("[3/4] multi-JVM 1v4 x local[4] (4->16 cores)", flush=True)
-    env_m = dict(env, SPARK_GRAFT_MJVM_MEM="3g")
+    print(f"[3/4] multi-JVM 1v4 x local[{mj_cores}] "
+          f"({mj_cores}->{4 * mj_cores} cores)", flush=True)
+    env_m = dict(env, SPARK_GRAFT_MJVM_MEM="3g",
+                 SPARK_GRAFT_MJVM_CORES=str(mj_cores))
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "multi_jvm_scaling.py"),
          str(n_docs), str(mjvm_reps), "1", "4"],
@@ -131,23 +147,27 @@ def main() -> None:
 
     print("[4/4] closing controls", flush=True)
     report["single_core_control_mops_end"] = cpu_control_mops()
-    report["ceiling_end"] = measure_ceiling()
+    report["ceiling_end"] = measure_ceiling(ceil_levels)
 
-    lad = report["ladder_8_32"]["scaling_efficiency"]
-    lad_best = report["ladder_8_32"].get("scaling_efficiency_best_rep")
+    lad = report[ladder_key]["scaling_efficiency"]
+    lad_best = report[ladder_key].get("scaling_efficiency_best_rep")
     mj = report["multi_jvm_1v4"]["scaling_efficiency"]
     ceil = report["ceiling"]
+    lad_ceil = ceil[f"eff_{lo}_{hi}"]
+    mj_ceil = ceil[f"eff_{mj_cores}_{4 * mj_cores}"]
     report["ratio_to_ceiling"] = {
-        "ladder_8_32": round(lad / ceil["eff_8_32"], 3),
-        "ladder_8_32_best_rep": (round(lad_best / ceil["eff_8_32"], 3)
-                                 if lad_best else None),
-        "multi_jvm_4_16": round(mj / ceil["eff_4_16"], 3),
+        ladder_key: round(lad / lad_ceil, 3),
+        f"{ladder_key}_best_rep": (round(lad_best / lad_ceil, 3)
+                                   if lad_best else None),
+        f"multi_jvm_{mj_cores}_{4 * mj_cores}": round(mj / mj_ceil, 3),
         "note": ("every component of these ratios was measured in THIS "
                  "session; ceiling_end shows intra-session drift"),
     }
     report["session_wall_min"] = round((time.time() - t_start) / 60, 1)
 
-    out_path = os.path.join(REPO, "BENCH", "SCALING_SESSION_r7.json")
+    name = ("SCALING_SESSION_r7.json" if (lo, hi) == (8, 32)
+            else f"SCALING_SESSION_{lo}_{hi}_r7.json")
+    out_path = os.path.join(REPO, "BENCH", name)
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({"ratio_to_ceiling": report["ratio_to_ceiling"],
