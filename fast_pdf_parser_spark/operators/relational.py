@@ -1677,6 +1677,68 @@ FROM ranked"""
 QUERIES["text_mixture_sample"] = _pair(_MIXTURE_SAMPLE, _MIXTURE_SAMPLE)
 
 
+# Mixture assembly in the OVER-budget regime — epoch repetition: when a
+# group's weighted budget exceeds its token mass (budget 1.2x the corpus
+# here; grouped by lang, whose masses are genuinely skewed in the
+# corpus), a real pipeline repeats the group. Emit per group the full
+# epoch count (floor(budget/mass)) and the deterministic partial tail:
+# tail_toks = budget mod mass, filled greedily quality-first exactly as
+# text_mixture_sample fills its budget, reported as tail_docs. Same
+# fixed-point weight discipline; all divisions are single IEEE ops on
+# exact integers. Scale shape: two aggregate scans + a #groups-row
+# relation + ONE running-sum window by group. Same SQL in both dialects.
+_MIXTURE_EPOCHS = """WITH tok AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+totals AS (
+  SELECT lang, sum(toks) AS lang_toks FROM tok GROUP BY lang
+),
+weights AS (
+  SELECT lang, lang_toks,
+         CAST(floor(sqrt(CAST(lang_toks AS DOUBLE)) * 1000000) AS BIGINT)
+           AS w_fp
+  FROM totals
+),
+budgets AS (
+  SELECT lang, lang_toks,
+         CAST(floor(CAST(w_fp AS DOUBLE) / sum(w_fp) OVER () *
+                    floor(CAST(1.2 AS DOUBLE) * sum(lang_toks) OVER ()))
+              AS BIGINT) AS budget_toks
+  FROM weights
+),
+epochs AS (
+  SELECT lang, lang_toks, budget_toks,
+         CAST(floor(CAST(budget_toks AS DOUBLE) / lang_toks) AS BIGINT)
+           AS full_epochs,
+         budget_toks - CAST(floor(CAST(budget_toks AS DOUBLE) / lang_toks)
+                            AS BIGINT) * lang_toks AS tail_toks
+  FROM budgets
+),
+ranked AS (
+  SELECT t.lang, e.tail_toks,
+         sum(t.toks) OVER (PARTITION BY t.lang
+                           ORDER BY t.n_chars DESC, t.doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - t.toks AS cum_before
+  FROM tok t JOIN epochs e ON t.lang = e.lang
+)
+SELECT e.lang,
+       CAST(e.lang_toks AS INT) AS lang_toks,
+       CAST(e.budget_toks AS INT) AS budget_toks,
+       CAST(e.full_epochs AS INT) AS full_epochs,
+       CAST(e.tail_toks AS INT) AS tail_toks,
+       CAST(coalesce(td.tail_docs, 0) AS INT) AS tail_docs
+FROM epochs e
+LEFT JOIN (SELECT lang, count(*) AS tail_docs FROM ranked
+           WHERE cum_before < tail_toks GROUP BY lang) td
+  ON e.lang = td.lang"""
+
+QUERIES["text_mixture_epochs"] = _pair(_MIXTURE_EPOCHS, _MIXTURE_EPOCHS)
+
+
 # Sequence-packing manifest — the concat-then-split packing GPT-style
 # pretraining uses: lay every document's tokens end to end in a canonical
 # order and cut every SEQ tokens; emit, per document, where its tokens

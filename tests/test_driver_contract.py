@@ -203,6 +203,56 @@ def test_mixture_sample_sqrt_budgets_and_greedy_fill(spark):
         assert {r.doc_id for r in rs if r.kept == 1} == expect_kept, src
 
 
+def test_mixture_epochs_over_budget_repetition(spark):
+    """text_mixture_epochs: with the budget at 1.2x the corpus and sqrt
+    reweighting, a dominant group is subsampled (0 full epochs) while
+    small groups repeat (>=1 full epoch); the partial tail is
+    budget mod mass, filled greedily with tail_docs documents."""
+    import math
+
+    from fast_pdf_parser_spark.operators.relational import spark_sql
+
+    # one dominant lang, two small ones
+    rows = []
+    for i in range(64):
+        lang = "en" if i < 48 else ("de" if i < 56 else "fr")
+        n_words = 6 + (i * 5) % 9
+        rows.append((i, "w " * (n_words - 1) + "w", lang, (i * 11) % 150))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    ).createOrReplaceTempView("documents")
+    out = {r.lang: r
+           for r in spark.sql(spark_sql("text_mixture_epochs")).collect()}
+    assert set(out) == {"en", "de", "fr"}
+
+    toks = {i: rows[i][1].count(" ") + 1 for i in range(64)}
+    masses = {}
+    for i in range(64):
+        masses[rows[i][2]] = masses.get(rows[i][2], 0) + toks[i]
+    w_fp = {s: math.floor(math.sqrt(float(t)) * 1_000_000)
+            for s, t in masses.items()}
+    z = sum(w_fp.values())
+    global_budget = math.floor(1.2 * sum(masses.values()))
+    for lang, r in out.items():
+        budget = math.floor(w_fp[lang] / z * global_budget)
+        assert r.lang_toks == masses[lang]
+        assert r.budget_toks == budget
+        assert r.full_epochs == budget // masses[lang]
+        assert r.tail_toks == budget - r.full_epochs * masses[lang]
+        # greedy tail: count of quality-first prefix docs filling tail_toks
+        order = sorted((i for i in range(64) if rows[i][2] == lang),
+                       key=lambda i: (-rows[i][3], i))
+        cum, n_tail = 0, 0
+        for i in order:
+            if cum < r.tail_toks:
+                n_tail += 1
+            cum += toks[i]
+        assert r.tail_docs == n_tail, lang
+    # the regime is genuinely mixed on this fixture
+    assert out["en"].full_epochs == 0
+    assert out["de"].full_epochs >= 1 and out["fr"].full_epochs >= 1
+
+
 def test_pack_manifest_sharded_prefix_sum_equals_global_window(spark):
     """The distributed (per-shard + base-offset) prefix sum must emit
     byte-identical offsets to the naive single-window packing."""
