@@ -213,6 +213,34 @@ def test_cap_operators_single_partition_free_no_join(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_mixture_operators_broadcast_budgets_one_corpus_exchange(spark):
+    """Mixture assembly (sample + epochs): the budgets relation must
+    reach the corpus via a BROADCAST join (it is #groups rows), the
+    corpus itself must shuffle exactly twice (group agg + group window),
+    and the only SinglePartition exchange is the post-aggregate
+    #groups-row weights relation — never the corpus."""
+    entrymod._prepare(spark, SF_DIR)
+    # epochs references the tiny budgets CTE twice (ranked join + final
+    # select), so its #groups-row SinglePartition window instantiates
+    # twice — still bounded by the group count, never the corpus
+    for name, key, n_single in (("text_mixture_sample", "source", 1),
+                                ("text_mixture_epochs", "lang", 2)):
+        plan = physical(spark.sql(spark_sql(name)))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        # the corpus-side window shuffles on the group key
+        assert f"hashpartitioning({key}" in plan, name
+        assert plan.count("Exchange SinglePartition") == n_single, name
+        # every SinglePartition sits downstream of a group-by aggregate
+        # (the tiny weights relation), never directly over a scan
+        for seg in plan.split("Exchange SinglePartition")[1:]:
+            assert "HashAggregate" in seg, name
+        # corpus scans stay pruned: no scan reads the full row
+        for read_schema in plan.split("ReadSchema:")[1:]:
+            assert "text:string" in read_schema[:200], name
+
+
 def test_routed_extraction_plan_shape(spark, wide_corpus):
     """Auto-routed skew tail (ParseOptions.giant_doc_bytes): the union
     plan carries EXACTLY ONE Exchange — the split-path repartition of the
