@@ -563,7 +563,7 @@ _PRIORITY_QUERIES = [
     "text_bigram_surprisal",
     # new in round 7
     "text_pack_write", "dedup_incremental_near", "text_mixture_sample",
-    "text_mixture_epochs",
+    "text_mixture_epochs", "ann_ivf_persisted",
     # hybrid/stateful rows: their DuckDB twins live in HYBRID_ORACLES (or
     # they are by-design rows-only) — the driver row is their only/primary
     # hard signal, so they never rotate
@@ -619,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["multimodal_resize"] = _media_resize
     out["multimodal_frame_sample"] = _media_frames
     out["ann_ivf_topk"] = _ann_ivf
+    out["ann_ivf_persisted"] = _ann_ivf_persisted
 
     pri = [n for n in _PRIORITY_QUERIES if n in out]
     rest = [n for n in out if n not in set(pri)]
@@ -668,6 +669,84 @@ def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _ = F
     return sample_frames(vids, every_ms=5000, max_frames=8)
+
+
+def _ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-IVF served from a PERSISTED cell-partitioned index — the
+    serving shape of ANN at 100 TB: the index is the corpus written
+    partitionBy(cell) (2^GRID_BITS directories), the query batch computes
+    its probe cells (own cell + Hamming-1 flips), and the index scan is
+    FILTERED to those partition values — partition pruning bounds the
+    read to the probed fraction of the stored corpus (the scan-side
+    PartitionFilters is plan-asserted in tests/test_plans.py). The
+    search itself is identical to ann_ivf_grid (same closed-form
+    quantizer + exact-cosine verify), so the DuckDB twin is that query's
+    oracle re-deriving from `embeddings` directly — this row hash-checks
+    that an index round-tripped through partitioned storage serves the
+    same answers. Cell ids get a 'c' prefix on write so the bit-string
+    survives partition-column type inference."""
+    from fast_pdf_parser_spark.operators.relational import (
+        _band_key_sql,
+        _COS_SPARK,
+        _EMB_ELEM_SPARK,
+        _GRID_BAND,
+        _GRID_BITS,
+        _grid_probe_list,
+    )
+    from fast_pdf_parser_spark.plans.checkpoint import _fs_delete
+
+    _prepare(spark, sf_dir)
+    cell = _band_key_sql(_GRID_BAND, _EMB_ELEM_SPARK, _GRID_BITS)
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/tmp/spark_graft_ivf_{sf_name}_{os.getpid()}"
+    _fs_delete(spark, idx)
+    spark.sql(
+        f"""SELECT vec_id, embedding, concat('c', {cell}) AS cell
+            FROM embeddings WHERE vec_id >= 5"""
+    ).write.partitionBy("cell").mode("overwrite").parquet(idx)
+
+    # the distinct probe-cell list is bounded by 2^GRID_BITS values —
+    # collecting it is what turns the probes into a static partition
+    # filter the scan can prune on
+    probe_rows = spark.sql(
+        f"""SELECT DISTINCT probe FROM (
+              SELECT explode(array({_grid_probe_list()})) AS probe
+              FROM (SELECT {cell} AS cell0
+                    FROM embeddings WHERE vec_id < 5))"""
+    ).collect()
+    probes = ["c" + r.probe for r in probe_rows]
+
+    from pyspark.sql import functions as F
+
+    spark.read.parquet(idx).filter(
+        F.col("cell").isin(probes)
+    ).createOrReplaceTempView("ivf_index")
+    topk = spark.sql(f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS e, {cell} AS cell0
+  FROM embeddings WHERE vec_id < 5
+),
+probes AS (
+  SELECT query_id, e, concat('c', probe) AS cell
+  FROM q LATERAL VIEW explode(array({_grid_probe_list()})) t AS probe
+),
+c AS (SELECT vec_id, embedding AS e, cell FROM ivf_index),
+scored AS (
+  SELECT a.query_id, b.vec_id, {_COS_SPARK} AS cos
+  FROM probes a JOIN c b ON b.cell = a.cell
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
+FROM ranked WHERE rank <= 10""")
+    # materialize the tiny top-k before dropping the scratch index — the
+    # returned DataFrame must not depend on deleted files
+    result = spark.createDataFrame(topk.collect(), schema=topk.schema)
+    _fs_delete(spark, idx)
+    return result
 
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -910,4 +989,7 @@ def oracle_sql() -> dict[str, str]:
 
     out = {name: pair["duck"] for name, pair in QUERIES.items()}
     out.update(HYBRID_ORACLES)
+    # the persisted-index serving path returns exactly ann_ivf_grid's
+    # answer set, so it shares that oracle (same closed-form arithmetic)
+    out["ann_ivf_persisted"] = QUERIES["ann_ivf_grid"]["duck"]
     return out

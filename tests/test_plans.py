@@ -241,6 +241,51 @@ def test_mixture_operators_broadcast_budgets_one_corpus_exchange(spark):
             assert "text:string" in read_schema[:200], name
 
 
+def test_persisted_ivf_index_scan_partition_prunes(spark, tmp_path):
+    """The persisted grid-IVF index is parquet partitioned by cell; a
+    probe-filtered read must show the cell predicate as a scan-side
+    PartitionFilter (directories skipped, not rows filtered)."""
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.operators.relational import (
+        _band_key_sql,
+        _EMB_ELEM_SPARK,
+        _GRID_BAND,
+        _GRID_BITS,
+    )
+
+    entrymod._prepare(spark, SF_DIR)
+    cell = _band_key_sql(_GRID_BAND, _EMB_ELEM_SPARK, _GRID_BITS)
+    idx = str(tmp_path / "ivf_index")
+    spark.sql(
+        f"""SELECT vec_id, embedding, concat('c', {cell}) AS cell
+            FROM embeddings WHERE vec_id >= 5"""
+    ).write.partitionBy("cell").parquet(idx)
+    n_cells = spark.read.parquet(idx).select("cell").distinct().count()
+    assert n_cells > 2  # the fixture corpus spans multiple cells
+    probe = spark.read.parquet(idx).select("cell").first().cell
+    served = spark.read.parquet(idx).filter(F.col("cell").isin([probe]))
+    plan = physical(served)
+    assert "PartitionFilters: [" in plan
+    filters = plan.split("PartitionFilters: [", 1)[1].split("]")[0]
+    assert "cell" in filters, plan
+    # and the pruning is real: only the probed partition's rows survive
+    assert served.select("cell").distinct().count() == 1
+
+
+def test_persisted_ivf_serves_same_answers_as_direct_grid(spark):
+    """Round-tripping the corpus through the cell-partitioned index and
+    serving from the pruned scan must return exactly the direct
+    ann_ivf_grid answer set."""
+    entrymod._prepare(spark, SF_DIR)
+    direct = {tuple(r) for r in
+              spark.sql(spark_sql("ann_ivf_grid")).collect()}
+    served = {tuple(r) for r in
+              entrymod._ann_ivf_persisted(spark, SF_DIR).collect()}
+    assert served == direct
+    assert len(served) > 0
+
+
 def test_routed_extraction_plan_shape(spark, wide_corpus):
     """Auto-routed skew tail (ParseOptions.giant_doc_bytes): the union
     plan carries EXACTLY ONE Exchange — the split-path repartition of the
