@@ -273,6 +273,35 @@ def test_persisted_ivf_index_scan_partition_prunes(spark, tmp_path):
     assert served.select("cell").distinct().count() == 1
 
 
+def test_persisted_ivf_index_append_equals_rebuild(spark, tmp_path):
+    """Index maintenance without rebuild: appending a new batch with
+    mode('append') lands its rows in the right cell directories, and the
+    served answers over the appended index equal a from-scratch rebuild
+    over the union — the daily-crawl path for a 1e9-vector index."""
+    from fast_pdf_parser_spark.operators.relational import (
+        _band_key_sql,
+        _EMB_ELEM_SPARK,
+        _GRID_BAND,
+        _GRID_BITS,
+    )
+
+    entrymod._prepare(spark, SF_DIR)
+    cell = _band_key_sql(_GRID_BAND, _EMB_ELEM_SPARK, _GRID_BITS)
+    day0 = str(tmp_path / "day0")
+    full = str(tmp_path / "full")
+    indexed = (f"SELECT vec_id, embedding, concat('c', {cell}) AS cell "
+               f"FROM embeddings WHERE vec_id >= 5")
+    # day 0: even vec_ids only; day 1: append the odd batch
+    spark.sql(indexed + " AND vec_id % 2 = 0") \
+        .write.partitionBy("cell").parquet(day0)
+    spark.sql(indexed + " AND vec_id % 2 = 1") \
+        .write.partitionBy("cell").mode("append").parquet(day0)
+    spark.sql(indexed).write.partitionBy("cell").parquet(full)
+    a = {(r.vec_id, r.cell) for r in spark.read.parquet(day0).collect()}
+    b = {(r.vec_id, r.cell) for r in spark.read.parquet(full).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_persisted_ivf_serves_same_answers_as_direct_grid(spark):
     """Round-tripping the corpus through the cell-partitioned index and
     serving from the pruned scan must return exactly the direct
