@@ -563,7 +563,7 @@ _PRIORITY_QUERIES = [
     "text_bigram_surprisal",
     # new in round 7
     "text_pack_write", "dedup_incremental_near", "text_mixture_sample",
-    "text_mixture_epochs", "ann_ivf_persisted",
+    "text_mixture_epochs", "ann_ivf_persisted", "corpus_datacard",
     # hybrid/stateful rows: their DuckDB twins live in HYBRID_ORACLES (or
     # they are by-design rows-only) — the driver row is their only/primary
     # hard signal, so they never rotate

@@ -1739,6 +1739,64 @@ LEFT JOIN (SELECT lang, count(*) AS tail_docs FROM ranked
 QUERIES["text_mixture_epochs"] = _pair(_MIXTURE_EPOCHS, _MIXTURE_EPOCHS)
 
 
+# Corpus data card — the per-source documentation table a training-data
+# release ships (docs/tokens/duplication/language mix/central tendency),
+# as ONE deterministic query: n_docs, total_toks, dup_docs (docs whose
+# md5(text) occurs more than once corpus-wide — cross-source dups count
+# in every source holding a copy), top_lang (modal lang, count-desc then
+# lang-asc tiebreak), p50_toks (the reference's index-based
+# sorted[(n-1)//2] median discipline, not interpolation — O1's rule).
+# Scale shape: md5-grouped dup counts (never a join on raw text), two
+# grouped aggregates, one per-source rank window for the median, tiny
+# per-source relations broadcast back. Same SQL in both dialects.
+_DATACARD = """WITH tok AS (
+  SELECT doc_id, source, lang, md5(text) AS h,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+hash_counts AS (
+  SELECT h, count(*) AS hc FROM tok GROUP BY h
+),
+ranked AS (
+  SELECT t.source, t.toks,
+         CASE WHEN hc.hc > 1 THEN 1 ELSE 0 END AS is_dup,
+         row_number() OVER (PARTITION BY t.source
+                            ORDER BY t.toks ASC, t.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY t.source) AS cnt
+  FROM tok t JOIN hash_counts hc ON t.h = hc.h
+),
+per_source AS (
+  SELECT source,
+         count(*) AS n_docs,
+         sum(toks) AS total_toks,
+         sum(is_dup) AS dup_docs,
+         max(CASE WHEN rn = CAST(floor((cnt - 1) / 2.0) AS BIGINT) + 1
+                  THEN toks END) AS p50_toks
+  FROM ranked GROUP BY source
+),
+lang_counts AS (
+  SELECT source, lang, count(*) AS lc FROM tok GROUP BY source, lang
+),
+top_lang AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY lc DESC, lang ASC) AS r
+    FROM lang_counts) ranked_langs
+  WHERE r = 1
+)
+SELECT p.source,
+       CAST(p.n_docs AS INT) AS n_docs,
+       CAST(p.total_toks AS INT) AS total_toks,
+       CAST(p.dup_docs AS INT) AS dup_docs,
+       CAST(p.p50_toks AS INT) AS p50_toks,
+       t.top_lang
+FROM per_source p JOIN top_lang t ON p.source = t.source"""
+
+QUERIES["corpus_datacard"] = _pair(_DATACARD, _DATACARD)
+
+
 # Sequence-packing manifest — the concat-then-split packing GPT-style
 # pretraining uses: lay every document's tokens end to end in a canonical
 # order and cut every SEQ tokens; emit, per document, where its tokens

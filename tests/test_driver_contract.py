@@ -253,6 +253,43 @@ def test_mixture_epochs_over_budget_repetition(spark):
     assert out["de"].full_epochs >= 1 and out["fr"].full_epochs >= 1
 
 
+def test_corpus_datacard_dups_median_and_modal_lang(spark):
+    """corpus_datacard: dup_docs counts every holder of a corpus-wide
+    duplicate text (cross-source included), p50_toks is the index-based
+    sorted[(n-1)//2] median, top_lang is the modal language with a
+    deterministic lang-asc tiebreak."""
+    from fast_pdf_parser_spark.operators.relational import spark_sql
+
+    rows = [
+        # srcA: 5 docs, toks 3/5/7/9/11 -> median 7; langs en,en,de,de,fr
+        (0, "a b c", "srcA", "en"),
+        (1, "a b c d e", "srcA", "en"),
+        (2, "a b c d e f g", "srcA", "de"),
+        (3, "a b c d e f g h i", "srcA", "de"),
+        (4, "a b c d e f g h i j k", "srcA", "fr"),
+        # srcB: 2 docs; one duplicates doc 0's text cross-source
+        (5, "a b c", "srcB", "zh"),
+        (6, "x y", "srcB", "zh"),
+        # srcB intra-source dup pair
+        (7, "x y", "srcB", "es"),
+    ]
+    spark.createDataFrame(
+        [(i, t, s, lg, len(t)) for i, t, s, lg in rows],
+        "doc_id long, text string, source string, lang string, n_chars long"
+    ).createOrReplaceTempView("documents")
+    out = {r.source: r
+           for r in spark.sql(spark_sql("corpus_datacard")).collect()}
+    a, b = out["srcA"], out["srcB"]
+    assert (a.n_docs, a.total_toks) == (5, 35)
+    assert a.p50_toks == 7  # sorted[(5-1)//2] = third value
+    assert a.dup_docs == 1  # doc 0's text also lives in srcB
+    # en and de tie at 2 -> lang-asc picks 'de'
+    assert a.top_lang == "de"
+    assert (b.n_docs, b.dup_docs) == (3, 3)  # docs 5 (x-source), 6, 7
+    assert b.p50_toks == 2  # sorted toks [2,2,3] -> index 1
+    assert b.top_lang == "zh"
+
+
 def test_pack_manifest_sharded_prefix_sum_equals_global_window(spark):
     """The distributed (per-shard + base-offset) prefix sum must emit
     byte-identical offsets to the naive single-window packing."""
