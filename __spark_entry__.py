@@ -691,6 +691,7 @@ def _ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         _EMB_ELEM_SPARK,
         _GRID_BAND,
         _GRID_BITS,
+        _GRID_RANKED_TAIL,
         _grid_probe_list,
     )
     from fast_pdf_parser_spark.plans.checkpoint import _fs_delete
@@ -734,14 +735,7 @@ scored AS (
   SELECT a.query_id, b.vec_id, {_COS_SPARK} AS cos
   FROM probes a JOIN c b ON b.cell = a.cell
 ),
-ranked AS (
-  SELECT query_id, vec_id,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY cos DESC, vec_id ASC) AS rank
-  FROM scored
-)
-SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id
-FROM ranked WHERE rank <= 10""")
+{_GRID_RANKED_TAIL}""")
     # materialize the tiny top-k before dropping the scratch index — the
     # returned DataFrame must not depend on deleted files
     result = spark.createDataFrame(topk.collect(), schema=topk.schema)

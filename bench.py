@@ -372,11 +372,17 @@ def main() -> None:
     if headline is not None:
         # the fresh-JVM subprocess wrote its own detail (same filename,
         # SKIP_QUERIES form) — fold its headline spread in before we
-        # overwrite the file with the full-phase detail
+        # overwrite the file with the full-phase detail. Guard: the file
+        # must carry THIS subprocess's median (its own "value"); if the
+        # subprocess's write failed, the path holds a PREVIOUS round's
+        # committed detail and folding its spread in would attach stale
+        # min/max evidence to the new headline.
         try:
             with open(detail_file) as f:
-                sub_spread = json.load(f).get("queries_spread", {})
-            if "pipeline_extract" in sub_spread:
+                sub_detail = json.load(f)
+            sub_spread = sub_detail.get("queries_spread", {})
+            if ("pipeline_extract" in sub_spread
+                    and sub_detail.get("value") == headline["value"]):
                 queries_spread["pipeline_extract"] = \
                     sub_spread["pipeline_extract"]
         except (OSError, ValueError):

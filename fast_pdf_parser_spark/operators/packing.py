@@ -158,6 +158,14 @@ def pack_token_ids(docs: DataFrame, seq_len: int = SEQ_LEN,
     evaluated in both the ids branch and the totals branch (only the
     real encoder needs the separate counting pass below).
 
+    ``num_partitions`` governs the TOKENIZER passes (the Python encode/
+    count folds run on the input partitioning, so input skew there means
+    straggler executors) and is deliberately inert when ``encoded`` is
+    supplied: the first thing the pack does with ``encoded`` is the shard
+    window, whose own hash exchange on ``shard`` already re-distributes
+    the relation — a doc_id repartition in front of it would be a second,
+    wasted shuffle of the full id stream.
+
     Scale note: the shard-offset running sum below is a single-partition
     window, but over the SHARD-TOTALS relation (one row per
     ``shard_width`` docs), not the corpus — at 10^9 docs the default

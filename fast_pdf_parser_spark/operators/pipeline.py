@@ -526,12 +526,21 @@ def doc_bytes_estimate(spans_col: str = "spans"):
     (media spans' NULL text counts 0). The routing analogue of the A2
     token estimate (functions/tokenizer.estimate_tokens) and of the
     reference's memory budget (fast_pdf_parser.h:15-18) — evaluated
-    entirely inside whole-stage codegen, no Python."""
-    return F.aggregate(
-        spans_col,
+    entirely inside whole-stage codegen, no Python.
+
+    NULL-safe: a NULL spans column estimates 0, NOT NULL. Routing
+    filters compare est against the threshold in both directions
+    (`< thr` / `>= thr`); a NULL estimate would fail both predicates
+    and silently drop the document from the routed union, diverging
+    from the unrouted path (which hands the row to the fold)."""
+    return F.coalesce(
+        F.aggregate(
+            spans_col,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.coalesce(F.octet_length(s["text"]), F.lit(0)).cast("long"),
+        ),
         F.lit(0).cast("long"),
-        lambda acc, s: acc
-        + F.coalesce(F.octet_length(s["text"]), F.lit(0)).cast("long"),
     )
 
 

@@ -214,3 +214,29 @@ def test_routed_extraction_byte_identical(spark):
     merged = extract_documents(
         bulk_df, opts, ParseOptions(giant_doc_bytes=thr), split_df=pre)
     assert sorted(tuple(r) for r in merged.collect()) == want
+
+
+def test_doc_bytes_estimate_null_safe(spark):
+    """A NULL spans column must estimate 0, not NULL: the giant-doc
+    routing filters compare the estimate in both directions
+    (`est < thr` / `est >= thr`), and a NULL estimate fails BOTH
+    predicates — the document would vanish from the routed union with no
+    error, while the unrouted path hands the row to the fold (which
+    fails loudly). Review finding, round 7."""
+    from fast_pdf_parser_spark.operators.pipeline import doc_bytes_estimate
+    from fast_pdf_parser_spark.sources.synth import SPANS_DDL
+
+    df = spark.createDataFrame(
+        [("d_null", None),
+         ("d_page", [{"kind": "page", "text": "hello world",
+                      "media_ref": None, "offset": 0}])],
+        schema=SPANS_DDL,
+    )
+    est = dict(df.select("doc_id", doc_bytes_estimate()).collect())
+    assert est["d_null"] == 0  # NOT None
+    assert est["d_page"] == len(b"hello world")
+    # bucket completeness: every row lands in exactly one routing bucket
+    thr = 1
+    bulk = df.filter(doc_bytes_estimate() < thr).count()
+    tail = df.filter(doc_bytes_estimate() >= thr).count()
+    assert bulk + tail == df.count() == 2

@@ -92,10 +92,17 @@ def main() -> None:
     mjvm_reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     lo, hi = ((int(sys.argv[4]), int(sys.argv[5]))
               if len(sys.argv) > 5 else (8, 32))
-    # executor analogue: 1 vs 4 JVMs, each local[hi//4], so its core pair
-    # is (hi//4 -> hi) — for (8,32) that's the r5/r6 4->16 instrument; for
-    # (2,8) it lands on the SAME 2->8 pair as the ladder, inside the
-    # host's linear core-scaling region.
+    # The session's arithmetic requires a 4x leg pair: measure_ceiling
+    # emits only eff_{k}_{4k} ratios, and the lad_ceil lookup below would
+    # otherwise KeyError AFTER the hour-long measurement, discarding it.
+    if hi != 4 * lo:
+        sys.exit(f"legs must be (N, 4N); got ({lo}, {hi})")
+    # executor analogue: 1 vs 4 JVMs, each local[hi//4] — with hi == 4*lo
+    # that is the SAME (lo -> hi) core pair as the in-JVM ladder, so both
+    # instruments and the pure-CPU ceiling speak about one pair. (The
+    # committed BENCH/SCALING_SESSION_r7.json predates this
+    # parameterization and carries the r5/r6 local[4] 4->16 analogue next
+    # to an 8->32 ladder; its methodology string records that.)
     mj_cores = max(1, hi // 4)
     ceil_levels = tuple(sorted({lo, hi, mj_cores, 4 * mj_cores}))
 
@@ -165,8 +172,11 @@ def main() -> None:
     }
     report["session_wall_min"] = round((time.time() - t_start) / 60, 1)
 
-    name = ("SCALING_SESSION_r7.json" if (lo, hi) == (8, 32)
-            else f"SCALING_SESSION_{lo}_{hi}_r7.json")
+    # the name always carries the legs: a rerun must never clobber a
+    # committed artifact that recorded a different instrument (the
+    # legless SCALING_SESSION_r7.json is the frozen pre-parameterization
+    # record — same lesson as the per-config bench detail files, r6)
+    name = f"SCALING_SESSION_{lo}_{hi}_r7.json"
     out_path = os.path.join(REPO, "BENCH", name)
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
