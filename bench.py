@@ -105,8 +105,16 @@ def _headline_subprocess() -> dict | None:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, timeout=3600)
+        if proc.returncode != 0:
+            return None  # failed run: never adopt its wall as official
         line = proc.stdout.strip().splitlines()[-1]
-        return json.loads(line)
+        parsed = json.loads(line)
+        # shape guard: JVM stdout noise can be JSON-parseable without being
+        # a result line; main() dereferences headline["value"] unguarded
+        if not (isinstance(parsed, dict)
+                and isinstance(parsed.get("value"), (int, float))):
+            return None
+        return parsed
     except Exception:
         return None  # fall back to the in-process headline
 

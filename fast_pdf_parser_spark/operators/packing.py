@@ -46,9 +46,9 @@ def encode_token_ids(docs: DataFrame, vocab_path: str | None = None,
     """(doc_id, text, ...) → (doc_id, ids array<int>, n_ids int) via the
     real greedy tokenizer. Zero-shuffle by default; input pruned to
     (doc_id, text); empty/whitespace-only texts are dropped (they pack
-    zero tokens). NOTE: this drop uses full ASCII-whitespace semantics
-    (tab/newline-only docs are dropped, matching the serial reference
-    pack's str.strip()); text_pack_manifest's SQL filter is the
+    zero tokens). NOTE: this drop uses full str.strip() whitespace
+    semantics incl. Unicode (see _pruned), matching the serial reference
+    pack; text_pack_manifest's SQL filter is the
     space-trim proxy — its geometry is a word-count proxy anyway, never
     this module's.
 
@@ -85,13 +85,19 @@ def encode_token_ids(docs: DataFrame, vocab_path: str | None = None,
 
 
 def _pruned(docs: DataFrame) -> DataFrame:
-    # full ASCII-whitespace semantics, matching the serial reference
-    # pack's str.strip() drop (tests/test_packing.py): F.trim strips only
-    # ' ', so a tab/newline-only document would otherwise be kept here but
-    # dropped by the reference — a silent geometry divergence
+    # full str.strip() semantics, matching the serial reference pack's
+    # drop (tests/test_packing.py): F.trim strips only ' ', so a
+    # whitespace-only document would otherwise be kept here but dropped
+    # by the reference — a silent geometry divergence. Python's
+    # str.strip()/isspace() set = the Unicode White_Space property
+    # (covers \t \n \x0B \f \r \xa0 \u2028 \u2029 \x85 ...) PLUS the
+    # C0 separators \x1c-\x1f, which Unicode does NOT mark White_Space
+    # but Python does — hence the explicit union class (advice finding,
+    # round 7: the ASCII-only class missed e.g. a \xa0-only doc).
     return (docs.select("doc_id", "text")
             .filter(F.length(
-                F.regexp_replace("text", r"[ \t\n\x0B\f\r]", "")) > 0))
+                F.regexp_replace("text",
+                                 r"[\p{IsWhite_Space}\x1c-\x1f]", "")) > 0))
 
 
 def _driver_vocab(vocab_path: str | None) -> str | None:

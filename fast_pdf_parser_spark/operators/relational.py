@@ -1668,8 +1668,8 @@ ranked AS (
   FROM tok t JOIN budgets b ON t.source = b.source
 )
 SELECT doc_id, source,
-       CAST(toks AS INT) AS doc_toks,
-       CAST(budget_toks AS INT) AS budget_toks,
+       CAST(toks AS BIGINT) AS doc_toks,
+       CAST(budget_toks AS BIGINT) AS budget_toks,
        CAST(CASE WHEN cum_before < budget_toks THEN 1 ELSE 0 END AS INT)
          AS kept
 FROM ranked"""
@@ -1726,10 +1726,10 @@ ranked AS (
   FROM tok t JOIN epochs e ON t.lang = e.lang
 )
 SELECT e.lang,
-       CAST(e.lang_toks AS INT) AS lang_toks,
-       CAST(e.budget_toks AS INT) AS budget_toks,
+       CAST(e.lang_toks AS BIGINT) AS lang_toks,
+       CAST(e.budget_toks AS BIGINT) AS budget_toks,
        CAST(e.full_epochs AS INT) AS full_epochs,
-       CAST(e.tail_toks AS INT) AS tail_toks,
+       CAST(e.tail_toks AS BIGINT) AS tail_toks,
        CAST(coalesce(td.tail_docs, 0) AS INT) AS tail_docs
 FROM epochs e
 LEFT JOIN (SELECT lang, count(*) AS tail_docs FROM ranked
@@ -1788,7 +1788,7 @@ top_lang AS (
 )
 SELECT p.source,
        CAST(p.n_docs AS INT) AS n_docs,
-       CAST(p.total_toks AS INT) AS total_toks,
+       CAST(p.total_toks AS BIGINT) AS total_toks,
        CAST(p.dup_docs AS INT) AS dup_docs,
        CAST(p.p50_toks AS INT) AS p50_toks,
        t.top_lang

@@ -33,6 +33,29 @@ def test_every_oracle_has_a_query():
     assert set(o) <= set(q)
 
 
+def test_never_windowed_names_are_priority():
+    """r7 verdict What's-wrong #1, made structurally impossible: a query
+    added to QUERIES but not to _PRIORITY_QUERIES can sit outside the
+    driver window for rounds (ann_ivf_int8 shipped in r7 with zero driver
+    CORRECTNESS rows ever). Any queries() name that has never appeared in
+    ANY driver-written CORRECTNESS_r*.json must lead the window until it
+    lands a row."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.abspath(entrymod.__file__))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            seen.update(json.load(f).keys())
+    never_windowed = set(entrymod.queries()) - seen
+    unprioritized = never_windowed - set(entrymod._PRIORITY_QUERIES)
+    assert not unprioritized, (
+        f"never driver-verified and not in _PRIORITY_QUERIES: "
+        f"{sorted(unprioritized)}")
+
+
 def test_rotation_covers_every_name_within_bounded_rounds(monkeypatch):
     """The documented guarantee: every queries() name lands inside the
     driver's _DRIVER_WINDOW within ceil(rest/shown) consecutive rounds,

@@ -29,6 +29,9 @@ TEXTS = [
     "MiXeD CaSe TeXt WiTh OdD sPacing   and\ttabs",
     "\t\n \t\r\n",  # tab/newline-only: dropped (full whitespace strip,
                     # not just F.trim's ASCII-space semantics)
+    "\xa0\u2028\x1c \x85",  # UNICODE-whitespace-only (+C0 seps): Python
+                    # str.strip() drops it, so _pruned must too (r7 advice:
+                    # the ASCII-only regex silently kept it)
 ]
 
 
@@ -45,7 +48,8 @@ def reference_pack(texts, seq_len):
 def docs(spark):
     # doc_ids deliberately sparse + out of insertion order across several
     # prefix-sum shards (shard_width=3 below puts ~2 docs per shard)
-    ids = [7, 2, 11, 23, 5, 17, 31, 13, 29, 3, 19]
+    ids = [7, 2, 11, 23, 5, 17, 31, 13, 29, 3, 19, 37]
+    assert len(ids) == len(TEXTS)  # zip would silently drop new fixtures
     rows = [(i, t) for i, t in zip(ids, TEXTS)]
     return spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -55,10 +59,10 @@ def test_encode_matches_tokenizer_and_roundtrips(docs):
     by_id = {r["doc_id"]: list(r["ids"])
              for r in encode_token_ids(docs).collect()}
     expect = {i: tok.encode(t)
-              for i, t in zip([7, 2, 11, 23, 5, 17, 31, 13, 29, 3, 19], TEXTS)
+              for i, t in zip([7, 2, 11, 23, 5, 17, 31, 13, 29, 3, 19, 37], TEXTS)
               if t.strip()}
     assert by_id == expect
-    for i, t in zip([7, 2, 11, 23, 5, 17, 31, 13, 29, 3, 19], TEXTS):
+    for i, t in zip([7, 2, 11, 23, 5, 17, 31, 13, 29, 3, 19, 37], TEXTS):
         if t.strip():
             assert tok.decode(by_id[i]) == t  # byte fallback inverts
 
@@ -68,7 +72,7 @@ def test_pack_matches_reference_exactly(docs, seq_len):
     got = {r["seq_id"]: r
            for r in pack_token_ids(docs, seq_len=seq_len,
                                    shard_width=3).collect()}
-    order = sorted(zip([7, 2, 11, 23, 5, 17, 31, 13, 29, 3, 19], TEXTS))
+    order = sorted(zip([7, 2, 11, 23, 5, 17, 31, 13, 29, 3, 19, 37], TEXTS))
     want = reference_pack([t for _, t in order], seq_len)
     assert set(got) == set(range(len(want)))
     for s, ids in enumerate(want):
