@@ -1633,10 +1633,18 @@ QUERIES["text_quality_sample"] = _pair(
 # rule as text_bigram_surprisal's 1e6 fixed-point). Scale shape: source
 # totals = one partial-agg scan; weights/budgets = a #sources-row
 # relation joined back (broadcast); the greedy fill = ONE running-sum
-# window hash-partitioned by source (same shape and mega-domain note as
-# text_domain_cap — a totals-prefilter can skip the sort entirely for
-# sources whose whole mass fits their budget). Same SQL text in both
-# dialects.
+# window hash-partitioned by source — taken ONLY by boundary sources.
+# The totals-prefilter (r7 verdict #5, now implemented): a source whose
+# WHOLE mass fits its budget keeps every doc by definition
+# (cum_before <= src_toks - toks < src_toks <= budget), so its rows
+# bypass the sort entirely and only sources that actually overflow
+# their budget take the window. At temperature alpha=0.5 the upweighted
+# small sources — typically most of the source COUNT and, in a
+# long-tailed corpus, much of the mass — skip the window, and the
+# dominant source (one giant hash partition in the naive form) only
+# sorts if it overflows. Output is byte-identical to the unprefiltered
+# form; the pruned shape is plan-asserted in tests/test_plans.py. Same
+# SQL text in both dialects.
 _MIXTURE_SAMPLE = """WITH tok AS (
   SELECT doc_id, source, n_chars,
          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
@@ -1653,11 +1661,16 @@ weights AS (
   FROM totals
 ),
 budgets AS (
-  SELECT source, w_fp,
+  SELECT source, src_toks, w_fp,
          CAST(floor(CAST(w_fp AS DOUBLE) / sum(w_fp) OVER () *
                     floor(CAST(0.5 AS DOUBLE) * sum(src_toks) OVER ()))
               AS BIGINT) AS budget_toks
   FROM weights
+),
+whole AS (
+  SELECT t.doc_id, t.source, t.toks, b.budget_toks
+  FROM tok t JOIN budgets b ON t.source = b.source
+  WHERE b.src_toks <= b.budget_toks
 ),
 ranked AS (
   SELECT t.doc_id, t.source, t.toks, b.budget_toks,
@@ -1666,7 +1679,14 @@ ranked AS (
                            ROWS BETWEEN UNBOUNDED PRECEDING
                            AND CURRENT ROW) - t.toks AS cum_before
   FROM tok t JOIN budgets b ON t.source = b.source
+  WHERE b.src_toks > b.budget_toks
 )
+SELECT doc_id, source,
+       CAST(toks AS BIGINT) AS doc_toks,
+       CAST(budget_toks AS BIGINT) AS budget_toks,
+       CAST(1 AS INT) AS kept
+FROM whole
+UNION ALL
 SELECT doc_id, source,
        CAST(toks AS BIGINT) AS doc_toks,
        CAST(budget_toks AS BIGINT) AS budget_toks,
@@ -1686,7 +1706,10 @@ QUERIES["text_mixture_sample"] = _pair(_MIXTURE_SAMPLE, _MIXTURE_SAMPLE)
 # text_mixture_sample fills its budget, reported as tail_docs. Same
 # fixed-point weight discipline; all divisions are single IEEE ops on
 # exact integers. Scale shape: two aggregate scans + a #groups-row
-# relation + ONE running-sum window by group. Same SQL in both dialects.
+# relation + ONE running-sum window taken only by groups with a nonzero
+# tail (the sample query's totals-prefilter idiom: a zero-tail group
+# fills no tail docs, so it skips the sort; the LEFT JOIN's coalesce
+# already emits its tail_docs = 0). Same SQL in both dialects.
 _MIXTURE_EPOCHS = """WITH tok AS (
   SELECT doc_id, lang, n_chars,
          CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
@@ -1724,6 +1747,7 @@ ranked AS (
                            ROWS BETWEEN UNBOUNDED PRECEDING
                            AND CURRENT ROW) - t.toks AS cum_before
   FROM tok t JOIN epochs e ON t.lang = e.lang
+  WHERE e.tail_toks > 0
 )
 SELECT e.lang,
        CAST(e.lang_toks AS BIGINT) AS lang_toks,

@@ -220,10 +220,11 @@ def test_mixture_operators_broadcast_budgets_one_corpus_exchange(spark):
     and the only SinglePartition exchange is the post-aggregate
     #groups-row weights relation — never the corpus."""
     entrymod._prepare(spark, SF_DIR)
-    # epochs references the tiny budgets CTE twice (ranked join + final
-    # select), so its #groups-row SinglePartition window instantiates
-    # twice — still bounded by the group count, never the corpus
-    for name, key, n_single in (("text_mixture_sample", "source", 1),
+    # both queries reference the tiny budgets CTE twice (whole + ranked
+    # branches / ranked join + final select), so the #groups-row
+    # SinglePartition window instantiates twice — still bounded by the
+    # group count, never the corpus
+    for name, key, n_single in (("text_mixture_sample", "source", 2),
                                 ("text_mixture_epochs", "lang", 2)):
         plan = physical(spark.sql(spark_sql(name)))
         assert "BroadcastHashJoin" in plan, name
@@ -239,6 +240,34 @@ def test_mixture_operators_broadcast_budgets_one_corpus_exchange(spark):
         # corpus scans stay pruned: no scan reads the full row
         for read_schema in plan.split("ReadSchema:")[1:]:
             assert "text:string" in read_schema[:200], name
+
+
+def test_mixture_totals_prefilter_prunes_the_window(spark):
+    """r7 verdict #5: the greedy-fill running-sum window must be taken
+    ONLY by sources that overflow their budget — a fully-kept source's
+    rows bypass the sort via the whole/ranked UNION split, and the
+    boundary predicate must appear as a pushed filter on the broadcast
+    budgets side of each branch."""
+    import re
+
+    entrymod._prepare(spark, SF_DIR)
+    plan = physical(spark.sql(spark_sql("text_mixture_sample")))
+    assert plan.count("Union") == 1
+    # exactly ONE corpus-side running-sum window (partitioned by source
+    # over doc rows); the other Window nodes are the #sources-row budget
+    # computation, which sits above a HashAggregate
+    corpus_windows = [seg for seg in plan.split("Window")[1:]
+                      if "cum_before" in seg[:400]]
+    assert len(corpus_windows) <= 1  # the ranked branch only
+    # the boundary split is pushed as filters on src_toks vs the budget
+    # expression: <= feeds the window-free branch, > feeds the window
+    assert re.search(r"src_toks#\d+L <= FLOOR", plan)
+    assert re.search(r"src_toks#\d+L > FLOOR", plan)
+    # epochs: zero-tail groups skip the window the same way — the
+    # tail_toks > 0 prune shows up expanded ((budget -
+    # floor(budget/mass)*mass) > 0) as a filter on the broadcast side
+    eplan = physical(spark.sql(spark_sql("text_mixture_epochs")))
+    assert re.search(r"\* lang_toks#\d+L\)+ > 0", eplan)
 
 
 def test_persisted_ivf_index_scan_partition_prunes(spark, tmp_path):
