@@ -405,21 +405,27 @@ def _dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_incremental (which is exact-hash only): today's batch (odd ids
     + one-word-mutated clones of even ids, negative ids) is checked for
     NEAR duplicates of the materialized corpus. The corpus is the even
-    half pushed through the REAL bucketed sink and READ BACK; MinHash
-    band signatures (16 seeds, 4x4 bands — the dedup_lsh_pairs family)
-    are derived on read, candidates come from a banded equi-join with
-    the corpus-side mega-bucket cap, and word-set jaccard verifies each
-    candidate (threshold relational.NEAR_INCR_THRESHOLD_X1E4). This is
-    the batch form of the streaming band-claim store
+    half pushed through the REAL bucketed sink (write_bands=True, so the
+    MinHash band-signature table — 16 seeds, 4x4 bands, the
+    dedup_lsh_pairs family — is PERSISTED per bucket at write time) and
+    READ BACK; candidate generation scans ONLY the stored band table
+    (banded equi-join + corpus-side mega-bucket cap — O(batch) per daily
+    increment, never an O(corpus) re-minhash; r7 verdict #1), and
+    word-set jaccard verifies each candidate against the pruned corpus
+    text (threshold relational.NEAR_INCR_THRESHOLD_X1E4). This is the
+    batch form of the streaming band-claim store
     (streaming/ingest.py:269-328). DuckDB re-derives corpus, bands and
     verdicts from `documents` directly, so the whole sink-roundtrip +
-    band + verify chain is value-checked."""
+    stored-band + verify chain is value-checked; stored==derived band
+    equality and the bands-not-text candidate scan are pinned in
+    tests/test_checkpoint.py and tests/test_plans.py."""
     from fast_pdf_parser_spark.operators.relational import (
         _HASH60_SPARK,
-        near_incremental_spark_sql,
+        near_incremental_stored_spark_sql,
     )
     from fast_pdf_parser_spark.plans.checkpoint import (
         _fs_delete,
+        read_band_table,
         write_docs_bucketed,
     )
 
@@ -438,9 +444,12 @@ def _dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     _fs_delete(spark, out)
     _fs_delete(spark, out + "_verdict")
     corpus = write_docs_bucketed(spark, prev, out, run_id="prev",
-                                 num_buckets=2)
+                                 num_buckets=2, write_bands=True)
     corpus.createOrReplaceTempView("incr_near_corpus")
-    verdict = spark.sql(near_incremental_spark_sql("incr_near_corpus"))
+    read_band_table(spark, out).createOrReplaceTempView(
+        "incr_near_corpus_bands")
+    verdict = spark.sql(near_incremental_stored_spark_sql(
+        "incr_near_corpus", "incr_near_corpus_bands"))
     # durable materialization before the scratch delete (the
     # dedup_incremental pattern: localCheckpoint would not survive an
     # executor loss once the corpus files are gone)
@@ -595,6 +604,9 @@ _PRIORITY_QUERIES = [
     # curation miss itself: added to QUERIES in r7 but never to this
     # block, so it has zero driver rows despite being judge-verified.
     "ann_ivf_int8",
+    # re-verify: implementation changed in r8 (now serves candidates from
+    # the sink's persisted band table instead of re-deriving on read)
+    "dedup_incremental_near",
     # hybrid/stateful rows: their DuckDB twins live in HYBRID_ORACLES (or
     # they are by-design rows-only) — the driver row is their only/primary
     # hard signal, so they never rotate

@@ -605,15 +605,59 @@ cmember AS (
 
 
 def near_incremental_spark_sql(corpus_view: str) -> str:
-    """Spark side of dedup_incremental_near: ``corpus_view`` is the
-    READ-BACK materialized corpus (doc_id, clean_text, ...) from
-    write_docs_bucketed — band signatures are derived on read."""
+    """Spark side of dedup_incremental_near with corpus bands DERIVED ON
+    READ — kept as the storage-free form (and as the equality baseline
+    for the stored-band path, tests/test_plans.py), but at 100 TB this
+    re-tokenizes and re-minhashes the ENTIRE corpus per batch; the
+    product path is near_incremental_stored_spark_sql over the band
+    table the sink persists (r7 verdict #1)."""
     return (
         "WITH " + _NEAR_BATCH_CTE + ",\n"
         + f"corpus AS (SELECT doc_id, clean_text AS text "
           f"FROM {corpus_view}),\n"
         + _minhash_band_ctes_spark("batch") + ",\n"
         + _minhash_band_ctes_spark("corpus") + ",\n"
+        + _NEAR_TAIL_SPARK
+    )
+
+
+def band_signatures_spark_sql(view: str, text_col: str = "clean_text") -> str:
+    """(doc_id, band, band_key) MinHash band signatures over any
+    (doc_id, {text_col}) relation — THE band definition (16 seeds, 4x4
+    bands, 60-bit band_key), shared verbatim with every consumer:
+    dedup_minhash_signatures/dedup_lsh_pairs derive it ad hoc, the
+    bucketed sink persists it per bucket at write time
+    (plans/checkpoint.write_docs_bucketed(write_bands=True)), and
+    near_incremental_stored_spark_sql serves candidate generation from
+    the persisted copy. One definition means stored and derived bands
+    are equal by construction (asserted in tests/test_checkpoint.py)."""
+    return (
+        f"WITH corpus AS (SELECT doc_id, {text_col} AS text FROM {view}),\n"
+        + _minhash_band_ctes_spark("corpus")
+        + "\nSELECT doc_id, band, band_key FROM corpus_band"
+    )
+
+
+def near_incremental_stored_spark_sql(corpus_view: str,
+                                      band_view: str) -> str:
+    """Spark side of dedup_incremental_near served from the PERSISTED
+    band table (r7 verdict #1 — the batch twin of the streaming band
+    claim store, streaming/ingest.py): candidate generation scans ONLY
+    ``band_view`` (doc_id, band, band_key — written once per bucket at
+    sink time, O(batch) per daily increment instead of O(corpus)
+    re-minhash), and ``corpus_view``'s text is touched only by the
+    jaccard VERIFY join against the candidate doc_ids. The plan is
+    asserted to keep text out of the candidate side
+    (tests/test_plans.py); the DuckDB twin still re-derives corpus,
+    bands and verdicts from `documents` directly, so the whole
+    sink-roundtrip + stored-band + verify chain stays value-checked."""
+    return (
+        "WITH " + _NEAR_BATCH_CTE + ",\n"
+        + f"corpus AS (SELECT doc_id, clean_text AS text "
+          f"FROM {corpus_view}),\n"
+        + _minhash_band_ctes_spark("batch") + ",\n"
+        + f"corpus_band AS (SELECT doc_id, band, band_key "
+          f"FROM {band_view}),\n"
         + _NEAR_TAIL_SPARK
     )
 

@@ -282,6 +282,7 @@ def write_docs_bucketed(
     run_id: str,
     num_buckets: int = 8,
     fail_on_bucket: int | None = None,  # test hook: simulate a crash
+    write_bands: bool = False,
 ) -> DataFrame:
     """Resume-safe bucketed sink for a cleaned-documents DataFrame with
     schema (doc_id BIGINT, source STRING, split STRING, clean_hash BIGINT,
@@ -302,10 +303,27 @@ def write_docs_bucketed(
        checkpoint: a crash between data and lineage re-writes the bucket
        (overwrite), never skips or duplicates it.
 
+    ``write_bands=True`` additionally persists the MinHash band-signature
+    table (doc_id, band, band_key — relational.band_signatures_spark_sql,
+    the ONE band definition every dedup consumer shares) under
+    ``out/bands/bucket=K/``, derived per bucket from the DURABLE clean
+    copy just written. This is the batch twin of the streaming band claim
+    store (streaming/ingest.py): a daily increment then costs O(batch)
+    band compute at write time, and incremental near-dup
+    (relational.near_incremental_stored_spark_sql) generates candidates
+    by scanning ONLY the stored band columns — never re-minhashing the
+    corpus (r7 verdict #1, the one operation that didn't survive 100 TB).
+    Band files ride the same crash story as the data: bands are written
+    after the bucket's clean data and before its lineage row, so any
+    crash in between re-processes the whole bucket (overwrite) — the band
+    table can never durably disagree with the clean table.
+
     Returns the reader over the written corpus (bucket and split appear
     as partition columns — downstream filters get pruning for free).
+    Read the band table back with ``read_band_table``.
     """
     clean_dir = os.path.join(out_dir, "clean")
+    bands_dir = os.path.join(out_dir, "bands")
     checkpoint_path = os.path.join(out_dir, "checkpoint")
     gates_dir = os.path.join(out_dir, "gates", f"{run_id}_b{num_buckets}")
 
@@ -332,6 +350,25 @@ def write_docs_bucketed(
                 [], schema=("doc_id bigint, source string, split string, "
                             "clean_hash bigint, clean_text string"))
         part.write.mode("overwrite").partitionBy("split").parquet(bdir)
+        if write_bands:
+            # band signatures derived from the DURABLE copy just written
+            # (never from the in-memory lineage — what's on disk is what
+            # downstream batches will dedup against), one bucket at a
+            # time: a daily increment's band compute is O(batch)
+            from fast_pdf_parser_spark.operators.relational import (
+                band_signatures_spark_sql,
+            )
+
+            bands_bdir = os.path.join(bands_dir, f"bucket={bucket}")
+            if bucket in staged_buckets:
+                spark.read.parquet(bdir).createOrReplaceTempView(
+                    "_band_sink_src")
+                bands = spark.sql(
+                    band_signatures_spark_sql("_band_sink_src"))
+            else:
+                bands = spark.createDataFrame(
+                    [], schema="doc_id bigint, band int, band_key bigint")
+            bands.write.mode("overwrite").parquet(bands_bdir)
         if bucket in staged_buckets:
             # lineage metrics read back from the DURABLE copy
             written = spark.read.parquet(bdir)
@@ -361,3 +398,15 @@ def write_docs_bucketed(
         "doc_id bigint, source string, clean_hash bigint, "
         "clean_text string, split string, bucket int"
     ).parquet(clean_dir)
+
+
+def read_band_table(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Reader over the persisted MinHash band table written by
+    ``write_docs_bucketed(write_bands=True)`` — (doc_id, band, band_key)
+    plus the bucket partition column. Explicit schema for the same
+    reason as the corpus reader: an all-empty corpus must read back as
+    an empty DataFrame with the real shape, not a schema-inference
+    error."""
+    return spark.read.schema(
+        "doc_id bigint, band int, band_key bigint, bucket int"
+    ).parquet(os.path.join(out_dir, "bands"))

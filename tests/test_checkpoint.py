@@ -252,3 +252,107 @@ def test_empty_bucket_is_known_empty_not_lost(spark, tmp_path):
     assert len(lin) == 16
     assert sum(r.docs_parsed for r in lin) == 3
     assert sum(1 for r in lin if r.docs_parsed == 0) == 13
+
+
+def _mini_documents(spark, n=24):
+    """Tiny documents view with enough distinct words for band tests."""
+    import pandas as pd
+
+    rows = []
+    for i in range(n):
+        words = [f"w{i}x{j}" for j in range(12)] + ["common", "tail"]
+        rows.append({"doc_id": i, "source": f"s{i % 3}",
+                     "text": " ".join(words)})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    df.createOrReplaceTempView("documents")
+    return df
+
+
+def test_band_sink_stored_equals_derived(spark, tmp_path):
+    """write_docs_bucketed(write_bands=True): the persisted band table is
+    row-identical to band_signatures_spark_sql derived from the written
+    corpus — ONE band definition shared by sink and serve (r7 verdict #1:
+    stored bands must never drift from what on-read derivation yields)."""
+    from fast_pdf_parser_spark.operators.relational import (
+        _HASH60_SPARK,
+        band_signatures_spark_sql,
+        near_incremental_spark_sql,
+        near_incremental_stored_spark_sql,
+    )
+    from fast_pdf_parser_spark.plans.checkpoint import (
+        read_band_table,
+        write_docs_bucketed,
+    )
+
+    _mini_documents(spark)
+    h = _HASH60_SPARK.format(x="text")
+    prev = spark.sql(f"""
+        SELECT doc_id, source, 'train' AS split,
+               {h} AS clean_hash, text AS clean_text
+        FROM documents WHERE doc_id % 2 = 0""")
+    out = str(tmp_path / "band_sink")
+    corpus = write_docs_bucketed(spark, prev, out, run_id="b1",
+                                 num_buckets=3, write_bands=True)
+    corpus.createOrReplaceTempView("band_corpus")
+    stored = read_band_table(spark, out)
+    derived = spark.sql(band_signatures_spark_sql("band_corpus"))
+    s = sorted((r.doc_id, r.band, r.band_key)
+               for r in stored.collect())
+    d = sorted((r.doc_id, r.band, r.band_key)
+               for r in derived.collect())
+    assert s == d and len(s) == corpus.count() * 4  # 16 seeds / 4 per band
+
+    # and the two near-incremental forms (stored-band vs derived-on-read)
+    # produce byte-identical verdicts over the same sink
+    stored.createOrReplaceTempView("band_corpus_bands")
+    via_store = spark.sql(near_incremental_stored_spark_sql(
+        "band_corpus", "band_corpus_bands")).collect()
+    via_derive = spark.sql(
+        near_incremental_spark_sql("band_corpus")).collect()
+    key = lambda r: (r.doc_id, r.near_in_corpus, r.best_jaccard_x1e4)  # noqa: E731
+    assert sorted(map(key, via_store)) == sorted(map(key, via_derive))
+
+
+def test_band_sink_crash_resume_and_empty_bucket(spark, tmp_path):
+    """Bands ride the bucket crash story: a crash re-processes the bucket
+    (bands rewritten with the data, no dupes), and an all-empty corpus
+    reads back an empty band table with the real schema."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from fast_pdf_parser_spark.plans.checkpoint import (
+        read_band_table,
+        write_docs_bucketed,
+    )
+
+    _mini_documents(spark)
+    from fast_pdf_parser_spark.operators.relational import _HASH60_SPARK
+    h = _HASH60_SPARK.format(x="text")
+    prev = spark.sql(f"""
+        SELECT doc_id, source, 'train' AS split,
+               {h} AS clean_hash, text AS clean_text
+        FROM documents WHERE doc_id % 2 = 0""")
+    out = str(tmp_path / "band_crash")
+    with _pytest.raises(RuntimeError, match="simulated failure"):
+        write_docs_bucketed(spark, prev, out, run_id="bc", num_buckets=3,
+                            write_bands=True, fail_on_bucket=1)
+    corpus = write_docs_bucketed(spark, prev, out, run_id="bc",
+                                 num_buckets=3, write_bands=True)
+    stored = read_band_table(spark, out)
+    assert stored.count() == corpus.count() * 4
+    per_doc = stored.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in per_doc), "dupe bands after resume"
+
+    # empty corpus: durable empty band table, real schema
+    empty = spark.createDataFrame(
+        pd.DataFrame(columns=["doc_id", "source", "split", "clean_hash",
+                              "clean_text"]).astype(
+            {"doc_id": "int64", "clean_hash": "int64"}),
+        schema=("doc_id bigint, source string, split string, "
+                "clean_hash bigint, clean_text string"))
+    out2 = str(tmp_path / "band_empty")
+    write_docs_bucketed(spark, empty, out2, run_id="be", num_buckets=2,
+                        write_bands=True)
+    eb = read_band_table(spark, out2)
+    assert eb.count() == 0
+    assert set(eb.columns) == {"doc_id", "band", "band_key", "bucket"}

@@ -361,3 +361,61 @@ def test_routed_extraction_plan_shape(spark, wide_corpus):
     assert "SinglePartition" not in plan
     for read_schema in plan.split("ReadSchema:")[1:]:
         assert "extra" not in read_schema[:200]
+
+
+def test_stored_band_candidate_scan_reads_bands_not_text(spark, tmp_path):
+    """r7 verdict #1's plan gate: with the persisted band table, the
+    near-incremental candidate-generation side must SCAN the stored band
+    columns (doc_id, band, band_key) — the corpus text column may only be
+    read by the jaccard-verify join. Concretely: every FileScan over the
+    bands directory reads the band schema and never clean_text, and at
+    least one such scan exists (candidates really come from storage, not
+    a re-derivation)."""
+    from fast_pdf_parser_spark.operators.relational import (
+        _HASH60_SPARK,
+        near_incremental_stored_spark_sql,
+    )
+    from fast_pdf_parser_spark.plans.checkpoint import (
+        read_band_table,
+        write_docs_bucketed,
+    )
+
+    entrymod._prepare(spark, SF_DIR)
+    h = _HASH60_SPARK.format(x="text")
+    prev = spark.sql(f"""
+        SELECT doc_id, source, 'train' AS split,
+               {h} AS clean_hash, text AS clean_text
+        FROM documents WHERE doc_id % 2 = 0""")
+    out = str(tmp_path / "stored_band_plan")
+    corpus = write_docs_bucketed(spark, prev, out, run_id="p1",
+                                 num_buckets=2, write_bands=True)
+    corpus.createOrReplaceTempView("sbp_corpus")
+    read_band_table(spark, out).createOrReplaceTempView("sbp_bands")
+    plan = physical(spark.sql(near_incremental_stored_spark_sql(
+        "sbp_corpus", "sbp_bands")))
+
+    # identify the stored-band scan by its projected columns (the scan
+    # Location path is truncated in plan toString for long tmp paths)
+    band_scans = 0
+    for seg in plan.split("FileScan parquet")[1:]:
+        cols = seg.split("]", 1)[0]
+        if "band_key#" in cols:
+            band_scans += 1
+            assert "clean_text" not in cols, cols
+            read_schema = seg.split("ReadSchema:", 1)[1][:200] \
+                if "ReadSchema:" in seg else ""
+            assert "band_key" in read_schema, seg[:300]
+            assert "clean_text" not in read_schema, seg[:300]
+    assert band_scans >= 1, plan[:2000]
+    # and the corpus is never re-minhashed for candidates: the signature
+    # chain's two Generate nodes (word split-explode + the constant-
+    # folded seed array explode) appear exactly ONCE each — the batch
+    # side. The derived-on-read form has two of each. (The corpus text
+    # is still projected through array_distinct(split(..)) by the
+    # jaccard VERIFY join — a projection, not an explode.)
+    word_explodes = plan.count("Generate explode(split(text")
+    seed_explodes = plan.count(
+        "Generate explode(org.apache.spark.sql.catalyst.expressions"
+        ".UnsafeArrayData")
+    assert word_explodes == 1, f"corpus re-tokenized: {word_explodes}"
+    assert seed_explodes == 1, f"corpus re-minhashed: {seed_explodes}"
