@@ -167,11 +167,13 @@ def _dedup_clusters_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_clusters(pairs, docs, rank_col="quality_rank")
 
 
-def _warc_files_df(spark: SparkSession) -> DataFrame:
+def _warc_files_df(spark: SparkSession,
+                   docs_sql: str | None = None) -> DataFrame:
     """`documents` → synthesized WARC container files (path, content):
     every document's text wrapped in the boilerplate-HTML shell, framed as
     a real WARC/1.0 response record with an HTTP/1.1 envelope. Shared input
-    stage of warc_extract and warc_clean_write."""
+    stage of warc_extract, warc_clean_write and crawl_increment_e2e
+    (which passes its own batch-synthesis SQL via ``docs_sql``)."""
     import pandas as pd
 
     from fast_pdf_parser_spark.sources.warc import (
@@ -180,7 +182,8 @@ def _warc_files_df(spark: SparkSession) -> DataFrame:
     )
 
     docs = spark.sql(
-        "SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents")
+        docs_sql
+        or "SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents")
 
     def to_warc(batches):
         from fast_pdf_parser_spark.sources.synth import (
@@ -461,6 +464,155 @@ def _dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(vout)
 
 
+def _crawl_increment_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-crawl increment capstone (r7 verdict #3) — every stage of
+    the LLM-data story composed once, end to end, against REAL artifacts:
+
+      0. yesterday's corpus = even-id first-occurrence docs through the
+         band-writing bucketed sink (write_bands=True);
+      1. today's batch = odd ids + exact clones of corpus docs + one-word
+         near clones (negative clone ids), framed as real WARC files and
+         re-parsed by the real WARC reader;
+      2. cleaning gates (within-batch exact dedup + quality + split — the
+         warc_clean_write gates);
+      3. incremental EXACT dedup: LEFT JOIN vs corpus hashes READ BACK;
+      4. incremental NEAR dedup: candidates from the corpus's STORED band
+         table (never re-minhashed), jaccard-verified;
+      5. survivors through the sink again (write_bands=True — they are
+         tomorrow's corpus), count READ BACK from the written files;
+      6. synthetic-encoding pack (ids = 1..n_words, the text_pack_write
+         idiom) through the real distributed pack + shard-partitioned
+         writer, geometry READ BACK;
+      7. the increment sink's lineage rows.
+
+    Returns one (stage, n) row per stage. The DuckDB twin
+    (relational._crawl_increment_oracle_duck) re-derives every count from
+    `documents` arithmetically — WARC framing, both sink round trips, the
+    stored band table and the pack geometry must all agree with pure SQL
+    over the raw corpus or the row hash-mismatches."""
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.operators.packing import (
+        write_packed_sequences,
+    )
+    from fast_pdf_parser_spark.operators.relational import (
+        _HASH60_SPARK,
+        CRAWL_NUM_BUCKETS,
+        CRAWL_SEQ_LEN,
+        crawl_batch_spark_sql,
+        near_verdict_stored_view_sql,
+        warc_gates_sql,
+    )
+    from fast_pdf_parser_spark.plans.checkpoint import (
+        _fs_delete,
+        lineage,
+        read_band_table,
+        write_docs_bucketed,
+    )
+    from fast_pdf_parser_spark.sources.warc import read_warc_documents
+
+    _prepare(spark, sf_dir)
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    base = f"/tmp/spark_graft_crawl_{sf_name}_{os.getpid()}"
+    for suffix in ("_corpus", "_incr", "_pack"):
+        _fs_delete(spark, base + suffix)
+
+    # (0) yesterday's corpus through the band-writing sink
+    h = _HASH60_SPARK.format(x="text")
+    prev = spark.sql(f"""
+        SELECT doc_id, source, 'train' AS split,
+               {h} AS clean_hash, text AS clean_text
+        FROM (SELECT *, row_number() OVER (PARTITION BY {h}
+                                           ORDER BY doc_id ASC) AS rn
+              FROM documents WHERE doc_id % 2 = 0)
+        WHERE rn = 1""")
+    corpus = write_docs_bucketed(spark, prev, base + "_corpus",
+                                 run_id="day0",
+                                 num_buckets=CRAWL_NUM_BUCKETS,
+                                 write_bands=True)
+    corpus.createOrReplaceTempView("crawl_corpus")
+    read_band_table(spark, base + "_corpus").createOrReplaceTempView(
+        "crawl_corpus_bands")
+    n_corpus = corpus.count()
+
+    # (1) today's batch: real WARC framing, real reader
+    parsed = read_warc_documents(
+        _warc_files_df(spark, crawl_batch_spark_sql()))
+    (parsed.filter(F.col("error").isNull())
+     .select(F.element_at(F.split("url", "/"), -1).cast("bigint")
+             .alias("doc_id"),
+             F.col("main_text").alias("text"))
+     .createOrReplaceTempView("crawl_batch_raw"))
+    n_batch = spark.table("crawl_batch_raw").count()
+
+    # (2) cleaning gates
+    spark.sql(warc_gates_sql("crawl_batch_raw")).createOrReplaceTempView(
+        "crawl_batch_clean")
+    n_clean = spark.table("crawl_batch_clean").count()
+
+    # (3) incremental exact dedup vs corpus hashes READ BACK from disk
+    corpus_hashes = (corpus.select(F.col("clean_hash").alias("ch"))
+                     .distinct())
+    bc = spark.table("crawl_batch_clean")
+    exact = (bc.join(corpus_hashes, bc["clean_hash"] == F.col("ch"),
+                     "left")
+             .withColumn("in_corpus",
+                         F.when(F.col("ch").isNotNull(), 1).otherwise(0))
+             .drop("ch"))
+    n_exact_dropped = exact.filter("in_corpus = 1").count()
+    exact0 = exact.filter("in_corpus = 0")
+    (exact0.select("doc_id", F.col("clean_text").alias("text"))
+     .createOrReplaceTempView("crawl_exact_survivors"))
+
+    # (4) incremental near dedup: candidates from the STORED band table
+    near = spark.sql(near_verdict_stored_view_sql(
+        "crawl_exact_survivors", "crawl_corpus", "crawl_corpus_bands"))
+    n_near_dropped = near.filter("near_in_corpus = 1").count()
+
+    # (5) survivors → the sink (write_bands=True: tomorrow's band corpus)
+    surv = (exact0.join(near.filter("near_in_corpus = 1")
+                        .select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", "source", "split", "clean_hash",
+                    "clean_text"))
+    inc = write_docs_bucketed(spark, surv, base + "_incr", run_id="day1",
+                              num_buckets=CRAWL_NUM_BUCKETS,
+                              write_bands=True)
+    n_survivors = inc.count()
+
+    # (6) pack append over the READ-BACK survivors (synthetic encoding:
+    # ids = 1..n_words, SQL-derivable both sides)
+    enc = (inc.filter("length(trim(clean_text)) > 0")
+           .selectExpr(
+               "doc_id",
+               "transform(sequence(1, size(split(trim(clean_text),"
+               " '[ \\t\\n]+'))), i -> CAST(i AS INT)) AS ids",
+               "CAST(size(split(trim(clean_text), '[ \\t\\n]+')) AS INT)"
+               " AS n_ids"))
+    back = write_packed_sequences(inc, base + "_pack",
+                                  seq_len=CRAWL_SEQ_LEN,
+                                  seqs_per_shard=64, shard_width=100,
+                                  encoded=enc)
+    pk = back.agg(F.count("*").alias("n_seqs"),
+                  F.sum("n_tokens").alias("n_toks")).collect()[0]
+    n_seqs, n_toks = int(pk["n_seqs"]), int(pk["n_toks"] or 0)
+
+    # (7) lineage rows of the increment sink
+    n_lineage = (lineage(spark, base + "_incr")
+                 .filter("status = 'done' AND run_id = 'day1'").count())
+
+    rows = [("batch_docs", n_batch), ("batch_clean", n_clean),
+            ("corpus_docs", n_corpus),
+            ("exact_dropped", n_exact_dropped),
+            ("near_dropped", n_near_dropped),
+            ("survivors", n_survivors),
+            ("packed_tokens", n_toks), ("packed_seqs", n_seqs),
+            ("lineage_rows", n_lineage)]
+    result = spark.createDataFrame(rows, schema="stage string, n bigint")
+    for suffix in ("_corpus", "_incr", "_pack"):
+        _fs_delete(spark, base + suffix)
+    return result
+
+
 def _text_pack_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The packed-sequence SINK end to end — the artifact a training run
     opens: a deterministic synthetic encoding (ids = 1..n for the
@@ -604,9 +756,12 @@ _PRIORITY_QUERIES = [
     # curation miss itself: added to QUERIES in r7 but never to this
     # block, so it has zero driver rows despite being judge-verified.
     "ann_ivf_int8",
-    # re-verify: implementation changed in r8 (now serves candidates from
-    # the sink's persisted band table instead of re-deriving on read)
-    "dedup_incremental_near",
+    # re-verify: implementations changed in r8 (near-dup now serves
+    # candidates from the sink's persisted band table; the persisted IVF
+    # row now serves from an APPENDED index)
+    "dedup_incremental_near", "ann_ivf_persisted",
+    # the r8 capstone: the daily-crawl increment composition
+    "crawl_increment_e2e",
     # hybrid/stateful rows: their DuckDB twins live in HYBRID_ORACLES (or
     # they are by-design rows-only) — the driver row is their only/primary
     # hard signal, so they never rotate
@@ -657,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_pack_write"] = _text_pack_write
     out["dedup_incremental_near"] = _dedup_incremental_near
     out["dedup_incremental"] = _dedup_incremental
+    out["crawl_increment_e2e"] = _crawl_increment_e2e
     out["warc_extract"] = _warc_extract
     out["warc_clean_write"] = _warc_clean_write
     out["pipeline_html_extract"] = _pipeline_html
@@ -731,7 +887,18 @@ def _ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-deriving from `embeddings` directly — this row hash-checks
     that an index round-tripped through partitioned storage serves the
     same answers. Cell ids get a 'c' prefix on write so the bit-string
-    survives partition-column type inference."""
+    survives partition-column type inference.
+
+    The index is built INCREMENTALLY (r7 verdict #4): the first corpus
+    half (odd vec_ids) is written mode('overwrite'), the second half
+    (even vec_ids) is APPENDED — mode('append') under partitionBy(cell)
+    lands each new vector's file inside its existing cell directory, so
+    index maintenance is a partition-local file add, never a rebuild.
+    The serve then runs against the appended index, putting the
+    append==rebuild property (tests/test_plans.py pins it) into the
+    driver's hash-checked signal: any row the append path lost,
+    duplicated, or mis-celled would diverge from the DuckDB twin, which
+    knows nothing about the index's construction history."""
     from fast_pdf_parser_spark.operators.relational import (
         _band_key_sql,
         _COS_SPARK,
@@ -750,8 +917,12 @@ def _ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     _fs_delete(spark, idx)
     spark.sql(
         f"""SELECT vec_id, embedding, concat('c', {cell}) AS cell
-            FROM embeddings WHERE vec_id >= 5"""
+            FROM embeddings WHERE vec_id >= 5 AND vec_id % 2 = 1"""
     ).write.partitionBy("cell").mode("overwrite").parquet(idx)
+    spark.sql(
+        f"""SELECT vec_id, embedding, concat('c', {cell}) AS cell
+            FROM embeddings WHERE vec_id >= 5 AND vec_id % 2 = 0"""
+    ).write.partitionBy("cell").mode("append").parquet(idx)
 
     # the distinct probe-cell list is bounded by 2^GRID_BITS values —
     # collecting it is what turns the probes into a static partition

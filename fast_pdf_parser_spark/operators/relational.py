@@ -546,7 +546,10 @@ _NEAR_BATCH_CTE = """batch AS (
 # join, word-set jaccard verify, per-batch-doc verdict. {cmember} differs
 # per dialect (window vs HAVING+join — same reason as dedup_lsh_pairs);
 # {inter}/{uni} are the set-function spellings.
-_NEAR_TAIL = """cand AS (
+# Split into CTE chain + verdict SELECT so the capstone composition
+# (crawl_increment_e2e) can embed the verdict as its own CTE; the
+# standalone form below concatenates them unchanged.
+_NEAR_TAIL_CTES = """cand AS (
   SELECT DISTINCT b.doc_id AS bdoc, c.doc_id AS cdoc
   FROM batch_band b JOIN cmember c
     ON b.band = c.band AND b.band_key = c.band_key
@@ -560,14 +563,17 @@ verified AS (
   FROM cand JOIN bws a ON cand.bdoc = a.doc_id
             JOIN cws c ON cand.cdoc = c.doc_id
   GROUP BY cand.bdoc
-)
-SELECT b.doc_id,
+)"""
+
+_NEAR_VERDICT_SELECT = """SELECT b.doc_id,
        CAST(CASE WHEN coalesce(v.best_j, 0) >= {thr} THEN 1 ELSE 0 END
             AS INT) AS near_in_corpus,
        CAST(coalesce(v.best_j, 0) AS BIGINT) AS best_jaccard_x1e4
 FROM batch b LEFT JOIN verified v ON b.doc_id = v.bdoc"""
 
-_NEAR_TAIL_SPARK = (
+_NEAR_TAIL = _NEAR_TAIL_CTES + "\n" + _NEAR_VERDICT_SELECT
+
+_NEAR_CTES_SPARK = (
     """cmember AS (
   SELECT doc_id, band, band_key FROM (
     SELECT doc_id, band, band_key,
@@ -576,15 +582,19 @@ _NEAR_TAIL_SPARK = (
   WHERE bsize <= {cap}
 ),
 """.format(cap=_NEAR_BUCKET_CAP)
-    + _NEAR_TAIL.format(
+    + _NEAR_TAIL_CTES.format(
         distinct_words="array_distinct(split(text, ' '))",
         inter="size(array_intersect(a.ws, c.ws))",
         uni="size(array_union(a.ws, c.ws))",
-        thr=NEAR_INCR_THRESHOLD_X1E4,
     )
 )
 
-_NEAR_TAIL_DUCK = (
+_NEAR_VERDICT_SPARK = _NEAR_VERDICT_SELECT.format(
+    thr=NEAR_INCR_THRESHOLD_X1E4)
+
+_NEAR_TAIL_SPARK = _NEAR_CTES_SPARK + "\n" + _NEAR_VERDICT_SPARK
+
+_NEAR_CTES_DUCK = (
     """cbuckets AS (
   SELECT band, band_key FROM corpus_band
   GROUP BY band, band_key HAVING count(*) <= {cap}
@@ -595,13 +605,17 @@ cmember AS (
     ON cb.band = s.band AND cb.band_key = s.band_key
 ),
 """.format(cap=_NEAR_BUCKET_CAP)
-    + _NEAR_TAIL.format(
+    + _NEAR_TAIL_CTES.format(
         distinct_words="list_distinct(split(text, ' '))",
         inter="length(list_intersect(a.ws, c.ws))",
         uni="length(list_distinct(list_concat(a.ws, c.ws)))",
-        thr=NEAR_INCR_THRESHOLD_X1E4,
     )
 )
+
+_NEAR_VERDICT_DUCK = _NEAR_VERDICT_SELECT.format(
+    thr=NEAR_INCR_THRESHOLD_X1E4)
+
+_NEAR_TAIL_DUCK = _NEAR_CTES_DUCK + "\n" + _NEAR_VERDICT_DUCK
 
 
 def near_incremental_spark_sql(corpus_view: str) -> str:
@@ -680,6 +694,129 @@ def _near_incremental_duck_sql() -> str:
         + _minhash_band_ctes_duck("batch") + ",\n"
         + _minhash_band_ctes_duck("corpus") + ",\n"
         + _NEAR_TAIL_DUCK
+    )
+
+
+# --- crawl_increment_e2e: the daily-crawl increment capstone ---------------
+# One composition of the whole LLM-data story (r7 verdict #3): today's
+# crawl batch (odd ids + exact clones of corpus docs + near clones) →
+# WARC framing → the real WARC reader → cleaning gates (within-batch
+# dedup + quality + split) → incremental EXACT dedup vs the materialized
+# corpus hashes → incremental NEAR dedup vs the corpus's STORED band
+# table → survivors through the bucketed sink (write_bands=True: they
+# become tomorrow's band corpus) → synthetic-encoding pack append to
+# shard-partitioned training files → lineage. Spark runs the real
+# artifacts (counts READ BACK from written files); DuckDB re-derives
+# every stage count from `documents` arithmetically in ONE statement.
+_CRAWL_BATCH_CTE = """batch_raw AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT -(doc_id + 1) AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT -(doc_id + 1) AS doc_id, concat(text, ' znearq') AS text
+  FROM documents WHERE doc_id % 4 = 2
+)"""
+
+CRAWL_SEQ_LEN = 128
+CRAWL_NUM_BUCKETS = 2
+
+
+def crawl_batch_spark_sql() -> str:
+    """Today's synthetic crawl batch (the WARC framing input): the odd
+    half plus exact clones of corpus (doc_id%4==0) docs and one-word-
+    mutated near clones of doc_id%4==2 docs, clone ids negative (the
+    _NEAR_BATCH_CTE discipline). Same CTE text feeds the DuckDB twin."""
+    return "WITH " + _CRAWL_BATCH_CTE + "\nSELECT doc_id, text FROM batch_raw"
+
+
+def near_verdict_stored_view_sql(batch_view: str, corpus_view: str,
+                                 band_view: str) -> str:
+    """Near-dup verdicts for an ARBITRARY batch view against the stored
+    band table — near_incremental_stored_spark_sql generalized over the
+    batch relation (the capstone's batch is its exact-dedup survivors)."""
+    return (
+        f"WITH batch AS (SELECT doc_id, text FROM {batch_view}),\n"
+        + f"corpus AS (SELECT doc_id, clean_text AS text "
+          f"FROM {corpus_view}),\n"
+        + _minhash_band_ctes_spark("batch") + ",\n"
+        + f"corpus_band AS (SELECT doc_id, band, band_key "
+          f"FROM {band_view}),\n"
+        + _NEAR_TAIL_SPARK
+    )
+
+
+def _crawl_increment_oracle_duck() -> str:
+    """DuckDB re-derivation of every crawl_increment_e2e stage count from
+    `documents`: the WARC round trip, the sink round trips, the stored
+    band table and the pack geometry must all agree with pure arithmetic
+    over the raw corpus — a framing bug, band drift, a lost/duplicated
+    survivor or a pack off-by-one shifts a count and hash-mismatches."""
+    h = _HASH60_DUCK.format(x="text")
+    corpus = f"""corpus AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY {h} ORDER BY doc_id ASC) AS rn
+    FROM documents WHERE doc_id % 2 = 0) t
+  WHERE rn = 1
+)"""
+    gates = _WARC_GATES_CTES.format(
+        src="batch_raw",
+        nwords="length(split(text, ' '))",
+        ndistinct="length(list_distinct(split(text, ' ')))",
+        h=h,
+    )
+    toks = "length(regexp_split_to_array(trim(text), '[ \\t\\n]+'))"
+    return (
+        "WITH " + _CRAWL_BATCH_CTE + ",\n"
+        + corpus + ",\n"
+        + gates + ",\n"
+        + "batch_clean AS (\n" + _WARC_GATES_SELECT + "\n),\n"
+        + f"""corpus_hashes AS (SELECT DISTINCT {h} AS ch FROM corpus),
+exact_flag AS (
+  SELECT bc.doc_id, bc.clean_hash, bc.clean_text,
+         CASE WHEN h2.ch IS NOT NULL THEN 1 ELSE 0 END AS in_corpus
+  FROM batch_clean bc
+  LEFT JOIN corpus_hashes h2 ON bc.clean_hash = h2.ch
+),
+batch AS (SELECT doc_id, clean_text AS text FROM exact_flag
+          WHERE in_corpus = 0),
+"""
+        + _minhash_band_ctes_duck("batch") + ",\n"
+        + _minhash_band_ctes_duck("corpus") + ",\n"
+        + _NEAR_CTES_DUCK + ",\n"
+        + "near AS (\n" + _NEAR_VERDICT_DUCK + "\n),\n"
+        + f"""survivors AS (
+  SELECT b.doc_id, b.text FROM batch b JOIN near n ON b.doc_id = n.doc_id
+  WHERE n.near_in_corpus = 0
+),
+surv_tok AS (
+  SELECT {toks} AS toks FROM survivors WHERE length(trim(text)) > 0
+)
+SELECT 'batch_docs' AS stage, CAST(count(*) AS BIGINT) AS n FROM batch_raw
+UNION ALL
+SELECT 'batch_clean' AS stage, CAST(count(*) AS BIGINT) AS n
+FROM batch_clean
+UNION ALL
+SELECT 'corpus_docs' AS stage, CAST(count(*) AS BIGINT) AS n FROM corpus
+UNION ALL
+SELECT 'exact_dropped' AS stage, CAST(count(*) AS BIGINT) AS n
+FROM exact_flag WHERE in_corpus = 1
+UNION ALL
+SELECT 'near_dropped' AS stage, CAST(count(*) AS BIGINT) AS n
+FROM near WHERE near_in_corpus = 1
+UNION ALL
+SELECT 'survivors' AS stage, CAST(count(*) AS BIGINT) AS n FROM survivors
+UNION ALL
+SELECT 'packed_tokens' AS stage,
+       CAST(coalesce(sum(toks), 0) AS BIGINT) AS n FROM surv_tok
+UNION ALL
+SELECT 'packed_seqs' AS stage,
+       CAST((coalesce(sum(toks), 0) + {CRAWL_SEQ_LEN - 1})
+            // {CRAWL_SEQ_LEN} AS BIGINT) AS n
+FROM surv_tok
+UNION ALL
+SELECT 'lineage_rows' AS stage,
+       CAST({CRAWL_NUM_BUCKETS} AS BIGINT) AS n"""
     )
 
 
@@ -2361,7 +2498,10 @@ FROM documents"""
 # legitimate because warc_extract's oracle proves extracted == text) can
 # never drift. Scale shape: one scan + ONE hash window (the dedup rank);
 # gate + split are inline expressions.
-_WARC_GATES_BODY = """WITH gated AS (
+# CTE chain + final SELECT split (the _NEAR_TAIL idiom) so the capstone
+# composition can embed the gates as its own CTE; the standalone body
+# concatenates them unchanged.
+_WARC_GATES_CTES = """gated AS (
   SELECT doc_id, text,
          {nwords} AS nw,
          {ndistinct} AS nd,
@@ -2372,13 +2512,16 @@ dedup AS (
   SELECT *, row_number() OVER (PARTITION BY md5(text)
                                ORDER BY doc_id ASC) AS rn
   FROM gated
-)
-SELECT doc_id, 'warc' AS source,
+)"""
+
+_WARC_GATES_SELECT = """SELECT doc_id, 'warc' AS source,
        CASE WHEN h % 100 < 98 THEN 'train'
             WHEN h % 100 = 98 THEN 'valid' ELSE 'test' END AS split,
        h AS clean_hash, text AS clean_text
 FROM dedup
 WHERE rn = 1 AND nw >= 50 AND nd * CAST(1.0 AS DOUBLE) / nw > 0.1"""
+
+_WARC_GATES_BODY = ("WITH " + _WARC_GATES_CTES + "\n" + _WARC_GATES_SELECT)
 
 
 def warc_gates_sql(view: str) -> str:
@@ -2561,6 +2704,12 @@ FROM documents""",
     # per-split counts + byte totals READ BACK from disk; the oracle
     # re-derives the same totals from `documents` directly
     "warc_clean_write": _warc_clean_oracle_duck(),
+    # daily-crawl increment capstone (__spark_entry__._crawl_increment_e2e):
+    # WARC batch → gates → incremental exact+near dedup vs the stored
+    # corpus (bands from the sink) → sink + pack append; Spark reports
+    # stage counts READ BACK from written artifacts, DuckDB re-derives
+    # them all from `documents` in one statement
+    "crawl_increment_e2e": _crawl_increment_oracle_duck(),
     # batch-incremental NEAR-dup (__spark_entry__._dedup_incremental_near):
     # the Spark side derives band signatures from the corpus READ BACK
     # from the real bucketed sink; the oracle re-derives corpus, bands and
