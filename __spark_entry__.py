@@ -762,6 +762,8 @@ _PRIORITY_QUERIES = [
     "dedup_incremental_near", "ann_ivf_persisted",
     # the r8 capstone: the daily-crawl increment composition
     "crawl_increment_e2e",
+    # new in r8: SemDeDup cell-centroid tier + its recall-report tier
+    "dedup_semantic_cells", "ann_recall_report",
     # hybrid/stateful rows: their DuckDB twins live in HYBRID_ORACLES (or
     # they are by-design rows-only) — the driver row is their only/primary
     # hard signal, so they never rotate

@@ -2848,6 +2848,7 @@ def names() -> list[str]:
 # similarity.hyperplane_terms (md5-seeded), so both dialects — and the
 # DataFrame API in operators/similarity.py — bucket identically.
 from fast_pdf_parser_spark.operators.similarity import (  # noqa: E402
+    EMB_DIM as _EMB_DIM,
     GRID_BAND as _GRID_BAND,
     GRID_BITS as _GRID_BITS,
     LSH_BANDS as _EMB_BANDS,
@@ -3099,6 +3100,88 @@ QUERIES["embed_cluster_cap"] = _pair(
 )
 
 
+# SemDeDup-style semantic dedup over the grid-IVF cells (Abbas et al.
+# 2023, public): within each quantizer cell, vectors semantically close
+# to the CELL CENTROID form a near-group; keep the single best
+# representative (highest cos-to-centroid, vec_id tiebreak) and drop the
+# rest — the embedding-level dedup tier the exact/MinHash/SimHash/
+# pairwise-cosine family lacks. Candidate generation is cell-bounded by
+# construction (the same cells the persisted IVF index is partitioned
+# by), never all-pairs. Determinism discipline: components quantize to
+# 1e4 fixed-point BIGINTs, the centroid is the exact per-cell component
+# SUM (cosine is scale-invariant, so sum == mean — no division in the
+# aggregate), dot/norms are exact BIGINT sums, and the only float ops
+# are single IEEE sqrt/divide/multiply/floor steps on exact integers —
+# the text_bigram/mixture rule. Threshold 0.4 (x1e4) is tuned to the
+# synthetic corpus (random embeddings have low centroid affinity; real
+# text embeddings would use ~0.95). Scale shape: two grouped aggregates
+# over (cell, pos) / (vec, pos) + one rank window by cell; exact BIGINT
+# sums hold to ~1e8 vectors per cell at 1e4 scale before the dot risks
+# BIGINT range — beyond that, re-scale the fixed point per shard.
+SEMDEDUP_THRESHOLD_X1E4 = 4000
+
+_SEMDEDUP_BODY = """WITH cells AS (
+  SELECT vec_id, embedding, {cell} AS cell FROM embeddings
+),
+comps AS (
+  SELECT vec_id, cell, pos,
+         CAST(floor(CAST({elem_pos} AS DOUBLE) * 10000
+              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vf
+  FROM cells{pos_join}
+),
+sums AS (
+  SELECT cell, pos, sum(vf) AS sf FROM comps GROUP BY cell, pos
+),
+scores AS (
+  SELECT c.vec_id, c.cell,
+         sum(c.vf * s.sf) AS dot,
+         sum(c.vf * c.vf) AS nv2
+  FROM comps c JOIN sums s ON c.cell = s.cell AND c.pos = s.pos
+  GROUP BY c.vec_id, c.cell
+),
+cellnorm AS (
+  SELECT cell, sum(sf * sf) AS ns2 FROM sums GROUP BY cell
+),
+cosed AS (
+  SELECT sc.vec_id, sc.cell,
+         CASE WHEN sc.nv2 = 0 OR cn.ns2 = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(CAST(sc.dot AS DOUBLE)
+                   / (sqrt(CAST(sc.nv2 AS DOUBLE))
+                      * sqrt(CAST(cn.ns2 AS DOUBLE)))
+                   * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         END AS cos_centroid_x1e4
+  FROM scores sc JOIN cellnorm cn ON sc.cell = cn.cell
+),
+ranked AS (
+  SELECT vec_id, cell, cos_centroid_x1e4,
+         row_number() OVER (
+           PARTITION BY cell,
+                        CASE WHEN cos_centroid_x1e4 >= {thr}
+                             THEN 1 ELSE 0 END
+           ORDER BY cos_centroid_x1e4 DESC, vec_id ASC) AS grp_rank
+  FROM cosed
+)
+SELECT vec_id, cell, cos_centroid_x1e4,
+       CAST(CASE WHEN cos_centroid_x1e4 < {thr} OR grp_rank = 1
+                 THEN 1 ELSE 0 END AS INT) AS semdedup_keep
+FROM ranked"""
+
+QUERIES["dedup_semantic_cells"] = _pair(
+    _SEMDEDUP_BODY.format(
+        cell=_band_key_sql(_GRID_BAND, _EMB_ELEM_SPARK, _GRID_BITS),
+        elem_pos="element_at(embedding, pos)",
+        pos_join=f" LATERAL VIEW explode(sequence(1, {_EMB_DIM})) t AS pos",
+        thr=SEMDEDUP_THRESHOLD_X1E4,
+    ),
+    _SEMDEDUP_BODY.format(
+        cell=_band_key_sql(_GRID_BAND, _EMB_ELEM_DUCK, _GRID_BITS),
+        elem_pos="embedding[pos]",
+        pos_join=f", unnest(range(1, {_EMB_DIM + 1})) AS t(pos)",
+        thr=SEMDEDUP_THRESHOLD_X1E4,
+    ),
+)
+
+
 QUERIES["ann_ivf_grid"] = _pair(
     f"""WITH {_grid_head(_EMB_ELEM_SPARK)},
 probes AS (
@@ -3276,14 +3359,18 @@ QUERIES["ann_ivf_int8"] = _pair(_IVF_INT8_SPARK, _IVF_INT8_DUCK)
 # corpus). That contrast is the point of the report: bucketed ANN is a
 # scale path for clustered data, not a substitute ranking on noise.
 def _recall_sql(exact: str, lsh: str, grid: str, int8: str,
-                ivf_int8: str) -> str:
+                ivf_int8: str, semdedup: str) -> str:
     """The 'int8' tier (added r6) measures the quantization recall cost:
     int8 top-10 vs the FLOAT exact baseline — the number that tells you
     whether the 4x-smaller vectors changed the answers. The 'ivf_int8'
     tier (r7) composes quantization INTO the bucketed scale path: grid
     cells and cosines both computed from dequantized-int8 vectors, scored
     against the float exact baseline — quantization error + probe miss in
-    one number."""
+    one number. The 'semdedup' tier (r8) quantifies what cell-centroid
+    semantic dedup REMOVES in retrieval terms: hits = how many of each
+    query's exact top-10 neighbors survive dedup_semantic_cells
+    (semdedup_keep = 1) — recall lost here is corpus the dedup tier
+    deleted, not a probe miss."""
     return f"""WITH exact AS (
 {exact}
 ),
@@ -3298,6 +3385,11 @@ int8 AS (
 ),
 ivf_int8 AS (
 {ivf_int8}
+),
+semk AS (
+  SELECT vec_id FROM (
+{semdedup}
+  ) z WHERE semdedup_keep = 1 AND vec_id >= 5
 ),
 per AS (
   SELECT 'lsh' AS tier, e.query_id, CAST(3 AS INT) AS k,
@@ -3327,6 +3419,12 @@ per AS (
   LEFT JOIN ivf_int8 v
     ON v.query_id = e.query_id AND v.neighbor_id = e.neighbor_id
   GROUP BY e.query_id
+  UNION ALL
+  SELECT 'semdedup' AS tier, e.query_id, CAST(10 AS INT) AS k,
+         CAST(count(s.vec_id) AS INT) AS hits
+  FROM exact e
+  LEFT JOIN semk s ON s.vec_id = e.neighbor_id
+  GROUP BY e.query_id
 )
 SELECT tier, query_id, k, hits,
        CAST(floor(hits * CAST(10000.0 AS DOUBLE) / k
@@ -3337,10 +3435,10 @@ FROM per"""
 QUERIES["ann_recall_report"] = _pair(
     _recall_sql(_ANN_SPARK, QUERIES["ann_lsh_topk"]["spark"],
                 QUERIES["ann_ivf_grid"]["spark"], _INT8_ANN_SPARK,
-                _IVF_INT8_SPARK),
+                _IVF_INT8_SPARK, QUERIES["dedup_semantic_cells"]["spark"]),
     _recall_sql(_ANN_DUCK, QUERIES["ann_lsh_topk"]["duck"],
                 QUERIES["ann_ivf_grid"]["duck"], _INT8_ANN_DUCK,
-                _IVF_INT8_DUCK),
+                _IVF_INT8_DUCK, QUERIES["dedup_semantic_cells"]["duck"]),
 )
 
 

@@ -216,7 +216,7 @@ def test_recall_report_planted_structure_vs_noise(spark):
         .createOrReplaceTempView("embeddings")
     rep = [(r.tier, r.query_id, r.hits, r.k)
            for r in spark.sql(spark_sql("ann_recall_report")).collect()]
-    assert len(rep) == 20  # 4 tiers x 5 queries
+    assert len(rep) == 25  # 5 tiers x 5 queries
     assert all(h == 0 for t, _, h, _ in rep if t == "lsh")
     grid = [h for t, _, h, _ in rep if t == "grid"]
     assert sum(grid) > 0 and all(h <= 10 for h in grid)
@@ -226,3 +226,46 @@ def test_recall_report_planted_structure_vs_noise(spark):
     # same probe misses as grid, plus (tiny) quantization error on top
     ivf8 = [h for t, _, h, _ in rep if t == "ivf_int8"]
     assert len(ivf8) == 5 and sum(ivf8) > 0 and all(h <= 10 for h in ivf8)
+    # semdedup = survival of the exact top-10 after cell-centroid
+    # semantic dedup: most neighbors are kept (the tier removes near-
+    # centroid redundancy, not the whole cell), but it must remove
+    # SOMETHING on this corpus (threshold tuned so near-groups exist)
+    sem = [h for t, _, h, _ in rep if t == "semdedup"]
+    assert len(sem) == 5 and all(h <= 10 for h in sem), rep
+    assert sum(sem) >= 30, rep  # most of the top-10 survives
+
+
+def test_semdedup_keeps_one_representative_per_near_group(spark):
+    """dedup_semantic_cells semantics: within every cell, vectors at or
+    above the cos-to-centroid threshold form ONE near-group of which
+    exactly one survives (the highest-cos, vec_id tiebreak); everything
+    below threshold is kept untouched; and on the driver corpus the tier
+    actually removes something (threshold is tuned to make the operator
+    exercise, not vacuously pass)."""
+    from fast_pdf_parser_spark.operators.relational import (
+        SEMDEDUP_THRESHOLD_X1E4,
+        spark_sql,
+    )
+
+    spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .createOrReplaceTempView("embeddings")
+    rows = spark.sql(spark_sql("dedup_semantic_cells")).collect()
+    assert len(rows) == 500
+    by_cell: dict[str, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    dropped = 0
+    for cell, rs in by_cell.items():
+        above = [r for r in rs if
+                 r.cos_centroid_x1e4 >= SEMDEDUP_THRESHOLD_X1E4]
+        below = [r for r in rs if
+                 r.cos_centroid_x1e4 < SEMDEDUP_THRESHOLD_X1E4]
+        assert all(r.semdedup_keep == 1 for r in below), cell
+        if above:
+            keepers = [r for r in above if r.semdedup_keep == 1]
+            assert len(keepers) == 1, cell
+            best = max(above,
+                       key=lambda r: (r.cos_centroid_x1e4, -r.vec_id))
+            assert keepers[0].vec_id == best.vec_id, cell
+            dropped += len(above) - 1
+    assert dropped > 0  # the tier removes something on this corpus
