@@ -172,11 +172,17 @@ def main() -> None:
     }
     report["session_wall_min"] = round((time.time() - t_start) / 60, 1)
 
-    # the name always carries the legs: a rerun must never clobber a
-    # committed artifact that recorded a different instrument (the
-    # legless SCALING_SESSION_r7.json is the frozen pre-parameterization
-    # record — same lesson as the per-config bench detail files, r6)
-    name = f"SCALING_SESSION_{lo}_{hi}_r7.json"
+    # the name always carries the legs AND the round: a rerun must never
+    # clobber a committed artifact that recorded a different instrument
+    # or a different round's box state (the hardcoded r7 tag would have
+    # silently overwritten the committed r7 record in round 8 — same
+    # lesson as the per-config bench detail files, r6). Round = driver
+    # CORRECTNESS files + 1, overridable for ad-hoc runs.
+    import glob
+
+    tag = os.environ.get("SPARK_GRAFT_SCALING_TAG") or "r{}".format(
+        len(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))) + 1)
+    name = f"SCALING_SESSION_{lo}_{hi}_{tag}.json"
     out_path = os.path.join(REPO, "BENCH", name)
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
