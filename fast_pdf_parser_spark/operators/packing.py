@@ -94,10 +94,13 @@ def _pruned(docs: DataFrame) -> DataFrame:
     # C0 separators \x1c-\x1f, which Unicode does NOT mark White_Space
     # but Python does — hence the explicit union class (advice finding,
     # round 7: the ASCII-only class missed e.g. a \xa0-only doc).
+    # rlike (find-first, short-circuits at the first non-whitespace char)
+    # instead of length(regexp_replace(..)) > 0, which rewrites the WHOLE
+    # document per row — the replace form cost text_encode_pack ~50% wall
+    # at sf0.1 when this class went Unicode.
     return (docs.select("doc_id", "text")
-            .filter(F.length(
-                F.regexp_replace("text",
-                                 r"[\p{IsWhite_Space}\x1c-\x1f]", "")) > 0))
+            .filter(F.col("text").rlike(
+                r"[^\p{IsWhite_Space}\x1c-\x1f]")))
 
 
 def _driver_vocab(vocab_path: str | None) -> str | None:
