@@ -756,6 +756,9 @@ _PRIORITY_QUERIES = [
     # curation miss itself: added to QUERIES in r7 but never to this
     # block, so it has zero driver rows despite being judge-verified.
     "ann_ivf_int8",
+    # new in round 8 (second session): interleaved multimodal sequence
+    # packing and the deterministic per-epoch training-order shuffle
+    "multimodal_pack_interleaved", "text_shard_shuffle",
     # re-verify: implementations changed in r8 (near-dup now serves
     # candidates from the sink's persisted band table; the persisted IVF
     # row now serves from an APPENDED index)

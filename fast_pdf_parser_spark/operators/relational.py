@@ -2059,6 +2059,181 @@ QUERIES["text_pack_manifest"] = _pair(
 )
 
 
+# Interleaved multimodal sequence packing — the multimodal twin of
+# text_pack_manifest and the op that closes the graft's interleaved-span
+# story end to end: extraction EMITS ordered (text|media) span sequences
+# (reference src/pdf_parser.cpp emits text interleaved with image XObject
+# refs in document order); training-data assembly must PACK them into
+# fixed-budget sequences where a media span costs a fixed patch-token
+# budget (ViT-style: one image = IMG_TOKS tokens) and an image can never
+# be split across two training sequences. Spans are derived here as a
+# deterministic scalar expression over `documents` (fixed 200-char text
+# windows; a media span follows window i iff (doc_id*31+i)%3=0), so BOTH
+# engines build the identical interleaved corpus with ZERO shuffle — no
+# explode, no per-span rows: each doc's span layout, token cost and media
+# count are higher-order-function scalars (transform/aggregate in Spark,
+# list_transform/list_sum in DuckDB).
+#
+# Packing semantics: documents are atomic (a doc's interleaved spans stay
+# contiguous and in order — the unit a multimodal SFT loader consumes);
+# doc -> sequence assignment is by global start offset (seq_id =
+# floor(start/BUDGET)) over the doc_id-ordered cost stream, computed with
+# the SAME per-shard prefix-sum discipline as text_pack_manifest: shard
+# windows in parallel, a one-row-per-shard totals relation, a broadcast
+# join back — no corpus-wide window or sort. A sequence may overflow
+# BUDGET by at most one document's cost (boundary doc joins the sequence
+# its start falls in) — the document-contiguous budget-boundary packing;
+# images are whole by construction. layout_md5 hash-pins the exact
+# interleaved (kind, token-length) layout of every sequence in doc order.
+_IPACK_W = 200        # chars per derived text span
+_IPACK_IMG = 64       # patch tokens per media span
+_IPACK_BUDGET = 512   # token budget per packed sequence
+
+_IPACK_TAIL = """local_sums AS (
+  SELECT doc_id, shard, text_toks, media_toks, n_media, layout,
+         text_toks + media_toks AS cost,
+         sum(text_toks + media_toks) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS local_end
+  FROM docs
+),
+shard_totals AS (
+  SELECT shard, sum(text_toks + media_toks) AS shard_tokens
+  FROM docs GROUP BY shard
+),
+shard_offsets AS (
+  SELECT shard,
+         COALESCE(sum(shard_tokens) OVER (ORDER BY shard
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS shard_start
+  FROM shard_totals
+),
+placed AS (
+  SELECT l.doc_id, l.text_toks, l.media_toks, l.n_media, l.cost, l.layout,
+         CAST(floor((o.shard_start + l.local_end - l.cost) / {budget}.0)
+              AS BIGINT) AS seq_id
+  FROM local_sums l JOIN shard_offsets o ON l.shard = o.shard
+)
+SELECT seq_id,
+       CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(n_media) AS INT) AS n_media,
+       CAST(sum(text_toks) AS BIGINT) AS text_toks,
+       CAST(sum(media_toks) AS BIGINT) AS media_toks,
+       CAST(sum(cost) AS BIGINT) AS seq_cost,
+       md5({layout_agg}) AS layout_md5
+FROM placed GROUP BY seq_id"""
+
+_IPACK_SPARK_DOCS = """docs AS (
+  SELECT doc_id,
+         CAST(floor(doc_id / 100.0) AS BIGINT) AS shard,
+         aggregate(pieces, CAST(0 AS BIGINT), (a, p) -> a + p.toks)
+           AS text_toks,
+         CAST({img} AS BIGINT) * size(filter(pieces, p -> p.media = 1))
+           AS media_toks,
+         CAST(size(filter(pieces, p -> p.media = 1)) AS INT) AS n_media,
+         array_join(transform(pieces,
+             p -> concat('T', CAST(p.toks AS STRING),
+                         CASE WHEN p.media = 1 THEN 'M' ELSE '' END)), '')
+           AS layout
+  FROM (
+    SELECT doc_id,
+           transform(sequence(0, CAST(ceil(length(text) / {w}.0) AS INT) - 1),
+             i -> struct(
+               CASE WHEN length(trim(substr(text, i * {w} + 1, {w}))) = 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST(size(split(trim(substr(text, i * {w} + 1, {w})),
+                                         '[ \\t\\n]+')) AS BIGINT) END AS toks,
+               CASE WHEN (doc_id * 31 + i) % 3 = 0 THEN 1 ELSE 0 END
+                 AS media)) AS pieces
+    FROM documents WHERE length(trim(text)) > 0
+  ) spanned
+),
+"""
+
+_IPACK_DUCK_DOCS = r"""docs AS (
+  SELECT doc_id,
+         CAST(floor(doc_id / 100.0) AS BIGINT) AS shard,
+         CAST(COALESCE(list_sum(list_transform(gs,
+             i -> CASE WHEN length(trim(substr(text, i * {w} + 1, {w}))) = 0
+                       THEN 0
+                       ELSE length(regexp_split_to_array(
+                                trim(substr(text, i * {w} + 1, {w})),
+                                '[ \t\n]+')) END)), 0) AS BIGINT) AS text_toks,
+         CAST({img} * length(list_filter(gs, i -> (doc_id * 31 + i) % 3 = 0))
+              AS BIGINT) AS media_toks,
+         CAST(length(list_filter(gs, i -> (doc_id * 31 + i) % 3 = 0)) AS INT)
+           AS n_media,
+         array_to_string(list_transform(gs,
+             i -> 'T' ||
+                  CAST(CASE WHEN length(trim(substr(text, i * {w} + 1, {w}))) = 0
+                            THEN 0
+                            ELSE length(regexp_split_to_array(
+                                     trim(substr(text, i * {w} + 1, {w})),
+                                     '[ \t\n]+')) END AS VARCHAR) ||
+                  CASE WHEN (doc_id * 31 + i) % 3 = 0 THEN 'M' ELSE '' END),
+             '') AS layout
+  FROM (
+    SELECT doc_id, text,
+           generate_series(0, CAST(ceil(length(text) / {w}.0) AS INT) - 1)
+             AS gs
+    FROM documents WHERE length(trim(text)) > 0
+  ) spanned
+),
+"""
+
+QUERIES["multimodal_pack_interleaved"] = _pair(
+    "WITH " + _IPACK_SPARK_DOCS.format(w=_IPACK_W, img=_IPACK_IMG)
+    + _IPACK_TAIL.format(
+        budget=_IPACK_BUDGET,
+        layout_agg=("array_join(transform(array_sort(collect_list("
+                    "struct(doc_id, layout))), s -> s.layout), '|')")),
+    "WITH " + _IPACK_DUCK_DOCS.format(w=_IPACK_W, img=_IPACK_IMG)
+    + _IPACK_TAIL.format(
+        budget=_IPACK_BUDGET,
+        layout_agg="string_agg(layout, '|' ORDER BY doc_id)"),
+)
+
+
+# Deterministic training-order shuffle + shard assignment — the loader-
+# side op every training run needs: a reproducible pseudo-random
+# permutation of the corpus per epoch (so run restarts and data-parallel
+# workers agree on order with no coordination) and a shard id so N
+# loader workers each read a disjoint slice. Order key = 60-bit md5 of
+# (doc_id, epoch): a different deterministic permutation every epoch,
+# identical on any cluster size. Scale shape: ONE hash exchange on
+# (epoch, shard) + a per-shard rank window — no corpus-wide window, no
+# join; shards are hash-balanced (±sqrt deviation), and the per-shard
+# window sorts corpus/N_SHARDS rows, shrinking as the loader fleet
+# grows. Same SQL text in both dialects except the hash and the epoch
+# generator.
+_SHUFFLE_EPOCHS = 2
+_SHUFFLE_SHARDS = 16
+
+_SHUFFLE_BODY = """WITH keyed AS (
+  SELECT e.epoch, d.doc_id, {h} AS k
+  FROM documents d CROSS JOIN ({epochs}) e
+)
+SELECT epoch, doc_id,
+       CAST(k % {shards} AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY epoch, k % {shards}
+                               ORDER BY k, doc_id) AS BIGINT) AS pos
+FROM keyed"""
+
+QUERIES["text_shard_shuffle"] = _pair(
+    _SHUFFLE_BODY.format(
+        h=_HASH60_SPARK.format(
+            x="concat(CAST(d.doc_id AS STRING), ':', CAST(e.epoch AS STRING))"),
+        epochs=f"SELECT explode(sequence(0, {_SHUFFLE_EPOCHS - 1})) AS epoch",
+        shards=_SHUFFLE_SHARDS),
+    _SHUFFLE_BODY.format(
+        h=_HASH60_DUCK.format(
+            x="CAST(d.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR)"),
+        epochs=("SELECT unnest(generate_series(0, "
+                f"{_SHUFFLE_EPOCHS - 1})) AS epoch"),
+        shards=_SHUFFLE_SHARDS),
+)
+
+
 # Capstone: the composed cleaning pipeline — the DAG a user actually runs
 # on a raw crawl, as ONE query: exact-dedup keep (first occurrence per
 # 60-bit text hash) -> PII scrub (deterministic injected PII, as in

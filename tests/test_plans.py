@@ -419,3 +419,37 @@ def test_stored_band_candidate_scan_reads_bands_not_text(spark, tmp_path):
         ".UnsafeArrayData")
     assert word_explodes == 1, f"corpus re-tokenized: {word_explodes}"
     assert seed_explodes == 1, f"corpus re-minhashed: {seed_explodes}"
+
+
+def test_interleaved_pack_scalar_spans_shard_parallel(spark):
+    """multimodal_pack_interleaved derives every doc's interleaved
+    text|media span layout as a higher-order-function SCALAR — no
+    explode (Generate) and so no per-span row blowup — and packs with
+    the same shard discipline pinned for text_pack_manifest: per-shard
+    hash window, exactly one single-partition exchange whose input is
+    the one-row-per-shard totals aggregate, never the corpus."""
+    entrymod._prepare(spark, SF_DIR)
+    plan = physical(spark.sql(spark_sql("multimodal_pack_interleaved")))
+    assert "Generate" not in plan, "span derivation must not explode"
+    assert "hashpartitioning(shard" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    singles = plan.split("Exchange SinglePartition")
+    assert len(singles) == 2, f"want exactly 1 single-partition exchange:\n{plan}"
+    below = singles[1]
+    agg_pos = below.find("HashAggregate")
+    scan_pos = below.find("Scan ")
+    assert agg_pos != -1 and (scan_pos == -1 or agg_pos < scan_pos), plan
+
+
+def test_shard_shuffle_per_shard_window_no_global_sort(spark):
+    """text_shard_shuffle ranks within (epoch, shard) — a parallel hash
+    window over corpus/N_SHARDS-row partitions — never a corpus-wide
+    single-partition window or range sort; the 2-row epoch relation may
+    only arrive via broadcast."""
+    entrymod._prepare(spark, SF_DIR)
+    plan = physical(spark.sql(spark_sql("text_shard_shuffle")))
+    assert "hashpartitioning(epoch" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
