@@ -759,6 +759,12 @@ _PRIORITY_QUERIES = [
     # new in round 8 (second session): interleaved multimodal sequence
     # packing and the deterministic per-epoch training-order shuffle
     "multimodal_pack_interleaved", "text_shard_shuffle",
+    # new in round 8 (third session): substring-granularity dedup
+    # (winnowing anchors), distributed BPE statistics + 3-step trainer,
+    # and the Unicode NFC cleaning stage
+    "dedup_substring_winnow", "tokenizer_bpe_pairs",
+    "tokenizer_bpe_train", "text_nfc_normalize", "text_license_tag",
+    "dedup_substring_trim",
     # re-verify: implementations changed in r8 (near-dup now serves
     # candidates from the sink's persisted band table; the persisted IVF
     # row now serves from an APPENDED index)
@@ -828,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["multimodal_frame_sample"] = _media_frames
     out["ann_ivf_topk"] = _ann_ivf
     out["ann_ivf_persisted"] = _ann_ivf_persisted
+    out["text_nfc_normalize"] = _text_nfc_normalize
 
     pri = [n for n in _PRIORITY_QUERIES if n in out]
     rest = [n for n in out if n not in set(pri)]
@@ -1122,6 +1129,41 @@ def _pipeline_html_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return flat.mapInPandas(
         run, schema="doc_id string, page_no int, extracted string")
+
+
+def _text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization stage (relational.py _NFC_INJECT notes):
+    Spark has no SQL Unicode normalizer, so the real path is an
+    Arrow-batched pandas Series.str.normalize('NFC') — zero shuffle, one
+    python stage — while DuckDB's twin re-derives with its built-in
+    nfc_normalize. The injected decomposed/compatibility sequences must
+    compose (changed=1, len shrinks for the combining-mark cases) and the
+    doc_id%4==3 control must hash-match untouched; the normalized-text
+    md5 runs JVM-side on the UDF's output, so the value check covers the
+    exact post-normalization bytes."""
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.operators.relational import (
+        _HASH60_SPARK,
+        _NFC_INJECT,
+    )
+
+    _prepare(spark, sf_dir)
+
+    # no decorator-with-hints form: this module has `from __future__ import
+    # annotations`, which stringifies the pd.Series hints and pandas_udf
+    # then fails to resolve them ([UNSUPPORTED_SIGNATURE]); the explicit
+    # returnType form sidesteps hint introspection entirely
+    nfc = F.pandas_udf(lambda s: s.str.normalize("NFC"), "string")
+
+    aug = spark.sql(f"SELECT doc_id, {_NFC_INJECT} AS raw FROM documents")
+    return aug.withColumn("nfc", nfc("raw")).selectExpr(
+        "doc_id",
+        "CAST(CASE WHEN nfc <> raw THEN 1 ELSE 0 END AS INT) AS changed",
+        "CAST(length(raw) AS BIGINT) AS len_raw",
+        "CAST(length(nfc) AS BIGINT) AS len_nfc",
+        f"{_HASH60_SPARK.format(x='nfc')} AS nfc_hash",
+    )
 
 
 def _pipeline_docling(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2381,6 +2381,127 @@ QUERIES["dedup_paragraph_boilerplate"] = _pair(
 )
 
 
+# Substring-level (sub-document) duplication — the granularity the doc-level
+# family (exact / MinHash / SimHash / semantic) cannot see: a shared passage
+# pasted into otherwise-distinct documents (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better", does this with suffix arrays —
+# inherently single-machine). The distributed shape is winnowing-style
+# content-defined fingerprinting (Schleimer et al. 2003, MOSS): a word is an
+# ANCHOR when hash60(word) % 8 == 0, and only anchors contribute a 10-word
+# shingle fingerprint. Because anchoring depends on content, not offset, the
+# same passage anchors identically in every document that contains it — the
+# stride-alignment failure of fixed-stride windows (a passage pasted at
+# byte offset o matches only when o ≡ 0 mod stride) cannot occur, and the
+# expensive shingle hash is computed at ~1/8 of positions.
+# Flagged shingles [pos, pos+10) are merged per doc into maximal islands
+# (gaps-and-islands: a window starting more than 10 words past the previous
+# island's last start breaks the run), giving trimmable spans.
+# Scale shape: shingling is embarrassingly parallel (one hash exchange on
+# doc_id never happens — slice over the split array is per-row); frequency
+# runs on 60-bit fingerprints (8 B rows, never raw text); the flag join is a
+# fingerprint equi-join; island merge is a per-doc window over anchors only.
+# The synthetic corpus shares no natural 10-word runs, so two passages are
+# injected at UNALIGNED offsets (one prepended, one appended) and the
+# operator must find exactly those.
+_WINNOW_PASSAGE_A = (
+    "this website uses cookie consent banners and a privacy policy notice "
+    "that applies to all visitors of the site in every region worldwide")
+_WINNOW_PASSAGE_B = (
+    "for more help with orders returns and shipping please contact our "
+    "support team through the affiliates portal listed on the legal page")
+
+
+# Dialect-independent tail: frequency → flag → gaps-and-islands merge →
+# per-doc rollup. Both dialects splice their own `anchors` CTE above it.
+_WINNOW_TAIL = """freq AS (
+  SELECT fp, count(DISTINCT doc_id) AS nd FROM anchors GROUP BY fp
+),
+flagged AS (
+  SELECT a.doc_id, a.pos,
+         CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END AS is_dup
+  FROM anchors a JOIN freq f ON a.fp = f.fp
+),
+dupw AS (SELECT doc_id, pos FROM flagged WHERE is_dup = 1),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 10
+              THEN 1 ELSE 0 END AS new_isl
+  FROM dupw
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, isl_id, min(pos) AS s, max(pos) + 10 AS e
+  FROM isl2 GROUP BY doc_id, isl_id
+),
+perdoc_dup AS (
+  SELECT doc_id, count(*) AS dup_spans, sum(e - s) AS dup_words
+  FROM spans GROUP BY doc_id
+),
+perdoc_anchor AS (
+  SELECT doc_id, count(*) AS n_anchors, sum(is_dup) AS dup_anchors
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(pa.n_anchors, 0) AS BIGINT) AS n_anchors,
+       CAST(coalesce(pa.dup_anchors, 0) AS BIGINT) AS dup_anchors,
+       CAST(coalesce(pd.dup_spans, 0) AS BIGINT) AS dup_spans,
+       CAST(coalesce(pd.dup_words, 0) AS BIGINT) AS dup_words
+FROM documents d
+LEFT JOIN perdoc_anchor pa ON d.doc_id = pa.doc_id
+LEFT JOIN perdoc_dup pd ON d.doc_id = pd.doc_id"""
+
+# Shared head: inject the two passages at unaligned offsets, split to words.
+_WINNOW_HEAD = f"""WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN base || ' {_WINNOW_PASSAGE_B}'
+              ELSE base END AS text
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN '{_WINNOW_PASSAGE_A} ' || text
+                    ELSE text END AS base
+        FROM documents)
+),
+warr AS (SELECT doc_id, split(text, ' ') AS ws FROM docs),
+"""
+
+QUERIES["dedup_substring_winnow"] = _pair(
+    _WINNOW_HEAD
+    + f"""anchors AS (
+  SELECT doc_id, pos,
+         {_HASH60_SPARK.format(x="concat_ws(' ', slice(ws, pos + 1, 10))")}
+           AS fp
+  FROM warr LATERAL VIEW posexplode(ws) t AS pos, word
+  WHERE pos + 10 <= size(ws)
+    AND {_HASH60_SPARK.format(x='word')} % 8 = 0
+),
+"""
+    + _WINNOW_TAIL,
+    _WINNOW_HEAD
+    + f"""pw AS (
+  SELECT doc_id, ws,
+         unnest(list_zip(ws, range(0, length(ws)))) AS u
+  FROM warr
+),
+anchors AS (
+  SELECT doc_id, CAST(u[2] AS INT) AS pos,
+         {_HASH60_DUCK.format(
+             x="array_to_string(ws[CAST(u[2] AS INT) + 1 : "
+               "CAST(u[2] AS INT) + 10], ' ')")} AS fp
+  FROM pw
+  WHERE CAST(u[2] AS INT) + 10 <= length(ws)
+    AND {_HASH60_DUCK.format(x='CAST(u[1] AS VARCHAR)')} % 8 = 0
+),
+"""
+    + _WINNOW_TAIL,
+)
+
+
 # Unigram-LM surprisal scoring — the perplexity-filter shape (CCNet scores
 # documents with a KenLM model; the unigram case is trainable from the
 # corpus itself and fully relational). Per-word surprisal -ln(c/N) is
@@ -3734,3 +3855,370 @@ SELECT CAST(rank AS INT) AS rank, c_custkey, c_name, revenue_cents,
 FROM ranked WHERE rank <= 25"""
 
 QUERIES["join_revenue_topk"] = _pair(_JOIN_TOPK, _JOIN_TOPK)
+
+
+# --- distributed BPE tokenizer-training statistics ---------------------------
+# The corpus-side kernel of BPE training (Sennrich et al. 2016, "Neural
+# Machine Translation of Rare Words with Subword Units"): count adjacent
+# symbol pairs, merge the most frequent, repeat. The published scaling trick
+# (Sennrich's own implementation; every production trainer since) is that
+# pair counting runs over the WORD-FREQUENCY table, not the raw corpus —
+# the corpus collapses to (distinct word, count) first (one hash aggregate,
+# map-side combined; vocabulary grows ~O(sqrt) of corpus, so 100 TB of text
+# is a few-GB word table), and every merge iteration is then an aggregate
+# over that small relation. This row is the first iteration's statistics:
+# character-bigram counts weighted by word frequency, top 20 with a
+# deterministic (count DESC, pair ASC) tiebreak — each subsequent merge
+# step re-runs exactly this aggregate over the re-segmented symbol table.
+# Pairs come from substr(word, i, 2) over i ∈ [1, len-1]: no char-array
+# explode of the corpus, and the position explode runs over DISTINCT words
+# only. A single-char word-boundary marker '·' (standing in for the
+# published '</w>') is appended before pairing, so end-of-word chars pair
+# with the marker and merges can never cross word boundaries — one char so
+# char-bigram substr pairs never land inside the marker itself.
+_BPE_TAIL = """pairs AS (
+  SELECT substr(word, i, 2) AS pair, freq
+  FROM wpos WHERE length(word) >= 2
+),
+counted AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY pair
+)
+SELECT pair, pair_count,
+       CAST(row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS INT)
+         AS rank
+FROM counted
+ORDER BY pair_count DESC, pair ASC LIMIT 20"""
+
+QUERIES["tokenizer_bpe_pairs"] = _pair(
+    f"""WITH words AS (
+  SELECT word FROM documents
+  LATERAL VIEW explode(split(text, ' ')) t AS word
+  WHERE word <> ''
+),
+wfreq AS (SELECT word || '·' AS word, count(*) AS freq
+          FROM words GROUP BY word),
+wpos AS (
+  SELECT word, freq, i
+  FROM wfreq LATERAL VIEW explode(sequence(1, length(word) - 1)) t AS i
+  WHERE length(word) >= 2
+),
+{_BPE_TAIL}""",
+    f"""WITH words AS (
+  SELECT unnest(split(text, ' ')) AS word FROM documents
+),
+wfreq AS (SELECT word || '·' AS word, count(*) AS freq
+          FROM words WHERE word <> '' GROUP BY word),
+wpos AS (
+  SELECT word, freq, CAST(u AS INT) AS i
+  FROM wfreq, unnest(range(1, length(word))) AS t(u)
+  WHERE length(word) >= 2
+),
+{_BPE_TAIL}""",
+)
+
+
+# Iterative BPE training, 3 merge steps, fully relational — the loop that
+# re-runs the pair aggregate above after applying each learned merge. The
+# corpus stays in EXPLODED symbol form (word, freq, i, sym) across
+# iterations; applying a merge is pure window algebra, no UDF and no
+# list-fold (DuckDB 1.0 list_reduce cannot carry a list accumulator, and
+# Spark's aggregate() lambda would be engine-specific — the window form is
+# the same SQL text on both engines):
+#   cand  = positions where (sym, next sym) equals the learned pair;
+#   greedy leftmost-first overlap resolution = within each run of
+#     consecutive cands (only possible when b1 == b2, e.g. 'aaaa'), keep
+#     even offsets — gaps-and-islands (i - row_number) finds the runs;
+#   apply = merged symbol at kept positions, drop the consumed follower,
+#     renumber by row_number.
+# Each iteration is one pair aggregate over (distinct word × symbols) plus
+# per-word windows — at 100 TB the symbol table is vocabulary-sized (the
+# corpus collapsed to word counts once, upstream), so every step is a small
+# cluster job; the sequential dependency between merges is inherent to BPE
+# (Sennrich et al. 2016) and spans 3 tiny stages here, not 3 corpus scans.
+# Determinism: counts are exact integer sums; ties break (cnt DESC, s1, s2).
+def _bpe_train_sql(head: str, steps: int = 3) -> str:
+    its = []
+    for k in range(1, steps + 1):
+        src = "chars" if k == 1 else f"s{k}"
+        its.append(f"""e{k} AS (
+  SELECT word, freq, i, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY i) AS nxt
+  FROM {src}
+),
+p{k} AS (
+  SELECT sym AS s1, nxt AS s2, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM e{k} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+),
+b{k} AS (SELECT s1, s2, cnt FROM p{k}
+         ORDER BY cnt DESC, s1 ASC, s2 ASC LIMIT 1),
+c{k} AS (
+  SELECT e.word, e.i
+  FROM e{k} e CROSS JOIN b{k} b WHERE e.sym = b.s1 AND e.nxt = b.s2
+),
+r{k} AS (
+  SELECT word, i
+  FROM (SELECT word, i,
+               row_number() OVER (PARTITION BY word, grp ORDER BY i) - 1
+                 AS off
+        FROM (SELECT word, i,
+                     i - row_number() OVER (PARTITION BY word ORDER BY i)
+                       AS grp
+              FROM c{k}) z1) z2
+  WHERE off % 2 = 0
+),
+s{k + 1} AS (
+  SELECT e.word, e.freq,
+         CAST(row_number() OVER (PARTITION BY e.word ORDER BY e.i) AS INT)
+           AS i,
+         CASE WHEN r.i IS NOT NULL THEN e.sym || e.nxt ELSE e.sym END AS sym
+  FROM e{k} e
+  LEFT JOIN r{k} r ON e.word = r.word AND e.i = r.i
+  LEFT JOIN r{k} rp ON e.word = rp.word AND e.i = rp.i + 1
+  WHERE rp.i IS NULL
+)""")
+    final = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INT) AS step, s1 || s2 AS merged, "
+        f"cnt AS pair_count FROM b{k}" for k in range(1, steps + 1))
+    return (head + ",\n" + ",\n".join(its)
+            + f"\nSELECT * FROM (\n{final}\n) u ORDER BY step")
+
+
+_BPE_HEAD_SPARK = """WITH words AS (
+  SELECT word FROM documents
+  LATERAL VIEW explode(split(text, ' ')) t AS word
+  WHERE word <> ''
+),
+wfreq AS (SELECT word || '·' AS word, count(*) AS freq
+          FROM words GROUP BY word),
+chars AS (
+  SELECT word, freq, i, substr(word, i, 1) AS sym
+  FROM wfreq LATERAL VIEW explode(sequence(1, length(word))) t AS i
+)"""
+
+_BPE_HEAD_DUCK = """WITH words AS (
+  SELECT unnest(split(text, ' ')) AS word FROM documents
+),
+wfreq AS (SELECT word || '·' AS word, count(*) AS freq
+          FROM words WHERE word <> '' GROUP BY word),
+chars AS (
+  SELECT word, freq, CAST(u AS INT) AS i,
+         substr(word, CAST(u AS INT), 1) AS sym
+  FROM wfreq, unnest(range(1, length(word) + 1)) AS t(u)
+)"""
+
+QUERIES["tokenizer_bpe_train"] = _pair(
+    _bpe_train_sql(_BPE_HEAD_SPARK),
+    _bpe_train_sql(_BPE_HEAD_DUCK),
+)
+
+
+# --- Unicode NFC normalization (cleaning-stage hybrid) -----------------------
+# Every public web-corpus pipeline normalizes text before dedup/tokenize
+# (CCNet, Dolma's ftfy pass): byte-identical semantics demand one canonical
+# form or the SAME passage hashes differently per source encoding. Spark
+# has no SQL-surface Unicode normalizer (4.1 exposes collations only), so
+# the Spark side is an Arrow-batched pandas Series.str.normalize('NFC') —
+# zero-shuffle, one python stage — and the DuckDB twin re-derives with its
+# built-in nfc_normalize (utf8proc). Parity rests on both engines
+# implementing the same (stable since Unicode 3.x) canonical compositions
+# for the injected sequences; the ASCII corpus body is NFC-invariant.
+# The corpus is pure ASCII, so three decomposed/compatibility sequences are
+# injected deterministically (composed-é from e+U+0301, Å from U+212B,
+# ñ from n+U+0303); doc_id % 4 == 3 is the must-not-change control.
+_NFC_INJECT = ("CASE CAST(doc_id % 4 AS INT) "
+               "WHEN 0 THEN text || ' café' "
+               "WHEN 1 THEN text || ' Ångstrom' "
+               "WHEN 2 THEN text || ' mañana' "
+               "ELSE text END")
+
+HYBRID_ORACLES["text_nfc_normalize"] = f"""WITH aug AS (
+  SELECT doc_id, {_NFC_INJECT} AS raw FROM documents
+),
+n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM aug)
+SELECT doc_id,
+       CAST(CASE WHEN nfc <> raw THEN 1 ELSE 0 END AS INT) AS changed,
+       CAST(length(raw) AS BIGINT) AS len_raw,
+       CAST(length(nfc) AS BIGINT) AS len_nfc,
+       {_HASH60_DUCK.format(x='nfc')} AS nfc_hash
+FROM n"""
+
+
+# --- license detection / permissive-subset tagging ---------------------------
+# Public corpus efforts tag documents by license statement before training
+# (the C4/CommonCrawl "license-filtered" subsets; code corpora keep only
+# permissive repos). Detection is first-match-wins over ordered phrase
+# patterns — the more specific license string must win over its substring
+# (cc-by-sa before cc-by, the classic tagger bug exercised here). The ASCII
+# corpus carries no license text, so four statements are injected
+# deterministically; %6 in {4,5} is the must-stay-'none' control.
+# Scale shape: single scan, whole-stage-codegen regex per row, zero
+# shuffle; the per-license rollup any report needs is one tiny aggregate.
+_LICENSE_INJECT = (
+    "CASE CAST(doc_id % 6 AS INT) "
+    "WHEN 0 THEN text || ' Licensed under CC BY 4.0' "
+    "WHEN 1 THEN text || ' licensed under CC BY-SA 3.0' "
+    "WHEN 2 THEN text || ' released under Creative Commons Zero' "
+    "WHEN 3 THEN text || ' Copyright 2020 All Rights Reserved' "
+    "ELSE text END")
+
+_LICENSE_CASE = """CASE
+  WHEN {m_cc0} THEN 'cc0'
+  WHEN {m_sa} THEN 'cc-by-sa'
+  WHEN {m_by} THEN 'cc-by'
+  WHEN {m_arr} THEN 'all-rights-reserved'
+  ELSE 'none' END"""
+
+_LICENSE_PATS = {
+    "m_cc0": "creative commons zero|cc0",
+    "m_sa": "cc by-sa|cc-by-sa|attribution-sharealike",
+    "m_by": "cc by|cc-by|creative commons attribution",
+    "m_arr": "all rights reserved",
+}
+
+
+def _license_tail(case: str) -> str:
+    return f""",
+tagged AS (SELECT doc_id, {case} AS license FROM aug)
+SELECT doc_id, license,
+       CAST(CASE WHEN license IN ('cc0', 'cc-by') THEN 1 ELSE 0 END AS INT)
+         AS is_permissive
+FROM tagged"""
+
+
+QUERIES["text_license_tag"] = _pair(
+    f"WITH aug AS (SELECT doc_id, lower({_LICENSE_INJECT}) AS t "
+    "FROM documents)"
+    + _license_tail(_LICENSE_CASE.format(
+        **{k: f"t RLIKE '{v}'" for k, v in _LICENSE_PATS.items()})),
+    f"WITH aug AS (SELECT doc_id, lower({_LICENSE_INJECT}) AS t "
+    "FROM documents)"
+    + _license_tail(_LICENSE_CASE.format(
+        **{k: f"regexp_matches(t, '{v}')"
+           for k, v in _LICENSE_PATS.items()})),
+)
+
+
+# The ACTION half of the substring tier: trim every duplicated span from
+# every document EXCEPT its canonical owner — Lee et al. 2022 remove all
+# but one occurrence of each duplicated substring; the deterministic owner
+# here is the smallest doc_id containing the fingerprint. Words covered by
+# a trimmable island are dropped and the kept text is re-assembled in
+# order; kept_hash proves byte-exact agreement across engines. The
+# canonical doc keeps its occurrence untouched (doc 0 keeps passage A for
+# the whole %3 cohort). Scale shape: same fingerprint equi-joins as the
+# detection query; the trim itself is a per-doc anti-join of exploded
+# words against that doc's (few) spans — equi on doc_id, range predicate
+# on pos — then one ordered re-assembly per doc.
+_TRIM_TAIL = """freq AS (
+  SELECT fp, count(DISTINCT doc_id) AS nd, min(doc_id) AS keeper
+  FROM anchors GROUP BY fp
+),
+trimw AS (
+  SELECT a.doc_id, a.pos
+  FROM anchors a JOIN freq f ON a.fp = f.fp
+  WHERE f.nd >= 2 AND a.doc_id <> f.keeper
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 10
+              THEN 1 ELSE 0 END AS new_isl
+  FROM trimw
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, isl_id, min(pos) AS s, max(pos) + 10 AS e
+  FROM isl2 GROUP BY doc_id, isl_id
+),
+wpos AS (
+  SELECT w.doc_id, w.pos, w.word
+  FROM allwords w
+  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = w.doc_id
+                      AND w.pos >= sp.s AND w.pos < sp.e)
+)"""
+
+QUERIES["dedup_substring_trim"] = _pair(
+    _WINNOW_HEAD
+    + f"""anchors AS (
+  SELECT doc_id, pos,
+         {_HASH60_SPARK.format(x="concat_ws(' ', slice(ws, pos + 1, 10))")}
+           AS fp
+  FROM warr LATERAL VIEW posexplode(ws) t AS pos, word
+  WHERE pos + 10 <= size(ws)
+    AND {_HASH60_SPARK.format(x='word')} % 8 = 0
+),
+allwords AS (
+  SELECT doc_id, pos, word
+  FROM warr LATERAL VIEW posexplode(ws) t AS pos, word
+),
+"""
+    + _TRIM_TAIL
+    + f"""
+SELECT d.doc_id,
+       CAST(count(w.pos) AS BIGINT) AS kept_words,
+       CAST(size(split(d.text, ' '))
+            + CASE WHEN d.doc_id % 3 = 0 THEN {len(_WINNOW_PASSAGE_A.split(' '))} ELSE 0 END
+            + CASE WHEN d.doc_id % 5 = 0 THEN {len(_WINNOW_PASSAGE_B.split(' '))} ELSE 0 END
+            - count(w.pos) AS BIGINT) AS trimmed_words,
+       {_HASH60_SPARK.format(
+           x="array_join(transform(array_sort("
+             "collect_list(struct(w.pos, w.word))), x -> x.word), ' ')")}
+         AS kept_hash
+FROM documents d LEFT JOIN wpos w ON d.doc_id = w.doc_id
+GROUP BY d.doc_id, d.text""",
+    _WINNOW_HEAD
+    + f"""pw AS (
+  SELECT doc_id, ws,
+         unnest(list_zip(ws, range(0, length(ws)))) AS u
+  FROM warr
+),
+allwords AS (
+  SELECT doc_id, CAST(u[2] AS INT) AS pos, CAST(u[1] AS VARCHAR) AS word
+  FROM pw
+),
+anchors AS (
+  SELECT doc_id, CAST(u[2] AS INT) AS pos,
+         {_HASH60_DUCK.format(
+             x="array_to_string(ws[CAST(u[2] AS INT) + 1 : "
+               "CAST(u[2] AS INT) + 10], ' ')")} AS fp
+  FROM pw
+  WHERE CAST(u[2] AS INT) + 10 <= length(ws)
+    AND {_HASH60_DUCK.format(x='CAST(u[1] AS VARCHAR)')} % 8 = 0
+),
+"""
+    + _TRIM_TAIL
+    + f"""
+SELECT d.doc_id,
+       CAST(count(w.pos) AS BIGINT) AS kept_words,
+       CAST(length(split(d.text, ' '))
+            + CASE WHEN d.doc_id % 3 = 0 THEN {len(_WINNOW_PASSAGE_A.split(' '))} ELSE 0 END
+            + CASE WHEN d.doc_id % 5 = 0 THEN {len(_WINNOW_PASSAGE_B.split(' '))} ELSE 0 END
+            - count(w.pos) AS BIGINT) AS trimmed_words,
+       {_HASH60_DUCK.format(
+           x="coalesce(string_agg(w.word, ' ' ORDER BY w.pos), '')")}
+         AS kept_hash
+FROM documents d LEFT JOIN wpos w ON d.doc_id = w.doc_id
+GROUP BY d.doc_id, d.text""",
+)
+
+
+def bpe_train_sql(steps: int = 3, dialect: str = "spark",
+                  table: str = "documents") -> str:
+    """Public surface for the relational BPE trainer: the unrolled
+    ``steps``-merge SQL against any (doc_id, text) view. The driver row
+    ``tokenizer_bpe_train`` is ``bpe_train_sql(3)`` on the corpus; a user
+    trains a deeper vocab with ``spark.sql(bpe_train_sql(100))`` — each
+    extra step appends one vocabulary-sized CTE chain, so plan size grows
+    linearly and no step rescans the raw corpus."""
+    head = {"spark": _BPE_HEAD_SPARK, "duck": _BPE_HEAD_DUCK}[dialect]
+    if table != "documents":
+        head = head.replace("FROM documents", f"FROM {table}")
+    return _bpe_train_sql(head, steps)

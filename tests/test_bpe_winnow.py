@@ -1,0 +1,258 @@
+"""Engine-independent semantics pins for the round-8 additions:
+
+- tokenizer_bpe_train: the 3-step relational BPE trainer must equal an
+  independent greedy leftmost-first reference implementation (Sennrich
+  et al. 2016 semantics), including the 'aaaa' overlap case where the
+  window-based nonoverlapping-match resolution (even offsets within a
+  run of consecutive candidates) is what's under test.
+- dedup_substring_winnow: content-defined anchoring must find a shared
+  passage regardless of its word offset in each document (the property
+  fixed-stride windowing lacks), and must not flag documents that share
+  no 10-word run.
+- text_nfc_normalize: the cross-engine parity assumption itself — pandas
+  Series.str.normalize('NFC') (the Spark side's kernel) must agree with
+  DuckDB nfc_normalize (the oracle side) on the injected sequences and
+  on real corpus samples.
+
+All tests run the DuckDB dialect only (no JVM): the Spark dialect's
+equality with DuckDB is the driver/check_oracles gate; these pin that
+the shared semantics are RIGHT, not merely consistent.
+"""
+
+import collections
+import os
+
+import duckdb
+import pytest
+
+from fast_pdf_parser_spark.operators.relational import (
+    HYBRID_ORACLES,
+    QUERIES,
+    _NFC_INJECT,
+    _WINNOW_PASSAGE_A,
+    _WINNOW_PASSAGE_B,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+HAS_DATA = os.path.exists(os.path.join(SF0001, "documents.parquet"))
+
+
+def _con_with_docs(rows):
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM (VALUES {vals}) AS v(doc_id, text)")
+    return con
+
+
+def _bpe_reference(texts, steps=3):
+    """Greedy leftmost-first BPE on word frequencies — the published
+    algorithm, implemented imperatively as an independent check."""
+    wfreq = collections.Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wfreq[w + "·"] += 1
+    syms = {w: list(w) for w in wfreq}
+    merges = []
+    for _ in range(steps):
+        pc = collections.Counter()
+        for w, f in wfreq.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (b1, b2), cnt = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append((b1 + b2, cnt))
+        for w in wfreq:
+            s = syms[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == b1 and s[i + 1] == b2:
+                    out.append(b1 + b2)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def _run_bpe_train(con):
+    return con.execute(QUERIES["tokenizer_bpe_train"]["duck"]).fetchall()
+
+
+def test_bpe_train_overlap_runs_match_reference():
+    # 'aaaa' makes the best pair (a,a) self-overlapping: greedy
+    # leftmost-first must merge positions 0-1 and 2-3, never 1-2. The
+    # reference resolves it imperatively; the SQL resolves it with the
+    # even-offset-within-run rule — they must agree for odd AND even runs.
+    texts = ["aaaa aaaa aaa baab", "aaaa aaa ab", "aaaaa b aaaa"]
+    rows = _run_bpe_train(_con_with_docs(enumerate(texts)))
+    ref = _bpe_reference(texts)
+    assert [(m, c) for _s, m, c in rows] == ref
+
+
+def test_bpe_train_tiebreak_and_marker():
+    # Distinct words, marker pairs included; ties broken (s1, s2) asc.
+    texts = ["cat bat rat", "cat bat", "cat"]
+    rows = _run_bpe_train(_con_with_docs(enumerate(texts)))
+    ref = _bpe_reference(texts)
+    assert [(m, c) for _s, m, c in rows] == ref
+
+
+@pytest.mark.skipif(not HAS_DATA, reason="driver testdata not present")
+def test_bpe_train_real_corpus_matches_reference():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{SF0001}/documents.parquet'")
+    texts = [t for (t,) in con.execute(
+        "SELECT text FROM documents").fetchall()]
+    rows = _run_bpe_train(con)
+    assert [(m, c) for _s, m, c in rows] == _bpe_reference(texts)
+
+
+def test_winnow_finds_passage_at_any_offset():
+    # The same passage is planted at word offset 0, 7, and 19 of three
+    # otherwise-disjoint documents; a fourth document shares nothing.
+    # Content-defined anchoring must flag exactly docs 1-3. doc_ids are
+    # chosen NOT divisible by 3 or 5 so the query's own injection
+    # contributes nothing.
+    passage = _WINNOW_PASSAGE_A  # known to contain >=1 anchor word
+    fill = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    f = fill.split()
+    rows = [
+        (1, f"{passage} {' '.join(f)}"),
+        (2, f"{' '.join(f[:7])} {passage} {' '.join(f[7:])}"),
+        (4, f"{' '.join(f[:19])} {passage} {' '.join(f[19:])}"),
+        (7, "one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen sixteen seventeen eighteen "
+            "nineteen twenty twentyone twentytwo twentythree twentyfour"),
+    ]
+    out = {r[0]: r for r in _con_with_docs(rows).execute(
+        QUERIES["dedup_substring_winnow"]["duck"]).fetchall()}
+    for doc in (1, 2, 4):
+        assert out[doc][4] > 0, f"doc {doc}: planted passage not found"
+    assert out[7][4] == 0, "disjoint doc falsely flagged"
+
+
+@pytest.mark.skipif(not HAS_DATA, reason="driver testdata not present")
+def test_winnow_injected_docs_all_flagged():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{SF0001}/documents.parquet'")
+    rows = con.execute(
+        QUERIES["dedup_substring_winnow"]["duck"]).fetchall()
+    missed = [r[0] for r in rows
+              if (r[0] % 3 == 0 or r[0] % 5 == 0) and r[4] == 0]
+    assert not missed, f"injected-passage docs with no dup span: {missed}"
+
+
+def test_nfc_parity_pandas_vs_duckdb():
+    import pandas as pd
+
+    con = duckdb.connect()
+    samples = [
+        "café",          # decomposed acute -> composed
+        "Ångstrom",        # compatibility Angstrom sign -> U+00C5
+        "mañana",         # decomposed tilde
+        "plain ascii text",     # NFC-invariant control
+        "already café ñ Å",     # composed forms stay fixed points
+    ]
+    got_pd = list(pd.Series(samples).str.normalize("NFC"))
+    got_duck = [con.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+                for s in samples]
+    assert got_pd == got_duck
+    # and the control really is invariant
+    assert got_pd[3] == samples[3]
+
+
+@pytest.mark.skipif(not HAS_DATA, reason="driver testdata not present")
+def test_nfc_oracle_control_rows_unchanged():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{SF0001}/documents.parquet'")
+    rows = con.execute(HYBRID_ORACLES["text_nfc_normalize"]).fetchall()
+    for doc_id, changed, len_raw, len_nfc, _h in rows:
+        if doc_id % 4 == 3:
+            assert changed == 0 and len_raw == len_nfc
+        else:
+            assert changed == 1
+    assert _NFC_INJECT.count("WHEN") == 3
+
+
+def test_license_precedence_specific_beats_substring():
+    # 'CC BY-SA' contains 'cc by'; the tagger must yield cc-by-sa, and a
+    # doc carrying both a CC grant and a boilerplate 'all rights
+    # reserved' footer must keep the earlier (more permissive) match.
+    # doc_ids chosen ≡ 4 or 5 (mod 6) so the query's own injection is
+    # inert on these rows.
+    rows = [
+        (5, "work licensed under cc by-sa 4.0 terms"),
+        (10, "body text creative commons zero all rights reserved"),
+        (11, "plain document with no license statement"),
+        (16, "shared under cc by 2.0"),
+    ]
+    from fast_pdf_parser_spark.operators.relational import QUERIES
+    out = dict(
+        (r[0], (r[1], r[2]))
+        for r in _con_with_docs(rows).execute(
+            QUERIES["text_license_tag"]["duck"]).fetchall())
+    assert out[5] == ("cc-by-sa", 0)
+    assert out[10] == ("cc0", 1)
+    assert out[11] == ("none", 0)
+    assert out[16] == ("cc-by", 1)
+
+
+def test_substring_trim_keeper_untouched_other_trimmed():
+    # Docs 1 and 2 share the passage; doc 1 (smaller id) is the canonical
+    # owner and must keep every word, doc 2 must lose a span covering the
+    # passage windows. Doc 7 shares nothing and must be untouched.
+    passage = _WINNOW_PASSAGE_A
+    fill = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (1, f"{passage} {fill}"),
+        (2, f"{fill} {passage}"),
+        (7, "one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen sixteen"),
+    ]
+    out = {r[0]: r for r in _con_with_docs(rows).execute(
+        QUERIES["dedup_substring_trim"]["duck"]).fetchall()}
+    n_pass = len(passage.split())
+    n_fill = len(fill.split())
+    assert out[1][1] == n_pass + n_fill and out[1][2] == 0
+    assert out[2][2] > 0 and out[2][1] + out[2][2] == n_pass + n_fill
+    assert out[7][2] == 0
+
+
+def test_bpe_train_sql_textbook_example_any_steps():
+    # Sennrich et al.'s own low/lower/lowest walkthrough, 5 steps via the
+    # public wrapper on a non-default table name.
+    from fast_pdf_parser_spark.operators.relational import bpe_train_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW corpus AS SELECT * FROM "
+                "(VALUES (1, 'low lower lowest low low')) v(doc_id, text)")
+    rows = con.execute(bpe_train_sql(5, "duck", "corpus")).fetchall()
+    assert [m for _s, m, _c in rows] == ["lo", "low", "low·", "lowe",
+                                         "lower"]
+
+
+def test_train_bpe_loop_matches_reference_deep(spark):
+    # The imperative persisted-loop trainer (functions/bpe.py) at a depth
+    # the inlined-CTE SQL form would never be run at (8 steps), against
+    # the independent reference — and, transitively, against the
+    # 3-step SQL row (same reference pins both).
+    from fast_pdf_parser_spark.functions.bpe import train_bpe
+
+    texts = ["low lower lowest low low", "newer newest new wider wide",
+             "aaaa aaa baab aaaa"]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+    got = train_bpe(spark, docs, 8)
+    assert got == _bpe_reference(texts, steps=8)

@@ -453,3 +453,50 @@ def test_shard_shuffle_per_shard_window_no_global_sort(spark):
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_winnow_hash_joins_and_pruned_scan(spark):
+    """dedup_substring_winnow: candidate generation must be fingerprint
+    equi-joins (never a cartesian), and the scan must read only
+    (doc_id, text) — the dup decision rides 60-bit hashes, not raw-text
+    comparisons."""
+    entrymod._prepare(spark, SF_DIR)
+    plan = physical(spark.sql(spark_sql("dedup_substring_winnow")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # fp-frequency + final per-doc joins
+    scans = [s.split("\n")[0] for s in plan.split("ReadSchema:")[1:]]
+    assert scans, "no parquet scans found in plan"
+    for s in scans:  # every scan pruned to (doc_id, text) at most
+        assert "source" not in s and "lang" not in s and "n_chars" not in s
+
+
+def test_bpe_train_scalar_broadcasts_only(spark):
+    """tokenizer_bpe_train: each iteration joins the exploded symbol table
+    against a ONE-ROW learned-pair relation. Catalyst pushes the WHERE
+    equality into the cross join, turning it into a broadcast HASH join on
+    (sym, nxt) = (s1, s2) — better than the nested-loop scalar join the
+    query was written for; pin that, and that no cartesian survives."""
+    entrymod._prepare(spark, SF_DIR)
+    plan = physical(spark.sql(spark_sql("tokenizer_bpe_train")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the 1-row pair relations, hashed
+
+
+def test_nfc_zero_shuffle_arrow_stage(spark):
+    """text_nfc_normalize: one Arrow-batched python stage, zero shuffle,
+    scan pruned to (doc_id, text)."""
+    df = entrymod._text_nfc_normalize(spark, SF_DIR)
+    plan = physical(df)
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+    read_schema = plan.split("ReadSchema:")[1][:200]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "source" not in read_schema
+
+
+def test_license_tag_zero_shuffle(spark):
+    """text_license_tag: single codegen scan, no shuffle at all."""
+    entrymod._prepare(spark, SF_DIR)
+    plan = physical(spark.sql(spark_sql("text_license_tag")))
+    assert "Exchange" not in plan
