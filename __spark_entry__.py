@@ -535,20 +535,28 @@ def _crawl_increment_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "crawl_corpus_bands")
     n_corpus = corpus.count()
 
-    # (1) today's batch: real WARC framing, real reader
+    # (1) today's batch: real WARC framing, real reader. The batch chain
+    # feeds ~6 downstream actions (stage counts, joins, the sink write);
+    # without materialization each one re-synthesizes and re-parses the
+    # WARC files, so the capstone pays the parse several times over
+    # (review r8). localCheckpoint is the right tier here: scratch
+    # lineage-cut for single-pass evaluation — the durable artifacts this
+    # row reports are still READ BACK from the sinks below.
     parsed = read_warc_documents(
         _warc_files_df(spark, crawl_batch_spark_sql()))
-    (parsed.filter(F.col("error").isNull())
-     .select(F.element_at(F.split("url", "/"), -1).cast("bigint")
-             .alias("doc_id"),
-             F.col("main_text").alias("text"))
-     .createOrReplaceTempView("crawl_batch_raw"))
-    n_batch = spark.table("crawl_batch_raw").count()
+    batch_raw = (parsed.filter(F.col("error").isNull())
+                 .select(F.element_at(F.split("url", "/"), -1)
+                         .cast("bigint").alias("doc_id"),
+                         F.col("main_text").alias("text"))
+                 .localCheckpoint())
+    batch_raw.createOrReplaceTempView("crawl_batch_raw")
+    n_batch = batch_raw.count()
 
-    # (2) cleaning gates
-    spark.sql(warc_gates_sql("crawl_batch_raw")).createOrReplaceTempView(
-        "crawl_batch_clean")
-    n_clean = spark.table("crawl_batch_clean").count()
+    # (2) cleaning gates (materialized once: feeds the exact join, the
+    # near verdict and the survivor sink)
+    clean = spark.sql(warc_gates_sql("crawl_batch_raw")).localCheckpoint()
+    clean.createOrReplaceTempView("crawl_batch_clean")
+    n_clean = clean.count()
 
     # (3) incremental exact dedup vs corpus hashes READ BACK from disk
     corpus_hashes = (corpus.select(F.col("clean_hash").alias("ch"))
@@ -558,7 +566,8 @@ def _crawl_increment_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "left")
              .withColumn("in_corpus",
                          F.when(F.col("ch").isNotNull(), 1).otherwise(0))
-             .drop("ch"))
+             .drop("ch")
+             .localCheckpoint())  # feeds two counts + near + survivors
     n_exact_dropped = exact.filter("in_corpus = 1").count()
     exact0 = exact.filter("in_corpus = 0")
     (exact0.select("doc_id", F.col("clean_text").alias("text"))

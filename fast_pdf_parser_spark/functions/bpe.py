@@ -26,6 +26,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _persistent_ids(spark: SparkSession) -> set[int]:
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return set(jmap.keySet().toArray())
+    except AttributeError:  # API moved: degrade, never fail training
+        return set()
+
+
+def _release_rdds(spark: SparkSession, ids: set[int]) -> None:
+    if not ids:
+        return
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for i in ids:
+            rdd = jmap.get(i)
+            if rdd is not None:
+                rdd.unpersist()
+    except AttributeError:
+        pass
+
+
 def train_bpe(spark: SparkSession, docs: DataFrame,
               steps: int) -> list[tuple[str, int]]:
     """Learn ``steps`` BPE merges from ``docs`` (needs a ``text`` column).
@@ -45,10 +66,24 @@ def train_bpe(spark: SparkSession, docs: DataFrame,
 
     w_doc = Window.partitionBy("word").orderBy("i")
     merges: list[tuple[str, int]] = []
+    prev_ids: set[int] = set()
     for _ in range(steps):
         # eager, vocab-sized: cuts the per-step lineage so plan depth and
-        # re-computation stay constant across iterations
+        # re-computation stay constant across iterations. The PREVIOUS
+        # step's checkpoint blocks are released explicitly — without this
+        # they linger until driver GC + ContextCleaner happen to reclaim
+        # them, so a deep vocabulary run (steps=50k) would grow executor
+        # storage linearly with steps instead of O(1). DataFrame
+        # .unpersist() does NOT release localCheckpoint blocks (it only
+        # talks to the SQL cache manager), so the release goes through
+        # the persistent-RDD map; a guarded reach-in like clusters.py's
+        # pinned _jdf use — if the API moves, we degrade to the old
+        # GC-eventually behavior rather than fail the training run.
+        before = _persistent_ids(spark)
         syms = syms.localCheckpoint()
+        new_ids = _persistent_ids(spark) - before
+        _release_rdds(spark, prev_ids)
+        prev_ids = new_ids
         e = syms.withColumn("nxt", F.lead("sym").over(w_doc))
         top = (e.where("nxt IS NOT NULL")
                .groupBy("sym", "nxt").agg(F.sum("freq").alias("cnt"))

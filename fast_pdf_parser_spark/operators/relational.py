@@ -571,8 +571,6 @@ _NEAR_VERDICT_SELECT = """SELECT b.doc_id,
        CAST(coalesce(v.best_j, 0) AS BIGINT) AS best_jaccard_x1e4
 FROM batch b LEFT JOIN verified v ON b.doc_id = v.bdoc"""
 
-_NEAR_TAIL = _NEAR_TAIL_CTES + "\n" + _NEAR_VERDICT_SELECT
-
 _NEAR_CTES_SPARK = (
     """cmember AS (
   SELECT doc_id, band, band_key FROM (
@@ -665,10 +663,20 @@ def near_incremental_stored_spark_sql(corpus_view: str,
     (tests/test_plans.py); the DuckDB twin still re-derives corpus,
     bands and verdicts from `documents` directly, so the whole
     sink-roundtrip + stored-band + verify chain stays value-checked."""
+    return ("WITH " + _NEAR_BATCH_CTE + ",\n"
+            + _stored_near_suffix(corpus_view, band_view))
+
+
+def _stored_near_suffix(corpus_view: str, band_view: str) -> str:
+    """The shared stored-band tail: corpus text (verify join only), batch
+    band derivation, the persisted corpus_band alias, then the common
+    candidate/verify/verdict chain. ONE definition so a threshold or
+    band-shape change can never diverge the standalone row from the
+    capstone's verdicts (review r8) — the caller supplies only its batch
+    CTE."""
     return (
-        "WITH " + _NEAR_BATCH_CTE + ",\n"
-        + f"corpus AS (SELECT doc_id, clean_text AS text "
-          f"FROM {corpus_view}),\n"
+        f"corpus AS (SELECT doc_id, clean_text AS text "
+        f"FROM {corpus_view}),\n"
         + _minhash_band_ctes_spark("batch") + ",\n"
         + f"corpus_band AS (SELECT doc_id, band, band_key "
           f"FROM {band_view}),\n"
@@ -733,15 +741,12 @@ def near_verdict_stored_view_sql(batch_view: str, corpus_view: str,
                                  band_view: str) -> str:
     """Near-dup verdicts for an ARBITRARY batch view against the stored
     band table — near_incremental_stored_spark_sql generalized over the
-    batch relation (the capstone's batch is its exact-dedup survivors)."""
+    batch relation (the capstone's batch is its exact-dedup survivors).
+    Shares _stored_near_suffix with the standalone row — identical
+    verdict semantics by construction."""
     return (
         f"WITH batch AS (SELECT doc_id, text FROM {batch_view}),\n"
-        + f"corpus AS (SELECT doc_id, clean_text AS text "
-          f"FROM {corpus_view}),\n"
-        + _minhash_band_ctes_spark("batch") + ",\n"
-        + f"corpus_band AS (SELECT doc_id, band, band_key "
-          f"FROM {band_view}),\n"
-        + _NEAR_TAIL_SPARK
+        + _stored_near_suffix(corpus_view, band_view)
     )
 
 

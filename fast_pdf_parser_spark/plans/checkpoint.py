@@ -369,6 +369,16 @@ def write_docs_bucketed(
                 bands = spark.createDataFrame(
                     [], schema="doc_id bigint, band int, band_key bigint")
             bands.write.mode("overwrite").parquet(bands_bdir)
+        else:
+            # a LATER run without bands over a sink that previously wrote
+            # them would otherwise rewrite clean/bucket=K while leaving
+            # the old bands/bucket=K — read_band_table would then serve
+            # signatures for documents that no longer exist (review r8).
+            # The invariant is bands-match-clean OR bands-absent: drop
+            # the stale bucket band dir alongside the data rewrite.
+            stale = os.path.join(bands_dir, f"bucket={bucket}")
+            if _fs_exists(spark, stale):
+                _fs_delete(spark, stale)
         if bucket in staged_buckets:
             # lineage metrics read back from the DURABLE copy
             written = spark.read.parquet(bdir)

@@ -356,3 +356,53 @@ def test_band_sink_crash_resume_and_empty_bucket(spark, tmp_path):
     eb = read_band_table(spark, out2)
     assert eb.count() == 0
     assert set(eb.columns) == {"doc_id", "band", "band_key", "bucket"}
+
+
+def test_bandless_rewrite_drops_stale_band_buckets(spark, tmp_path):
+    """A later write_bands=False run over a sink that previously wrote
+    bands must not leave day-old signatures next to the new clean data —
+    the invariant is bands-match-clean OR bands-absent, never
+    bands-for-documents-that-no-longer-exist."""
+    from fast_pdf_parser_spark.operators.relational import _HASH60_SPARK
+    from fast_pdf_parser_spark.plans.checkpoint import (
+        read_band_table,
+        write_docs_bucketed,
+    )
+
+    _mini_documents(spark)
+    h = _HASH60_SPARK.format(x="text")
+    day0 = spark.sql(f"""
+        SELECT doc_id, source, 'train' AS split,
+               {h} AS clean_hash, text AS clean_text
+        FROM documents WHERE doc_id % 2 = 0""")
+    out = str(tmp_path / "bandless_rewrite")
+    write_docs_bucketed(spark, day0, out, run_id="day0",
+                        num_buckets=3, write_bands=True)
+    assert read_band_table(spark, out).count() > 0
+
+    day1 = spark.sql(f"""
+        SELECT doc_id, source, 'train' AS split,
+               {h} AS clean_hash, text AS clean_text
+        FROM documents WHERE doc_id % 2 = 1""")
+    corpus = write_docs_bucketed(spark, day1, out, run_id="day1",
+                                 num_buckets=3, write_bands=False)
+    assert corpus.count() > 0
+    assert read_band_table(spark, out).count() == 0  # no stale signatures
+
+
+def test_train_bpe_releases_prior_checkpoints(spark):
+    """functions/bpe.py: persistent-RDD count must stay bounded across
+    merge steps (each iteration releases the previous checkpoint's
+    blocks) — a deep vocabulary run is O(1) storage, not O(steps)."""
+    from fast_pdf_parser_spark.functions.bpe import train_bpe
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.getPersistentRDDs())
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest low low"), (1, "newer new wide wider")],
+        "doc_id long, text string")
+    merges = train_bpe(spark, docs, 6)
+    assert len(merges) == 6
+    after = len(sc._jsc.getPersistentRDDs())
+    # at most the final step's checkpoint may remain registered
+    assert after - before <= 1
