@@ -4227,3 +4227,36 @@ def bpe_train_sql(steps: int = 3, dialect: str = "spark",
     if table != "documents":
         head = head.replace("FROM documents", f"FROM {table}")
     return _bpe_train_sql(head, steps)
+
+
+# --- per-document attribute stitch (Dolma-style attributes relation) ---------
+# Public pipelines (Dolma's "attributes" files; Dataverse-style audits)
+# materialize ONE per-document attribute relation that every downstream
+# decision (filter thresholds, mixture weights, audits) reads, instead of
+# re-deriving gates ad hoc. This row stitches six existing oracle-backed
+# operators into that relation by composing their FULL query texts as
+# subqueries — zero logic duplication, so a threshold change in any
+# component flows into the stitch by construction, and the value check
+# covers the join composition itself. All joins are 1:1 on doc_id
+# (each component emits exactly one row per document).
+# Scale shape: each component is a scan-bounded aggregate; the stitch is
+# five equi-joins on the doc_id key — co-partitioned by AQE, no raw-text
+# columns cross a shuffle (the widest payloads are the 60-bit hashes).
+def _attr_stitch_sql(dialect: str) -> str:
+    sub = {k: QUERIES[k][dialect] for k in (
+        "text_quality_score", "text_lang_id", "text_license_tag",
+        "a2_token_estimate", "a6_content_hash", "dedup_substring_winnow")}
+    return f"""SELECT q.doc_id, q.n_words, q.distinct_ratio_x1e4,
+       q.quality_gate, l.pred_lang, lic.license, lic.is_permissive,
+       t.est_tokens, h.binary_hash,
+       w.dup_words AS substr_dup_words
+FROM ({sub['text_quality_score']}) q
+JOIN ({sub['text_lang_id']}) l ON q.doc_id = l.doc_id
+JOIN ({sub['text_license_tag']}) lic ON q.doc_id = lic.doc_id
+JOIN ({sub['a2_token_estimate']}) t ON q.doc_id = t.doc_id
+JOIN ({sub['a6_content_hash']}) h ON q.doc_id = h.doc_id
+JOIN ({sub['dedup_substring_winnow']}) w ON q.doc_id = w.doc_id"""
+
+
+QUERIES["corpus_attributes"] = _pair(
+    _attr_stitch_sql("spark"), _attr_stitch_sql("duck"))
