@@ -256,3 +256,71 @@ def test_train_bpe_loop_matches_reference_deep(spark):
                                  "doc_id long, text string")
     got = train_bpe(spark, docs, 8)
     assert got == _bpe_reference(texts, steps=8)
+
+
+def _py_winnow_trim(texts_by_id):
+    """Independent imperative winnow + keep-first trim (the SQL pair's
+    semantics re-implemented from the published definitions): anchors at
+    hash60(word)%8==0, 10-word shingle fingerprints, nd>=2 duplicated,
+    min-doc_id owner keeps, islands merge windows closer than 10 words,
+    non-owner islands trimmed."""
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    words = {d: t.split(" ") for d, t in texts_by_id.items()}
+    anchors = {}  # (doc, pos) -> fp
+    by_fp = {}
+    for d, ws in words.items():
+        for p in range(len(ws) - 9):
+            if h60(ws[p]) % 8 == 0:
+                fp = h60(" ".join(ws[p:p + 10]))
+                anchors[(d, p)] = fp
+                by_fp.setdefault(fp, []).append(d)
+    out = {}
+    for d, ws in words.items():
+        trim_pos = sorted(
+            p for (dd, p), fp in anchors.items() if dd == d
+            and len(set(by_fp[fp])) >= 2 and min(by_fp[fp]) != d)
+        spans = []
+        for p in trim_pos:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + 10)
+            else:
+                spans.append([p, p + 10])
+        covered = set()
+        for s, e2 in spans:
+            covered.update(range(s, e2))
+        out[d] = " ".join(w for i, w in enumerate(ws) if i not in covered)
+    return out
+
+
+def test_winnow_trim_idempotent_corpus_is_clean():
+    # Property: after keep-first trimming, re-detection finds NO
+    # duplicated window — every fingerprint survives in exactly its
+    # owner. Crafted corpus with the passage at three unaligned offsets
+    # plus a doc that shares a long run with another. doc_ids avoid
+    # %3==0/%5==0 so the query's own injection stays inert.
+    passage = _WINNOW_PASSAGE_A
+    fill = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    f = fill.split()
+    texts = {
+        1: f"{passage} {fill}",
+        2: f"{' '.join(f[:7])} {passage} {' '.join(f[7:])}",
+        4: f"{' '.join(f[:19])} {passage} {' '.join(f[19:])}",
+    }
+    # sanity: the SQL trim agrees with the python trim on word counts
+    sql_out = {r[0]: r for r in _con_with_docs(sorted(texts.items()))
+               .execute(QUERIES["dedup_substring_trim"]["duck"])
+               .fetchall()}
+    trimmed = _py_winnow_trim(texts)
+    for d in texts:
+        assert sql_out[d][1] == len(trimmed[d].split(" ")), d
+    # idempotence: re-detect over the trimmed corpus -> zero dup anchors
+    redetect = {r[0]: r for r in _con_with_docs(sorted(trimmed.items()))
+                .execute(QUERIES["dedup_substring_winnow"]["duck"])
+                .fetchall()}
+    for d, r in redetect.items():
+        assert r[2] == 0 and r[4] == 0, (d, r)
