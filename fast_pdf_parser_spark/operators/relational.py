@@ -4260,3 +4260,125 @@ JOIN ({sub['dedup_substring_winnow']}) w ON q.doc_id = w.doc_id"""
 
 QUERIES["corpus_attributes"] = _pair(
     _attr_stitch_sql("spark"), _attr_stitch_sql("duck"))
+
+
+# --- T5-style span corruption (denoising-objective preprocessing) ------------
+# The masked-span pretraining transform (Raffel et al. 2020, "Exploring the
+# Limits of Transfer Learning", §3.1.4): replace ~15% of tokens, grouped in
+# short spans, with numbered sentinels; the target is each sentinel followed
+# by the words it hides. The published objective draws spans at random; a
+# DATA-PIPELINE materialization must be reproducible, so span starts are
+# content-keyed pseudo-randomness — hash60(doc_id:pos) % 20 == 0 (~5% of
+# positions open a 3-word span, ~15% of words masked — the published rate; overlapping/adjacent spans merge, exactly
+# T5's consecutive-sentinel collapse). Per doc the row emits span count,
+# masked-word count and 60-bit hashes of the exact input/target strings, so
+# the value check pins the byte-level sentinel assembly on both engines.
+# Scale shape: zero joins beyond the per-doc island algebra — one explode,
+# per-doc windows, two ordered string aggregations; embarrassingly parallel
+# by doc, no shuffle wider than doc_id.
+_CORRUPT_TAIL = """starts AS (
+  SELECT doc_id, pos FROM wordpos WHERE sel = 0
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 3
+              THEN 1 ELSE 0 END AS new_isl
+  FROM starts
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, isl_id, min(pos) AS s, max(pos) + 3 AS e
+  FROM isl2 GROUP BY doc_id, isl_id
+),
+sent AS (
+  SELECT doc_id, isl_id, s, e,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+              AS INT) AS k
+  FROM spans
+),
+masked AS (
+  SELECT w.doc_id, w.pos, w.word, sp.k AS in_span
+  FROM wordpos w
+  LEFT JOIN sent sp ON w.doc_id = sp.doc_id
+                    AND w.pos >= sp.s AND w.pos < sp.e
+),
+input_toks AS (
+  SELECT doc_id, pos, word AS tok FROM masked WHERE in_span IS NULL
+  UNION ALL
+  SELECT doc_id, s AS pos, '<extra_id_' || CAST(k AS STRING) || '>' AS tok
+  FROM sent
+),
+target_parts AS (
+  SELECT m.doc_id, sp.k,
+         '<extra_id_' || CAST(sp.k AS STRING) || '> ' || {span_words}
+           AS part
+  FROM sent sp JOIN masked m
+    ON m.doc_id = sp.doc_id AND m.in_span = sp.k
+  GROUP BY m.doc_id, sp.k
+),
+agg AS (
+  -- counted from the masked rows, not sum(e-s): a span opening within
+  -- the last two words of a document masks fewer than 3 real words
+  SELECT doc_id,
+         count(DISTINCT in_span) AS n_spans,
+         count(*) AS n_masked_words
+  FROM masked WHERE in_span IS NOT NULL GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(a.n_masked_words, 0) AS BIGINT) AS n_masked_words,
+       coalesce(i.input_hash, 0) AS input_hash,
+       coalesce(t.target_hash, 0) AS target_hash
+FROM documents d
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+LEFT JOIN (SELECT doc_id, {input_hash} AS input_hash
+           FROM input_toks GROUP BY doc_id) i ON d.doc_id = i.doc_id
+LEFT JOIN (SELECT doc_id, {target_hash} AS target_hash
+           FROM target_parts GROUP BY doc_id) t ON d.doc_id = t.doc_id"""
+
+_CORRUPT_KEY_SPARK = _HASH60_SPARK.format(
+    x="CAST(doc_id AS STRING) || ':' || CAST(pos AS STRING)")
+_CORRUPT_KEY_DUCK = _HASH60_DUCK.format(
+    x="CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")
+
+QUERIES["text_span_corrupt"] = _pair(
+    f"""WITH warr AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+wordpos AS (
+  SELECT doc_id, pos, word, {_CORRUPT_KEY_SPARK} % 20 AS sel
+  FROM warr LATERAL VIEW posexplode(ws) t AS pos, word
+),
+"""
+    + _CORRUPT_TAIL.format(
+        span_words=("array_join(transform(array_sort("
+                    "collect_list(struct(m.pos, m.word))), "
+                    "x -> x.word), ' ')"),
+        input_hash=_HASH60_SPARK.format(
+            x="array_join(transform(array_sort("
+              "collect_list(struct(pos, tok))), x -> x.tok), ' ')"),
+        target_hash=_HASH60_SPARK.format(
+            x="array_join(transform(array_sort("
+              "collect_list(struct(k, part))), x -> x.part), ' ')"),
+    ),
+    f"""WITH warr AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+wordpos AS (
+  SELECT doc_id, CAST(u[2] AS INT) AS pos, CAST(u[1] AS VARCHAR) AS word,
+         {_CORRUPT_KEY_DUCK.replace('pos', 'CAST(u[2] AS INT)')} % 20 AS sel
+  FROM (SELECT doc_id, unnest(list_zip(ws, range(0, length(ws)))) AS u
+        FROM warr) z
+),
+"""
+    + _CORRUPT_TAIL.replace("AS STRING", "AS VARCHAR").format(
+        span_words="string_agg(m.word, ' ' ORDER BY m.pos)",
+        input_hash=_HASH60_DUCK.format(
+            x="string_agg(tok, ' ' ORDER BY pos)"),
+        target_hash=_HASH60_DUCK.format(
+            x="string_agg(part, ' ' ORDER BY k)"),
+    ),
+)

@@ -324,3 +324,41 @@ def test_winnow_trim_idempotent_corpus_is_clean():
                 .fetchall()}
     for d, r in redetect.items():
         assert r[2] == 0 and r[4] == 0, (d, r)
+
+
+def test_span_corrupt_sentinel_assembly_matches_reference():
+    # Re-derive the exact input/target strings for a crafted doc with an
+    # independent implementation of the content-keyed masking and compare
+    # the 60-bit hashes the query emits — pins byte-level sentinel
+    # assembly (numbering, spacing, merge-of-adjacent-spans) end to end.
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    doc_id = 9
+    words = ("the quick brown fox jumps over the lazy dog and then runs "
+             "far away into the quiet woods tonight again happily").split()
+    starts = [p for p in range(len(words))
+              if h60(f"{doc_id}:{p}") % 20 == 0]
+    spans = []
+    for p in starts:
+        if spans and p <= spans[-1][1] + 3:
+            spans[-1][1] = p
+        else:
+            spans.append([p, p])
+    spans = [(s, min(e + 3, len(words))) for s, e in spans]
+    inp, tgt, k, i = [], [], 0, 0
+    for s, e in spans:
+        inp.extend(words[i:s])
+        inp.append(f"<extra_id_{k}>")
+        tgt.append(f"<extra_id_{k}> " + " ".join(words[s:e]))
+        i, k = e, k + 1
+    inp.extend(words[i:])
+    exp_input_hash = h60(" ".join(inp))
+    exp_target_hash = h60(" ".join(tgt))
+
+    row = _con_with_docs([(doc_id, " ".join(words))]).execute(
+        QUERIES["text_span_corrupt"]["duck"]).fetchall()[0]
+    assert row[1] == len(spans) and row[2] == sum(e - s for s, e in spans)
+    assert row[3] == exp_input_hash and row[4] == exp_target_hash
