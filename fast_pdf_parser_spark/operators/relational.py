@@ -4382,3 +4382,61 @@ wordpos AS (
             x="string_agg(part, ' ' ORDER BY k)"),
     ),
 )
+
+
+# --- FIM (fill-in-the-middle) transform --------------------------------------
+# The infilling-objective preprocessing for code/text models (Bavarian et
+# al. 2022, "Efficient Training of Language Models to Fill in the
+# Middle"): split each document into (prefix, middle, suffix), emit the
+# PSM reordering <PRE> prefix <SUF> suffix <MID> middle. The paper splits
+# uniformly at random; the pipeline materialization is content-keyed —
+# two cut points derived from hash60(doc_id:1|2) modulo the character
+# length, ordered — so every regeneration is identical. The published
+# fim_rate (50%) gates which documents transform at all (hash60(doc_id)
+# parity); untransformed docs pass through with the plain text hash.
+# Byte-exact PSM assembly is pinned by the emitted 60-bit hash.
+# Scale: pure per-row string algebra, single scan, zero shuffle.
+def _fim_sql(h_doc: str, h1: str, h2: str, h_out: str) -> str:
+    return f"""WITH cuts AS (
+  SELECT doc_id, text, length(text) AS n,
+         {h_doc} % 2 AS do_fim,
+         CAST({h1} % greatest(length(text), 1) AS INT) AS r1,
+         CAST({h2} % greatest(length(text), 1) AS INT) AS r2
+  FROM documents
+),
+split_pts AS (
+  SELECT doc_id, text, n, do_fim,
+         least(r1, r2) AS c1, greatest(r1, r2) AS c2
+  FROM cuts
+),
+assembled AS (
+  SELECT doc_id, do_fim,
+         CASE WHEN do_fim = 1
+              THEN '<PRE> ' || substr(text, 1, c1)
+                   || ' <SUF> ' || substr(text, c2 + 1)
+                   || ' <MID> ' || substr(text, c1 + 1, c2 - c1)
+              ELSE text END AS out_text,
+         CASE WHEN do_fim = 1 THEN c1 ELSE 0 END AS prefix_chars,
+         CASE WHEN do_fim = 1 THEN c2 - c1 ELSE 0 END AS middle_chars
+  FROM split_pts
+)
+SELECT doc_id,
+       CAST(do_fim AS INT) AS do_fim,
+       CAST(prefix_chars AS BIGINT) AS prefix_chars,
+       CAST(middle_chars AS BIGINT) AS middle_chars,
+       {h_out} AS psm_hash
+FROM assembled"""
+
+
+QUERIES["text_fim_transform"] = _pair(
+    _fim_sql(
+        h_doc=_HASH60_SPARK.format(x="CAST(doc_id AS STRING)"),
+        h1=_HASH60_SPARK.format(x="CAST(doc_id AS STRING) || ':1'"),
+        h2=_HASH60_SPARK.format(x="CAST(doc_id AS STRING) || ':2'"),
+        h_out=_HASH60_SPARK.format(x="out_text")),
+    _fim_sql(
+        h_doc=_HASH60_DUCK.format(x="CAST(doc_id AS VARCHAR)"),
+        h1=_HASH60_DUCK.format(x="CAST(doc_id AS VARCHAR) || ':1'"),
+        h2=_HASH60_DUCK.format(x="CAST(doc_id AS VARCHAR) || ':2'"),
+        h_out=_HASH60_DUCK.format(x="out_text")),
+)

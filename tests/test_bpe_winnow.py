@@ -362,3 +362,30 @@ def test_span_corrupt_sentinel_assembly_matches_reference():
         QUERIES["text_span_corrupt"]["duck"]).fetchall()[0]
     assert row[1] == len(spans) and row[2] == sum(e - s for s, e in spans)
     assert row[3] == exp_input_hash and row[4] == exp_target_hash
+
+
+def test_fim_psm_assembly_matches_reference():
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # pick ids covering both gate outcomes
+    rows, expected = [], {}
+    text = "abcdefghijklmnopqrstuvwxyz0123456789"
+    for doc_id in range(1, 12):
+        rows.append((doc_id, text))
+        if h60(str(doc_id)) % 2 == 1:
+            n = len(text)
+            r1, r2 = h60(f"{doc_id}:1") % n, h60(f"{doc_id}:2") % n
+            c1, c2 = min(r1, r2), max(r1, r2)
+            psm = (f"<PRE> {text[:c1]} <SUF> {text[c2:]}"
+                   f" <MID> {text[c1:c2]}")
+            expected[doc_id] = (1, c1, c2 - c1, h60(psm))
+        else:
+            expected[doc_id] = (0, 0, 0, h60(text))
+    out = {r[0]: tuple(r[1:]) for r in _con_with_docs(rows).execute(
+        QUERIES["text_fim_transform"]["duck"]).fetchall()}
+    assert out == expected
+    assert any(v[0] == 1 for v in expected.values())
+    assert any(v[0] == 0 for v in expected.values())
