@@ -500,3 +500,23 @@ def test_license_tag_zero_shuffle(spark):
     entrymod._prepare(spark, SF_DIR)
     plan = physical(spark.sql(spark_sql("text_license_tag")))
     assert "Exchange" not in plan
+
+
+def test_span_corrupt_single_doc_exchange(spark):
+    """text_span_corrupt: per-doc island algebra only — every Exchange in
+    the plan is a hash partitioning (on doc_id or the final join keys),
+    never a global sort or a cartesian."""
+    entrymod._prepare(spark, SF_DIR)
+    plan = physical(spark.sql(spark_sql("text_span_corrupt")))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+
+
+def test_fim_zero_shuffle_single_scan(spark):
+    """text_fim_transform: pure per-row string algebra — no Exchange at
+    all, one pruned scan."""
+    entrymod._prepare(spark, SF_DIR)
+    plan = physical(spark.sql(spark_sql("text_fim_transform")))
+    assert "Exchange" not in plan
+    scans = [s.split("\n")[0] for s in plan.split("ReadSchema:")[1:]]
+    assert len(scans) == 1 and "text" in scans[0]
