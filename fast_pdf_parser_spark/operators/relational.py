@@ -4440,3 +4440,65 @@ QUERIES["text_fim_transform"] = _pair(
         h2=_HASH60_DUCK.format(x="CAST(doc_id AS VARCHAR) || ':2'"),
         h_out=_HASH60_DUCK.format(x="out_text")),
 )
+
+
+# --- length-bucketed batch assembly (padding-efficiency batching) ------------
+# The dataloader-side transform every padded-batch trainer needs: group
+# similarly-sized documents so a batch's padding waste (batch_size ×
+# max_len − Σ len) stays small — the published bucketing-by-sequence-
+# length trick (in every major seq2seq toolkit since Sutskever-era
+# batching). Length class = integer bit-length of the token estimate
+# (binary-string length, EXACT on both engines — no float log2 whose
+# 1-ulp wobble could flip a power-of-two boundary); batches are assembled
+# WITHIN (shard, class) by a deterministic (toks, doc_id) order, 16 docs
+# per batch. Sharding first is the distributed shape: a per-class-only
+# window would sort the dominant class in ONE partition (the mixture-
+# window lesson), while (shard, class) partitions are bounded and each
+# loader owns its shard — zero cross-worker coordination, same trick as
+# text_shard_shuffle. Output: one row per assembled batch with its
+# padding efficiency in exact 1e4 fixed point.
+_BATCH_SIZE = 16
+_BATCH_SHARDS = 8
+
+_LEN_BATCH_BODY = """doc_toks AS (
+  SELECT doc_id,
+         CAST(floor((length(text) + 3) / 4) AS BIGINT) AS toks,
+         CAST({shard} AS INT) AS shard
+  FROM documents
+),
+classed AS (
+  SELECT doc_id, toks, shard,
+         CAST(length({bin_toks}) AS INT) AS len_class
+  FROM doc_toks WHERE toks > 0
+),
+ordered AS (
+  SELECT doc_id, toks, shard, len_class,
+         CAST(floor((row_number() OVER (PARTITION BY shard, len_class
+                                        ORDER BY toks, doc_id) - 1)
+                    / {bs}) AS INT) AS batch_id
+  FROM classed
+)
+SELECT shard, len_class, batch_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(toks) AS BIGINT) AS max_toks,
+       CAST(sum(toks) AS BIGINT) AS sum_toks,
+       CAST(floor(sum(toks) * CAST(10000.0 AS DOUBLE)
+                  / (count(*) * max(toks)) + 0.5) AS BIGINT)
+         AS pad_eff_x1e4
+FROM ordered
+GROUP BY shard, len_class, batch_id"""
+
+QUERIES["text_length_batching"] = _pair(
+    "WITH " + _LEN_BATCH_BODY.format(
+        shard="CAST({h} % {n} AS INT)".format(
+            h=_HASH60_SPARK.format(x="CAST(doc_id AS STRING)"),
+            n=_BATCH_SHARDS),
+        bin_toks="conv(toks, 10, 2)",
+        bs=_BATCH_SIZE),
+    "WITH " + _LEN_BATCH_BODY.format(
+        shard="CAST({h} % {n} AS INT)".format(
+            h=_HASH60_DUCK.format(x="CAST(doc_id AS VARCHAR)"),
+            n=_BATCH_SHARDS),
+        bin_toks="bin(toks)",
+        bs=_BATCH_SIZE),
+)

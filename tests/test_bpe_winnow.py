@@ -389,3 +389,21 @@ def test_fim_psm_assembly_matches_reference():
     assert out == expected
     assert any(v[0] == 1 for v in expected.values())
     assert any(v[0] == 0 for v in expected.values())
+
+
+@pytest.mark.skipif(not HAS_DATA, reason="driver testdata not present")
+def test_length_batching_invariants():
+    # Batches pack ≤16 docs of one (shard, len_class); every doc's token
+    # estimate fits [2^(class-1), 2^class); efficiency = sum/(n*max).
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{SF0001}/documents.parquet'")
+    rows = con.execute(
+        QUERIES["text_length_batching"]["duck"]).fetchall()
+    assert rows
+    for shard, cls, _b, n, mx, sm, eff in rows:
+        assert 1 <= n <= 16
+        assert 2 ** (cls - 1) <= mx < 2 ** cls
+        assert sm <= n * mx
+        assert eff == int(sm * 10000.0 / (n * mx) + 0.5)
+        assert 0 <= shard < 8
