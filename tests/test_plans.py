@@ -520,3 +520,14 @@ def test_fim_zero_shuffle_single_scan(spark):
     assert "Exchange" not in plan
     scans = [s.split("\n")[0] for s in plan.split("ReadSchema:")[1:]]
     assert len(scans) == 1 and "text" in scans[0]
+
+
+def test_length_batching_sharded_window_no_global_sort(spark):
+    """text_length_batching: batch assembly windows partition by
+    (shard, len_class) — bounded partitions, no corpus-wide sort, no
+    single-partition stage."""
+    entrymod._prepare(spark, SF_DIR)
+    plan = physical(spark.sql(spark_sql("text_length_batching")))
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "Exchange SinglePartition" not in plan
