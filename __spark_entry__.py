@@ -774,7 +774,7 @@ _PRIORITY_QUERIES = [
     "dedup_substring_winnow", "tokenizer_bpe_pairs",
     "tokenizer_bpe_train", "text_nfc_normalize", "text_license_tag",
     "dedup_substring_trim", "corpus_attributes", "text_span_corrupt",
-    "text_fim_transform", "text_length_batching",
+    "text_fim_transform", "text_length_batching", "dedup_bloom_probe",
     # re-verify: implementations changed in r8 (near-dup now serves
     # candidates from the sink's persisted band table; the persisted IVF
     # row now serves from an APPENDED index)

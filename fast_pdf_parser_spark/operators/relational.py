@@ -4502,3 +4502,68 @@ QUERIES["text_length_batching"] = _pair(
         bin_toks="bin(toks)",
         bs=_BATCH_SIZE),
 )
+
+
+# --- Bloom-filter membership probe (seen-before structure) -------------------
+# The crawler/incremental-ingest companion to exact dedup: a Bloom filter
+# (Bloom 1970; ships in Spark itself as util.sketch.BloomFilter /
+# DataFrame.stat.bloomFilter) answers "definitely new vs maybe seen"
+# without shipping raw keys. This row is the filter's RELATIONAL twin so
+# the exact bit arithmetic is value-checked cross-engine: k=4 positions
+# per key over m=2^20 bits, derived from the portable 60-bit hash of the
+# 60-bit content hash (seed-suffixed); the corpus's set-bit relation is
+# DISTINCT positions (≤ 4·|corpus| rows, the degenerate-but-checkable
+# form of the broadcast bitmap a production probe compiles to); a batch
+# key is maybe-present iff ALL k of its positions are set (match count
+# == k). truly_present rides along so the row also MEASURES the false-
+# positive behavior instead of assuming it. Scale: probe = one INT
+# equi-join against a broadcastable set-bit relation; no raw keys cross
+# the wire; the real deployment swaps the join for a bitmap broadcast
+# with identical semantics.
+_BLOOM_K = 4
+_BLOOM_M = 1048576
+
+
+def _bloom_sql(h60_text: str, h60_of: str, gen_seeds: str) -> str:
+    return f"""WITH keys AS (
+  SELECT doc_id, {h60_text} AS kh,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+           AS truly_present
+  FROM documents
+),
+corpus_pos AS (
+  SELECT DISTINCT
+         {h60_of} % {_BLOOM_M} AS pos
+  FROM keys{gen_seeds}
+  WHERE doc_id % 2 = 0
+),
+probe AS (
+  SELECT doc_id, truly_present,
+         {h60_of} % {_BLOOM_M} AS pos
+  FROM keys{gen_seeds}
+),
+hits AS (
+  SELECT p.doc_id, p.truly_present,
+         count(c.pos) AS set_bits
+  FROM probe p LEFT JOIN corpus_pos c ON p.pos = c.pos
+  GROUP BY p.doc_id, p.truly_present
+)
+SELECT doc_id,
+       CAST(CASE WHEN set_bits = {_BLOOM_K} THEN 1 ELSE 0 END AS INT)
+         AS bloom_maybe,
+       CAST(truly_present AS INT) AS truly_present
+FROM hits"""
+
+
+QUERIES["dedup_bloom_probe"] = _pair(
+    _bloom_sql(
+        h60_text=_HASH60_SPARK.format(x="text"),
+        h60_of=_HASH60_SPARK.format(
+            x="CAST(kh AS STRING) || ':' || CAST(seed AS STRING)"),
+        gen_seeds=" LATERAL VIEW explode(sequence(0, 3)) t AS seed"),
+    _bloom_sql(
+        h60_text=_HASH60_DUCK.format(x="text"),
+        h60_of=_HASH60_DUCK.format(
+            x="CAST(kh AS VARCHAR) || ':' || CAST(seed AS VARCHAR)"),
+        gen_seeds=", unnest(range(0, 4)) AS t(seed)"),
+)

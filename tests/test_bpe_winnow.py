@@ -407,3 +407,29 @@ def test_length_batching_invariants():
         assert sm <= n * mx
         assert eff == int(sm * 10000.0 / (n * mx) + 0.5)
         assert 0 <= shard < 8
+
+
+def test_bloom_probe_no_false_negatives_and_fp_at_small_m(monkeypatch):
+    # The Bloom invariant: a present key is NEVER missed, at any m; and
+    # at a deliberately tiny m (high fill) false positives MUST appear —
+    # proving the probe really is a bloom filter, not an exact join in
+    # disguise.
+    from fast_pdf_parser_spark.operators import relational as R
+
+    def run(m):
+        monkeypatch.setattr(R, "_BLOOM_M", m)
+        sql = R._bloom_sql(
+            h60_text=R._HASH60_DUCK.format(x="text"),
+            h60_of=R._HASH60_DUCK.format(
+                x="CAST(kh AS VARCHAR) || ':' || CAST(seed AS VARCHAR)"),
+            gen_seeds=", unnest(range(0, 4)) AS t(seed)")
+        rows = [(i, f"document number {i} body {i * 17}")
+                for i in range(200)]
+        return _con_with_docs(rows).execute(sql).fetchall()
+
+    big = run(1 << 20)
+    assert all(maybe == 1 for _d, maybe, truly in big if truly == 1)
+    small = run(97)  # ~800 bits set into 97 positions: saturated
+    assert all(maybe == 1 for _d, maybe, truly in small if truly == 1)
+    fps = [1 for _d, maybe, truly in small if truly == 0 and maybe == 1]
+    assert fps, "saturated filter produced no false positives"
