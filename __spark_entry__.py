@@ -36,6 +36,41 @@ _VIEW_TABLES = ["documents", "embeddings", "events", "region", "nation",
                 "customer", "supplier", "part", "orders", "lineitem"]
 
 
+def _proc_start_ticks(pid: int) -> int | None:
+    """Process start time in clock ticks (/proc/<pid>/stat field 22) —
+    the (pid, start) pair identifies a process instance across pid
+    recycling. None = process gone or /proc unreadable."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read().decode("ascii", "replace")
+        # comm (field 2) may contain spaces/parens: split after last ')'
+        return int(stat.rsplit(")", 1)[1].split()[19])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _scratch(kind: str, sf_name: str) -> str:
+    """PID-suffixed /tmp scratch path + an owner marker sidecar.
+
+    The marker (``<path>.owner``, JSON {pid, start}) stamps the creating
+    process INSTANCE: the reaper deletes a scratch family only when the
+    recorded (pid, start-ticks) no longer names a live process — immune
+    both to pid recycling (an unrelated live process with the recycled
+    pid has a different start time, so the dead run's scratch is still
+    collected) and to trailing-digit false positives from older naming
+    schemes (no marker + no parseable pid = left alone; advice r8)."""
+    import json
+
+    path = f"/tmp/spark_graft_{kind}_{sf_name}_{os.getpid()}"
+    try:
+        with open(path + ".owner", "w") as f:
+            json.dump({"pid": os.getpid(),
+                       "start": _proc_start_ticks(os.getpid())}, f)
+    except OSError:
+        pass  # marker is an optimization; the legacy probe still applies
+    return path
+
+
 def _reap_stale_scratch() -> None:
     """Delete /tmp scratch dirs left by DEAD prior invocations.
 
@@ -43,9 +78,12 @@ def _reap_stale_scratch() -> None:
     clobber each other — but that means a dir from a finished/crashed
     process never matches a later run's start-of-run delete, and the
     small durable `_verdict` parquet dirs accumulate unboundedly across
-    rounds (advice finding, round 7). A live process's dirs are never
-    touched (os.kill(pid, 0) probe)."""
+    rounds (advice finding, round 7). Ownership is decided by the
+    ``.owner`` marker written by _scratch (pid + process start ticks —
+    exact across pid recycling); dirs without a marker fall back to the
+    pid-parse + kill(0) probe. A live owner's dirs are never touched."""
     import glob
+    import json
     import re
     import shutil
 
@@ -57,12 +95,35 @@ def _reap_stale_scratch() -> None:
                 "spark_graft_pack_", "spark_graft_ivf_",
                 "spark_graft_crawl_")
     for path in glob.glob("/tmp/spark_graft_*"):
-        if not any(os.path.basename(path).startswith(p) for p in prefixes):
+        name = os.path.basename(path)
+        if name.endswith(".owner") or not any(
+                name.startswith(p) for p in prefixes):
             continue
-        m = re.search(r"_(\d+)(?:_[a-z]+)?$", path)
+        # suffixed members (_verdict, _corpus, ...) share the base's marker
+        m = re.match(r"^(.*_\d+)(?:_[a-z]+)?$", path)
+        base = m.group(1) if m else path
+        marker = base + ".owner"
+        if os.path.exists(marker):
+            try:
+                with open(marker) as f:
+                    owner = json.load(f)
+                pid, start = int(owner["pid"]), owner["start"]
+            except (OSError, ValueError, KeyError, TypeError):
+                pid, start = -1, None  # unreadable marker: treat as dead
+            if pid == os.getpid():
+                continue
+            if start is not None and _proc_start_ticks(pid) == start:
+                continue  # exact owner instance still alive
+            shutil.rmtree(path, ignore_errors=True)
+            if not glob.glob(base + "*") or glob.glob(base + "*") == [marker]:
+                try:
+                    os.remove(marker)
+                except OSError:
+                    pass
+            continue
         if not m:
-            continue
-        pid = int(m.group(1))
+            continue  # no marker, no parseable pid: never guess (advice r8)
+        pid = int(m.group(1).rsplit("_", 1)[1])
         if pid == os.getpid():
             continue
         try:
@@ -282,7 +343,7 @@ def _warc_clean_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PID-suffixed scratch: concurrent bench/driver invocations must not
     # delete each other's in-progress sink output (the dir is removed
     # below once the counts are materialized)
-    out = f"/tmp/spark_graft_warc_clean_{sf_name}_{os.getpid()}"
+    out = _scratch("warc_clean", sf_name)
     _fs_delete(spark, out)
     clean = write_docs_bucketed(spark, kept, out, run_id="driver",
                                 num_buckets=4)
@@ -314,7 +375,7 @@ def _pipeline_clean_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PID-suffixed scratch: concurrent bench/driver invocations must not
     # delete each other's in-progress sink output; the dir is removed
     # below once the counts are materialized
-    out = f"/tmp/spark_graft_clean_{sf_name}_{os.getpid()}"
+    out = _scratch("clean", sf_name)
     _fs_delete(spark, out)  # fresh, idempotent run per invocation
     clean = write_clean_corpus(spark, out, run_id="driver", num_buckets=4)
     counts = (clean.groupBy("split", "source")
@@ -362,7 +423,7 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rn = 1""")
 
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/spark_graft_incr_{sf_name}_{os.getpid()}"
+    out = _scratch("incr", sf_name)
     _fs_delete(spark, out)
     _fs_delete(spark, out + "_verdict")  # prior run's durable verdict
     # 2 buckets: still exercises the multi-bucket sink loop, but each
@@ -443,7 +504,7 @@ def _dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rn = 1""")
 
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/spark_graft_incrnear_{sf_name}_{os.getpid()}"
+    out = _scratch("incrnear", sf_name)
     _fs_delete(spark, out)
     _fs_delete(spark, out + "_verdict")
     corpus = write_docs_bucketed(spark, prev, out, run_id="prev",
@@ -513,7 +574,7 @@ def _crawl_increment_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prepare(spark, sf_dir)
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    base = f"/tmp/spark_graft_crawl_{sf_name}_{os.getpid()}"
+    base = _scratch("crawl", sf_name)
     for suffix in ("_corpus", "_incr", "_pack"):
         _fs_delete(spark, base + suffix)
 
@@ -651,7 +712,7 @@ def _text_pack_write(spark: SparkSession, sf_dir: str) -> DataFrame:
                      size(split(trim(text), '[ \\t\\n]+')) AS nwords
               FROM documents WHERE length(trim(text)) > 0)""")
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/spark_graft_pack_{sf_name}_{os.getpid()}"
+    out = _scratch("pack", sf_name)
     _fs_delete(spark, out)
     back = write_packed_sequences(spark.table("documents"), out,
                                   seq_len=128, seqs_per_shard=64,
@@ -935,7 +996,7 @@ def _ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prepare(spark, sf_dir)
     cell = _band_key_sql(_GRID_BAND, _EMB_ELEM_SPARK, _GRID_BITS)
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    idx = f"/tmp/spark_graft_ivf_{sf_name}_{os.getpid()}"
+    idx = _scratch("ivf", sf_name)
     _fs_delete(spark, idx)
     spark.sql(
         f"""SELECT vec_id, embedding, concat('c', {cell}) AS cell

@@ -3422,7 +3422,7 @@ QUERIES["embed_cluster_cap"] = _pair(
 SEMDEDUP_THRESHOLD_X1E4 = 4000
 
 _SEMDEDUP_BODY = """WITH cells AS (
-  SELECT vec_id, embedding, {cell} AS cell FROM embeddings
+  SELECT vec_id, embedding, {cell} AS cell FROM embeddings{corpus_filter}
 ),
 comps AS (
   SELECT vec_id, cell, pos,
@@ -3467,19 +3467,33 @@ SELECT vec_id, cell, cos_centroid_x1e4,
                  THEN 1 ELSE 0 END AS INT) AS semdedup_keep
 FROM ranked"""
 
-QUERIES["dedup_semantic_cells"] = _pair(
-    _SEMDEDUP_BODY.format(
-        cell=_band_key_sql(_GRID_BAND, _EMB_ELEM_SPARK, _GRID_BITS),
-        elem_pos="element_at(embedding, pos)",
-        pos_join=f" LATERAL VIEW explode(sequence(1, {_EMB_DIM})) t AS pos",
-        thr=SEMDEDUP_THRESHOLD_X1E4,
-    ),
-    _SEMDEDUP_BODY.format(
+def _semdedup_sql(dialect: str, corpus_only: bool = False) -> str:
+    """dedup_semantic_cells body per dialect; ``corpus_only=True`` restricts
+    the dedup to corpus vectors (vec_id >= 5) — the recall-report form
+    (advice r8): with queries included, a query vector can win grp_rank=1
+    inside a cell and evict the corpus representative, so 'recall lost =
+    corpus the dedup deleted' would be distorted by non-corpus members."""
+    flt = " WHERE vec_id >= 5" if corpus_only else ""
+    if dialect == "spark":
+        return _SEMDEDUP_BODY.format(
+            cell=_band_key_sql(_GRID_BAND, _EMB_ELEM_SPARK, _GRID_BITS),
+            elem_pos="element_at(embedding, pos)",
+            pos_join=f" LATERAL VIEW explode(sequence(1, {_EMB_DIM}))"
+                     " t AS pos",
+            thr=SEMDEDUP_THRESHOLD_X1E4,
+            corpus_filter=flt,
+        )
+    return _SEMDEDUP_BODY.format(
         cell=_band_key_sql(_GRID_BAND, _EMB_ELEM_DUCK, _GRID_BITS),
         elem_pos="embedding[pos]",
         pos_join=f", unnest(range(1, {_EMB_DIM + 1})) AS t(pos)",
         thr=SEMDEDUP_THRESHOLD_X1E4,
-    ),
+        corpus_filter=flt,
+    )
+
+
+QUERIES["dedup_semantic_cells"] = _pair(
+    _semdedup_sql("spark"), _semdedup_sql("duck"),
 )
 
 
@@ -3671,7 +3685,9 @@ def _recall_sql(exact: str, lsh: str, grid: str, int8: str,
     semantic dedup REMOVES in retrieval terms: hits = how many of each
     query's exact top-10 neighbors survive dedup_semantic_cells
     (semdedup_keep = 1) — recall lost here is corpus the dedup tier
-    deleted, not a probe miss."""
+    deleted, not a probe miss. The semdedup subquery runs CORPUS-ONLY
+    (vec_id >= 5, advice r8): queries must not participate in cell
+    centroids or win grp_rank=1 and evict a corpus representative."""
     return f"""WITH exact AS (
 {exact}
 ),
@@ -3736,10 +3752,10 @@ FROM per"""
 QUERIES["ann_recall_report"] = _pair(
     _recall_sql(_ANN_SPARK, QUERIES["ann_lsh_topk"]["spark"],
                 QUERIES["ann_ivf_grid"]["spark"], _INT8_ANN_SPARK,
-                _IVF_INT8_SPARK, QUERIES["dedup_semantic_cells"]["spark"]),
+                _IVF_INT8_SPARK, _semdedup_sql("spark", corpus_only=True)),
     _recall_sql(_ANN_DUCK, QUERIES["ann_lsh_topk"]["duck"],
                 QUERIES["ann_ivf_grid"]["duck"], _INT8_ANN_DUCK,
-                _IVF_INT8_DUCK, QUERIES["dedup_semantic_cells"]["duck"]),
+                _IVF_INT8_DUCK, _semdedup_sql("duck", corpus_only=True)),
 )
 
 

@@ -176,12 +176,20 @@ def main() -> None:
     # clobber a committed artifact that recorded a different instrument
     # or a different round's box state (the hardcoded r7 tag would have
     # silently overwritten the committed r7 record in round 8 — same
-    # lesson as the per-config bench detail files, r6). Round = driver
-    # CORRECTNESS files + 1, overridable for ad-hoc runs.
+    # lesson as the per-config bench detail files, r6). Round = max round
+    # number parsed from the driver CORRECTNESS filenames + 1 (a COUNT
+    # breaks on gaps or when the driver has already written the current
+    # round's file — advice r8), overridable for ad-hoc runs.
     import glob
+    import re
 
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
     tag = os.environ.get("SPARK_GRAFT_SCALING_TAG") or "r{}".format(
-        len(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))) + 1)
+        (max(rounds) if rounds else 0) + 1)
     name = f"SCALING_SESSION_{lo}_{hi}_{tag}.json"
     out_path = os.path.join(REPO, "BENCH", name)
     with open(out_path, "w") as f:
