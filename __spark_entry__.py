@@ -478,18 +478,25 @@ def _dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-set jaccard verifies each candidate against the pruned corpus
     text (threshold relational.NEAR_INCR_THRESHOLD_X1E4). This is the
     batch form of the streaming band-claim store
-    (streaming/ingest.py:269-328). DuckDB re-derives corpus, bands and
-    verdicts from `documents` directly, so the whole sink-roundtrip +
-    stored-band + verify chain is value-checked; stored==derived band
-    equality and the bands-not-text candidate scan are pinned in
-    tests/test_checkpoint.py and tests/test_plans.py."""
+    (streaming/ingest.py:269-328). The stored band table is served
+    through plans/checkpoint.probe_band_table (r8 verdict #1): the scan
+    is PRUNED to the batch's own band-key partitions (bkp
+    PartitionFilters + pushed key-IN) instead of reading the whole
+    corpus-scale table per increment. DuckDB re-derives corpus, bands
+    and verdicts from `documents` directly, so the whole sink-roundtrip
+    + stored-band + prune + verify chain is value-checked; stored==
+    derived band equality, pruned==full-scan verdict equality and the
+    bands-not-text candidate scan are pinned in tests/test_checkpoint.py
+    and tests/test_plans.py."""
     from fast_pdf_parser_spark.operators.relational import (
         _HASH60_SPARK,
-        near_incremental_stored_spark_sql,
+        band_signatures_spark_sql,
+        near_batch_spark_sql,
+        near_verdict_prebanded_sql,
     )
     from fast_pdf_parser_spark.plans.checkpoint import (
         _fs_delete,
-        read_band_table,
+        probe_band_table,
         write_docs_bucketed,
     )
 
@@ -510,9 +517,18 @@ def _dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = write_docs_bucketed(spark, prev, out, run_id="prev",
                                  num_buckets=2, write_bands=True)
     corpus.createOrReplaceTempView("incr_near_corpus")
-    read_band_table(spark, out).createOrReplaceTempView(
+    # batch bands derived ONCE (localCheckpoint: they feed both the
+    # probe's key collection and the candidate join), then the stored
+    # band table is read PRUNED to those keys
+    spark.sql(near_batch_spark_sql()).createOrReplaceTempView(
+        "incr_near_batch")
+    bb = spark.sql(band_signatures_spark_sql(
+        "incr_near_batch", text_col="text")).localCheckpoint(eager=True)
+    bb.createOrReplaceTempView("incr_near_batch_bands")
+    probe_band_table(spark, out, bb).createOrReplaceTempView(
         "incr_near_corpus_bands")
-    verdict = spark.sql(near_incremental_stored_spark_sql(
+    verdict = spark.sql(near_verdict_prebanded_sql(
+        "incr_near_batch", "incr_near_batch_bands",
         "incr_near_corpus", "incr_near_corpus_bands"))
     # durable materialization before the scratch delete (the
     # dedup_incremental pattern: localCheckpoint would not survive an
@@ -560,14 +576,15 @@ def _crawl_increment_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         _HASH60_SPARK,
         CRAWL_NUM_BUCKETS,
         CRAWL_SEQ_LEN,
+        band_signatures_spark_sql,
         crawl_batch_spark_sql,
-        near_verdict_stored_view_sql,
+        near_verdict_prebanded_sql,
         warc_gates_sql,
     )
     from fast_pdf_parser_spark.plans.checkpoint import (
         _fs_delete,
         lineage,
-        read_band_table,
+        probe_band_table,
         write_docs_bucketed,
     )
     from fast_pdf_parser_spark.sources.warc import read_warc_documents
@@ -592,8 +609,6 @@ def _crawl_increment_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  num_buckets=CRAWL_NUM_BUCKETS,
                                  write_bands=True)
     corpus.createOrReplaceTempView("crawl_corpus")
-    read_band_table(spark, base + "_corpus").createOrReplaceTempView(
-        "crawl_corpus_bands")
     n_corpus = corpus.count()
 
     # (1) today's batch: real WARC framing, real reader. The batch chain
@@ -634,9 +649,17 @@ def _crawl_increment_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact0.select("doc_id", F.col("clean_text").alias("text"))
      .createOrReplaceTempView("crawl_exact_survivors"))
 
-    # (4) incremental near dedup: candidates from the STORED band table
-    near = spark.sql(near_verdict_stored_view_sql(
-        "crawl_exact_survivors", "crawl_corpus", "crawl_corpus_bands"))
+    # (4) incremental near dedup: candidates from the STORED band table,
+    # scan PRUNED to the batch's own band keys (probe_band_table)
+    sb = spark.sql(band_signatures_spark_sql(
+        "crawl_exact_survivors", text_col="text")).localCheckpoint(
+        eager=True)
+    sb.createOrReplaceTempView("crawl_surv_bands")
+    probe_band_table(spark, base + "_corpus", sb).createOrReplaceTempView(
+        "crawl_corpus_bands_pruned")
+    near = spark.sql(near_verdict_prebanded_sql(
+        "crawl_exact_survivors", "crawl_surv_bands",
+        "crawl_corpus", "crawl_corpus_bands_pruned"))
     n_near_dropped = near.filter("near_in_corpus = 1").count()
 
     # (5) survivors → the sink (write_bands=True: tomorrow's band corpus)
@@ -761,6 +784,120 @@ def _text_encode_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda a, x: a + x).alias("ids_sum"))
 
 
+def _text_encode_pack_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED geometry of the REAL-tokenizer pack (r8 verdict #6 —
+    text_encode_pack is rows-only because greedy-vocab ids aren't SQL;
+    this row puts its GEOMETRY into the oracle gate without DuckDB ever
+    re-implementing the tokenizer). The Spark side packs the real
+    encoder's ids (pack_token_ids over encode_token_ids) and reports
+    SQL-re-derivable facts:
+
+      docs_packed              — docs that packed >= 1 token (DuckDB
+                                 re-derives: non-blank text count)
+      total_tokens_conserved   — sum(seq n_tokens) == sum(encode n_ids)
+                                 == sum(count_token_ids n_ids): the pack
+                                 lost/duplicated nothing AND the id-free
+                                 counting pass agrees with the encoder
+      seq_count_formula        — n_seqs == ceil(T / seq_len) with seq_ids
+                                 contiguous 0..n_seqs-1
+      all_full_but_last        — every seq but the last holds exactly
+                                 seq_len tokens; the last holds the rest
+      doc_slices_match         — sum(n_docs) equals the slice count
+                                 re-derived from the doc token prefix
+                                 sums (shard-stitched, no global window)
+      ids_sum_conserved        — sum of all packed ids == sum of all
+                                 encoded ids (content, not just counts)
+
+    The invariant rows oracle against literal 1s — the correctness
+    signal is that the REAL pack actually satisfies them (any pack
+    off-by-one, lost slice or dropped token flips a 1 to 0 and
+    hash-mismatches); docs_packed carries a genuinely re-derived value."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.operators.packing import (
+        SEQ_LEN,
+        SHARD_WIDTH,
+        count_token_ids,
+        encode_token_ids,
+        pack_token_ids,
+    )
+
+    _prepare(spark, sf_dir)
+    docs = spark.table("documents")
+    # encode ONCE (localCheckpoint): feeds the pack, the totals and the
+    # ids-sum conservation check
+    enc = encode_token_ids(
+        docs, num_partitions=spark.sparkContext.defaultParallelism
+    ).filter(F.col("n_ids") > 0).localCheckpoint(eager=True)
+    packed = pack_token_ids(docs, encoded=enc)
+
+    e = enc.agg(
+        F.count("*").alias("d"),
+        F.sum("n_ids").alias("t"),
+        F.sum(F.aggregate("ids", F.lit(0).cast("bigint"),
+                          lambda a, x: a + x)).alias("ids_sum"),
+    ).collect()[0]
+    d_enc, t_enc, ids_sum_enc = int(e["d"]), int(e["t"]), int(e["ids_sum"])
+    t_count = int(count_token_ids(
+        docs, num_partitions=spark.sparkContext.defaultParallelism)
+        .filter(F.col("n_ids") > 0)
+        .agg(F.sum("n_ids")).collect()[0][0])
+
+    # expected doc-slice count from prefix sums — same shard-stitch shape
+    # as the pack itself (per-shard window + tiny offsets relation), so
+    # the check scales exactly like the operator it checks
+    shard = (F.col("doc_id") / SHARD_WIDTH).cast("long")
+    w_local = (Window.partitionBy("shard").orderBy("doc_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = (enc.select("doc_id", "n_ids").withColumn("shard", shard)
+             .withColumn("local_end", F.sum("n_ids").over(w_local)))
+    shard_tot = local.groupBy("shard").agg(
+        F.max("local_end").alias("shard_tokens"))
+    w_off = (Window.orderBy("shard")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = shard_tot.select(
+        "shard", F.coalesce(F.sum("shard_tokens").over(w_off), F.lit(0))
+        .alias("shard_start"))
+    expected_slices = int(
+        local.join(F.broadcast(offsets), "shard")
+        .select((F.floor((F.col("shard_start") + F.col("local_end") - 1)
+                         / SEQ_LEN)
+                 - F.floor((F.col("shard_start") + F.col("local_end")
+                            - F.col("n_ids")) / SEQ_LEN) + 1).alias("k"))
+        .agg(F.sum("k")).collect()[0][0])
+
+    p = packed.agg(
+        F.count("*").alias("s"),
+        F.sum("n_tokens").alias("t"),
+        F.sum("n_docs").alias("slices"),
+        F.sum(F.when(F.col("n_tokens") == SEQ_LEN, 1).otherwise(0))
+        .alias("full"),
+        F.min("seq_id").alias("lo"),
+        F.max("seq_id").alias("hi"),
+        F.countDistinct("seq_id").alias("uniq"),
+        F.sum(F.aggregate("ids", F.lit(0).cast("bigint"),
+                          lambda a, x: a + x)).alias("ids_sum"),
+        F.max(F.when(F.col("seq_id") == F.lit(0), F.col("n_tokens")))
+        .alias("probe0"),
+    ).collect()[0]
+    s, t_pack = int(p["s"]), int(p["t"])
+    last_tokens = t_pack - (s - 1) * SEQ_LEN
+    rows = [
+        ("docs_packed", d_enc),
+        ("total_tokens_conserved",
+         int(t_pack == t_enc == t_count)),
+        ("seq_count_formula",
+         int(s == -(-t_pack // SEQ_LEN) and int(p["lo"]) == 0
+             and int(p["hi"]) == s - 1 and int(p["uniq"]) == s)),
+        ("all_full_but_last",
+         int(int(p["full"]) >= s - 1 and 0 < last_tokens <= SEQ_LEN)),
+        ("doc_slices_match", int(int(p["slices"]) == expected_slices)),
+        ("ids_sum_conserved", int(int(p["ids_sum"]) == ids_sum_enc)),
+    ]
+    return spark.createDataFrame(rows, schema="invariant string, val bigint")
+
+
 def _pipeline_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1-G5: the full stateful extraction (rows-only check — its exact
     contract is pinned by the span-equality pytest fixtures)."""
@@ -819,6 +956,11 @@ def _pipeline_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = 50
 
 _PRIORITY_QUERIES = [
+    # new in round 9 — the r8-verdict items: pruned band-table serving
+    # (re-verify the near-dup + capstone rows whose serve path changed),
+    # the real-tokenizer pack geometry gate, deep-step BPE, the training
+    # assembly capstone and sink compaction
+    "text_encode_pack_geometry",
     # new in round 8 — lead until each lands a driver CORRECTNESS row
     # (the guard test in tests/test_entry_curation.py makes forgetting
     # one structurally impossible: any queries() name absent from every
@@ -891,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_docling_chunks"] = _pipeline_docling
     out["pipeline_docling_meta_oracle"] = _pipeline_docling_meta
     out["text_encode_pack"] = _text_encode_pack
+    out["text_encode_pack_geometry"] = _text_encode_pack_geometry
     out["text_pack_write"] = _text_pack_write
     out["dedup_incremental_near"] = _dedup_incremental_near
     out["dedup_incremental"] = _dedup_incremental

@@ -650,6 +650,39 @@ def band_signatures_spark_sql(view: str, text_col: str = "clean_text") -> str:
     )
 
 
+def near_batch_spark_sql() -> str:
+    """The standalone near-dup row's synthetic batch (odd half + one-word
+    near clones, negative clone ids) as its own statement — the pruned
+    serve path derives the batch's band signatures OUTSIDE the candidate
+    SQL (they drive the band-table scan pruning), so it needs the batch
+    relation as a registrable view."""
+    return "WITH " + _NEAR_BATCH_CTE + "\nSELECT doc_id, text FROM batch"
+
+
+def near_verdict_prebanded_sql(batch_view: str, batch_band_view: str,
+                               corpus_view: str,
+                               corpus_band_view: str) -> str:
+    """Near-dup verdicts with BOTH band sides pre-materialized: the batch's
+    band signatures arrive as a view (derived once, also used to prune the
+    stored band-table scan — plans/checkpoint.probe_band_table), and the
+    corpus side is the PRUNED stored band table. Same _NEAR_TAIL chain, so
+    verdict semantics are identical to near_incremental_stored_spark_sql
+    by construction: pruning drops only whole (band, band_key) groups
+    whose key no batch row carries (the predicate is on band_key alone),
+    which can never join in cand and never change a surviving group's
+    bsize cap."""
+    return (
+        f"WITH batch AS (SELECT doc_id, text FROM {batch_view}),\n"
+        f"corpus AS (SELECT doc_id, clean_text AS text "
+        f"FROM {corpus_view}),\n"
+        f"batch_band AS (SELECT doc_id, band, band_key "
+        f"FROM {batch_band_view}),\n"
+        f"corpus_band AS (SELECT doc_id, band, band_key "
+        f"FROM {corpus_band_view}),\n"
+        + _NEAR_TAIL_SPARK
+    )
+
+
 def near_incremental_stored_spark_sql(corpus_view: str,
                                       band_view: str) -> str:
     """Spark side of dedup_incremental_near served from the PERSISTED
@@ -4052,6 +4085,24 @@ _NFC_INJECT = ("CASE CAST(doc_id % 4 AS INT) "
                "WHEN 1 THEN text || ' Ångstrom' "
                "WHEN 2 THEN text || ' mañana' "
                "ELSE text END")
+
+# text_encode_pack_geometry (r8 verdict #6): the REAL-tokenizer pack's
+# geometry, hash-checked without DuckDB re-implementing the tokenizer.
+# docs_packed is genuinely re-derived (the space-trim proxy matches the
+# Unicode prune on this corpus — the text_pack_manifest precedent); the
+# five invariant rows oracle against literal 1s, so any pack that drops
+# a token, duplicates a slice, mis-counts sequences or disagrees with
+# the id-free counting pass flips a bit and hash-mismatches. The Spark
+# side (__spark_entry__._text_encode_pack_geometry) documents each.
+HYBRID_ORACLES["text_encode_pack_geometry"] = """
+SELECT 'docs_packed' AS invariant, CAST(count(*) AS BIGINT) AS val
+FROM documents WHERE length(trim(text)) > 0
+UNION ALL SELECT 'total_tokens_conserved', CAST(1 AS BIGINT)
+UNION ALL SELECT 'seq_count_formula', CAST(1 AS BIGINT)
+UNION ALL SELECT 'all_full_but_last', CAST(1 AS BIGINT)
+UNION ALL SELECT 'doc_slices_match', CAST(1 AS BIGINT)
+UNION ALL SELECT 'ids_sum_conserved', CAST(1 AS BIGINT)"""
+
 
 HYBRID_ORACLES["text_nfc_normalize"] = f"""WITH aug AS (
   SELECT doc_id, {_NFC_INJECT} AS raw FROM documents

@@ -40,6 +40,23 @@ CHECKPOINT_SCHEMA = (
     "parse_failures long, wall_ms long, status string"
 )
 
+# Band-table probe layout (r8 verdict #1): the stored band table is laid
+# out for PRUNED point probes — ``bands/bucket=K/bkp=J/`` where
+# bkp = pmod(band_key, BAND_PROBE_PARTS) — so a daily increment's
+# candidate scan reads only the partitions its own band keys hash into,
+# never the whole corpus-scale table. The modulus is a shared module
+# constant (not a parameter) so the writer and the prober can never
+# disagree — a drift there would silently DROP candidates. Files are
+# additionally sorted by (band, band_key) with a parquet bloom filter on
+# band_key, so the pushed key-IN predicate also skips row groups inside
+# a probed partition.
+BAND_PROBE_PARTS = 16
+# batches with up to this many distinct band keys push the literal key
+# list into the scan (row-group stats prune); larger batches fall back
+# to a broadcast semi-join (row reduction without file pruning — at that
+# size the batch's keys cover the hash space anyway)
+BAND_PROBE_MAX_PUSHDOWN = 4096
+
 
 def _hadoop_fs(spark: SparkSession, path: str):
     """(FileSystem, Path) for *path's own scheme* — file:, hdfs:, s3a:, ...
@@ -368,7 +385,25 @@ def write_docs_bucketed(
             else:
                 bands = spark.createDataFrame(
                     [], schema="doc_id bigint, band int, band_key bigint")
-            bands.write.mode("overwrite").parquet(bands_bdir)
+            # probe layout: bkp partition dirs, ONE key-sorted file per
+            # dir (repartition by the partition value), fine-grained
+            # pages (512 rows) so the parquet column index can skip
+            # pages on pushed point predicates, and a bloom filter on
+            # band_key for layouts where sorting degrades (appended
+            # increments). See BAND_PROBE_PARTS / probe_band_table.
+            bands = bands.withColumn(
+                "bkp", F.pmod(F.col("band_key"),
+                              F.lit(BAND_PROBE_PARTS)).cast("int"))
+            (bands.repartition("bkp")
+             .sortWithinPartitions("bkp", "band_key")
+             .write.mode("overwrite")
+             .option("parquet.bloom.filter.enabled#band_key", "true")
+             # pushed key-IN lists multiply bloom false-positive rates
+             # (a row group survives if ANY key false-positives), so the
+             # probe table wants a tighter fpp than the 1% default
+             .option("parquet.bloom.filter.fpp#band_key", "0.001")
+             .option("parquet.page.row.count.limit", "512")
+             .partitionBy("bkp").parquet(bands_bdir))
         else:
             # a LATER run without bands over a sink that previously wrote
             # them would otherwise rewrite clean/bucket=K while leaving
@@ -413,10 +448,71 @@ def write_docs_bucketed(
 def read_band_table(spark: SparkSession, out_dir: str) -> DataFrame:
     """Reader over the persisted MinHash band table written by
     ``write_docs_bucketed(write_bands=True)`` — (doc_id, band, band_key)
-    plus the bucket partition column. Explicit schema for the same
-    reason as the corpus reader: an all-empty corpus must read back as
-    an empty DataFrame with the real shape, not a schema-inference
+    plus the (bkp, bucket) partition columns. Explicit schema for the
+    same reason as the corpus reader: an all-empty corpus must read back
+    as an empty DataFrame with the real shape, not a schema-inference
     error."""
     return spark.read.schema(
-        "doc_id bigint, band int, band_key bigint, bucket int"
+        "doc_id bigint, band int, band_key bigint, bkp int, bucket int"
     ).parquet(os.path.join(out_dir, "bands"))
+
+
+def probe_band_table(spark: SparkSession, out_dir: str,
+                     batch_bands: DataFrame,
+                     max_pushdown_keys: int = BAND_PROBE_MAX_PUSHDOWN
+                     ) -> DataFrame:
+    """The stored band table PRUNED to a batch's own band keys — the
+    candidate-generation input for an incremental near-dup pass (r8
+    verdict #1: without this, every daily increment READ the entire
+    corpus-scale band table even though its compute was already
+    O(batch)).
+
+    ``batch_bands`` is the batch's (doc_id, band, band_key) signature
+    table (relational.band_signatures_spark_sql over the batch — derive
+    it once, localCheckpoint it, pass it here AND to the verdict SQL).
+    Two serve shapes, both exact:
+
+    - batch has <= max_pushdown_keys distinct keys (every daily-increment
+      and streaming-micro-batch case): collect the key list (bounded by
+      construction), filter the scan on ``bkp IN (keys % PARTS)`` — a
+      PartitionFilter, directories skipped — AND ``band_key IN (keys)``,
+      pushed into the parquet reader where the key-sorted row groups and
+      the band_key bloom filter skip pages inside surviving partitions.
+      The scan reads only the probed fraction (plan-asserted in
+      tests/test_plans.py).
+    - larger batches: bkp partition pruning still applies (the distinct
+      bkp list is bounded by BAND_PROBE_PARTS), and the key membership
+      runs as a broadcast LEFT SEMI join — no driver round-trip of an
+      unbounded key list; at that batch size the keys cover the hash
+      space, so file-level pruning is information-theoretically out
+      anyway.
+
+    Pruning is by band_key alone, so it keeps or drops whole
+    (band, band_key) groups: surviving groups keep their exact bsize for
+    the mega-bucket cap and dropped groups could never have joined —
+    verdicts are identical to the full-scan form by construction
+    (equality-tested in tests/test_checkpoint.py)."""
+    bands = read_band_table(spark, out_dir)
+    keys_df = batch_bands.select("band_key").distinct()
+    # bounded collect: we only ever materialize max_pushdown_keys + 1
+    # rows to learn which side of the threshold we are on
+    head = keys_df.limit(max_pushdown_keys + 1).collect()
+    if len(head) <= max_pushdown_keys:
+        keys = [int(r.band_key) for r in head]
+        bkps = sorted({k % BAND_PROBE_PARTS for k in keys})
+        # the default parquet In-pushdown threshold (10) would rewrite a
+        # larger key list to a useless min/max range over uniform hash
+        # keys; raise it so the literal key set reaches the reader where
+        # the bloom/row-group stats can act on it
+        spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold",
+                       str(max(max_pushdown_keys, 10)))
+        pruned = bands.filter(
+            F.col("bkp").isin(bkps) & F.col("band_key").isin(keys))
+    else:
+        bkp_rows = (batch_bands.select(
+            F.pmod(F.col("band_key"), F.lit(BAND_PROBE_PARTS))
+            .cast("int").alias("bkp")).distinct().collect())
+        pruned = bands.filter(
+            F.col("bkp").isin([r.bkp for r in bkp_rows])
+        ).join(F.broadcast(keys_df), "band_key", "semi")
+    return pruned.select("doc_id", "band", "band_key")

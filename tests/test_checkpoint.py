@@ -312,6 +312,26 @@ def test_band_sink_stored_equals_derived(spark, tmp_path):
     key = lambda r: (r.doc_id, r.near_in_corpus, r.best_jaccard_x1e4)  # noqa: E731
     assert sorted(map(key, via_store)) == sorted(map(key, via_derive))
 
+    # and the PRUNED probe (r8 verdict #1 — the serve path the driver
+    # row uses) yields the same verdicts as the full-scan form, on both
+    # the key-pushdown shape and the big-batch semi-join fallback
+    from fast_pdf_parser_spark.operators.relational import (
+        near_batch_spark_sql,
+        near_verdict_prebanded_sql,
+    )
+    from fast_pdf_parser_spark.plans.checkpoint import probe_band_table
+
+    spark.sql(near_batch_spark_sql()).createOrReplaceTempView("bc_batch")
+    bb = spark.sql(band_signatures_spark_sql("bc_batch", text_col="text"))
+    bb.createOrReplaceTempView("bc_batch_bands")
+    for max_keys in (4096, 1):  # pushdown path, then semi-join fallback
+        probe_band_table(spark, out, bb, max_pushdown_keys=max_keys) \
+            .createOrReplaceTempView("bc_bands_pruned")
+        via_pruned = spark.sql(near_verdict_prebanded_sql(
+            "bc_batch", "bc_batch_bands",
+            "band_corpus", "bc_bands_pruned")).collect()
+        assert sorted(map(key, via_pruned)) == sorted(map(key, via_store))
+
 
 def test_band_sink_crash_resume_and_empty_bucket(spark, tmp_path):
     """Bands ride the bucket crash story: a crash re-processes the bucket
@@ -355,7 +375,8 @@ def test_band_sink_crash_resume_and_empty_bucket(spark, tmp_path):
                         write_bands=True)
     eb = read_band_table(spark, out2)
     assert eb.count() == 0
-    assert set(eb.columns) == {"doc_id", "band", "band_key", "bucket"}
+    assert set(eb.columns) == {"doc_id", "band", "band_key", "bkp",
+                               "bucket"}
 
 
 def test_bandless_rewrite_drops_stale_band_buckets(spark, tmp_path):

@@ -421,6 +421,81 @@ def test_stored_band_candidate_scan_reads_bands_not_text(spark, tmp_path):
     assert seed_explodes == 1, f"corpus re-minhashed: {seed_explodes}"
 
 
+def test_band_probe_scan_prunes_to_batch_keys(spark, tmp_path):
+    """r8 verdict #1's IO gate: the stored band table is laid out
+    bands/bucket=K/bkp=J/ (bkp = band_key % BAND_PROBE_PARTS) and
+    probe_band_table serves an increment by (a) PartitionFilters on bkp
+    — directories outside the batch's key partitions are never listed —
+    and (b) the literal band_key IN (...) pushed into the parquet reader
+    where key-sorted row groups + the band_key bloom filter skip pages.
+    The composed pre-banded verdict additionally never re-derives batch
+    bands (zero text explodes — they arrive via the checkpointed view)
+    and its band scans never read clean_text."""
+    from fast_pdf_parser_spark.operators.relational import (
+        _HASH60_SPARK,
+        band_signatures_spark_sql,
+        near_verdict_prebanded_sql,
+    )
+    from fast_pdf_parser_spark.plans.checkpoint import (
+        BAND_PROBE_PARTS,
+        probe_band_table,
+        write_docs_bucketed,
+    )
+
+    entrymod._prepare(spark, SF_DIR)
+    h = _HASH60_SPARK.format(x="text")
+    prev = spark.sql(f"""
+        SELECT doc_id, source, 'train' AS split,
+               {h} AS clean_hash, text AS clean_text
+        FROM documents WHERE doc_id % 2 = 0""")
+    out = str(tmp_path / "band_probe")
+    corpus = write_docs_bucketed(spark, prev, out, run_id="p1",
+                                 num_buckets=2, write_bands=True)
+    corpus.createOrReplaceTempView("bp_corpus")
+
+    # a 2-doc increment: 8 band keys — the pushdown shape
+    spark.sql("SELECT doc_id, text FROM documents WHERE doc_id IN (1, 3)"
+              ).createOrReplaceTempView("bp_batch")
+    bb = spark.sql(band_signatures_spark_sql("bp_batch", text_col="text")) \
+        .localCheckpoint(eager=True)
+    bb.createOrReplaceTempView("bp_batch_bands")
+    keys = {int(r.band_key) for r in bb.collect()}
+    assert 0 < len(keys) <= 8
+    expected_bkps = {k % BAND_PROBE_PARTS for k in keys}
+
+    pruned = probe_band_table(spark, out, bb)
+    plan = physical(pruned)
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]")[0]
+    assert "bkp" in pf, plan
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]")[0]
+    assert "In(band_key" in pushed or "EqualTo(band_key" in pushed, plan
+    # pruning is real: only rows from the probed key set survive, and
+    # they are exactly the full table's rows with those keys
+    from fast_pdf_parser_spark.plans.checkpoint import read_band_table
+    full = read_band_table(spark, out)
+    want = sorted((r.doc_id, r.band, r.band_key)
+                  for r in full.collect() if int(r.band_key) in keys)
+    got = sorted((r.doc_id, r.band, r.band_key) for r in pruned.collect())
+    assert got == want
+    assert {int(r.band_key) % BAND_PROBE_PARTS
+            for r in pruned.collect()} <= expected_bkps
+
+    # the composed verdict: batch bands come pre-derived (no text
+    # explode anywhere — corpus candidates from storage, batch bands
+    # from the checkpoint), band scans never read clean_text
+    pruned.createOrReplaceTempView("bp_bands_pruned")
+    vplan = physical(spark.sql(near_verdict_prebanded_sql(
+        "bp_batch", "bp_batch_bands", "bp_corpus", "bp_bands_pruned")))
+    assert vplan.count("Generate explode(split(text") == 0, vplan[:2000]
+    assert "PartitionFilters: [" in vplan
+    for seg in vplan.split("FileScan parquet")[1:]:
+        cols = seg.split("]", 1)[0]
+        if "band_key#" in cols:
+            assert "clean_text" not in cols, cols
+
+
 def test_interleaved_pack_scalar_spans_shard_parallel(spark):
     """multimodal_pack_interleaved derives every doc's interleaved
     text|media span layout as a higher-order-function SCALAR — no
