@@ -693,13 +693,34 @@ def _crawl_increment_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_lineage = (lineage(spark, base + "_incr")
                  .filter("status = 'done' AND run_id = 'day1'").count())
 
+    # (8) nightly OPTIMIZE: compact the increment sink (r8 verdict #4 —
+    # after N daily runs a bucket is N small files), then recount from
+    # FRESH readers over the swapped files: compaction must preserve
+    # every survivor row and every stored band signature exactly (the
+    # DuckDB twin re-derives both counts knowing nothing about the
+    # rewrite). Runs after every consumer of the pre-compaction readers
+    # has executed — the swap invalidates their cached file listings.
+    from fast_pdf_parser_spark.plans.checkpoint import (
+        compact_sink,
+        read_band_table,
+    )
+
+    compact_sink(spark, base + "_incr", run_id="opt")
+    n_surv_compact = spark.read.schema(
+        "doc_id bigint, source string, clean_hash bigint, "
+        "clean_text string, split string, bucket int"
+    ).parquet(base + "_incr/clean").count()
+    n_bands_compact = read_band_table(spark, base + "_incr").count()
+
     rows = [("batch_docs", n_batch), ("batch_clean", n_clean),
             ("corpus_docs", n_corpus),
             ("exact_dropped", n_exact_dropped),
             ("near_dropped", n_near_dropped),
             ("survivors", n_survivors),
             ("packed_tokens", n_toks), ("packed_seqs", n_seqs),
-            ("lineage_rows", n_lineage)]
+            ("lineage_rows", n_lineage),
+            ("survivors_after_compact", n_surv_compact),
+            ("bands_after_compact", n_bands_compact)]
     result = spark.createDataFrame(rows, schema="stage string, n bigint")
     for suffix in ("_corpus", "_incr", "_pack"):
         _fs_delete(spark, base + suffix)
@@ -782,6 +803,26 @@ def _text_encode_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq_id", "n_docs", "n_tokens",
         F.aggregate("ids", F.lit(0).cast("bigint"),
                     lambda a, x: a + x).alias("ids_sum"))
+
+
+def _tokenizer_bpe_train8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION BPE trainer (functions/bpe.train_bpe — persisted
+    per-step symbol table, O(1) plan depth, one-row argmax per merge)
+    hash-checked at depth 8 against the unrolled relational twin on
+    DuckDB (r8 verdict #3: tokenizer_bpe_train value-checks the 3-step
+    SQL form; this row puts the trainer a real vocabulary run uses into
+    the oracle gate, at a depth where the inlined-CTE SQL form would
+    already re-derive the word table ~3^8 times on Spark). DuckDB
+    materializes multi-referenced CTEs, so ITS 8-step chain is linear —
+    the dialect asymmetry is exactly why the imperative loop exists."""
+    from fast_pdf_parser_spark.functions.bpe import train_bpe
+
+    _prepare(spark, sf_dir)
+    merges = train_bpe(spark, spark.table("documents"), steps=8)
+    rows = [(k + 1, merged, int(cnt))
+            for k, (merged, cnt) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, schema="step int, merged string, pair_count bigint")
 
 
 def _text_encode_pack_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -960,7 +1001,7 @@ _PRIORITY_QUERIES = [
     # (re-verify the near-dup + capstone rows whose serve path changed),
     # the real-tokenizer pack geometry gate, deep-step BPE, the training
     # assembly capstone and sink compaction
-    "text_encode_pack_geometry",
+    "text_encode_pack_geometry", "tokenizer_bpe_train8",
     # new in round 8 — lead until each lands a driver CORRECTNESS row
     # (the guard test in tests/test_entry_curation.py makes forgetting
     # one structurally impossible: any queries() name absent from every
@@ -1034,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pipeline_docling_meta_oracle"] = _pipeline_docling_meta
     out["text_encode_pack"] = _text_encode_pack
     out["text_encode_pack_geometry"] = _text_encode_pack_geometry
+    out["tokenizer_bpe_train8"] = _tokenizer_bpe_train8
     out["text_pack_write"] = _text_pack_write
     out["dedup_incremental_near"] = _dedup_incremental_near
     out["dedup_incremental"] = _dedup_incremental

@@ -48,12 +48,16 @@ def _release_rdds(spark: SparkSession, ids: set[int]) -> None:
 
 
 def train_bpe(spark: SparkSession, docs: DataFrame,
-              steps: int) -> list[tuple[str, int]]:
+              steps: int, on_step=None) -> list[tuple[str, int]]:
     """Learn ``steps`` BPE merges from ``docs`` (needs a ``text`` column).
 
     Returns [(merged_symbol, pair_count), ...] in merge order. Stops
-    early if no pair remains (fully merged corpus).
+    early if no pair remains (fully merged corpus). ``on_step(k,
+    wall_sec)`` — optional instrumentation hook invoked after each
+    completed merge (tools/bpe_depth_probe.py records per-step walls and
+    executor storage with it; None costs nothing).
     """
+    import time
     wfreq = (docs.select(F.explode(F.split("text", " ")).alias("w"))
              .filter("w <> ''")
              .groupBy("w").agg(F.count("*").alias("freq"))
@@ -67,7 +71,8 @@ def train_bpe(spark: SparkSession, docs: DataFrame,
     w_doc = Window.partitionBy("word").orderBy("i")
     merges: list[tuple[str, int]] = []
     prev_ids: set[int] = set()
-    for _ in range(steps):
+    for _k in range(steps):
+        _t0 = time.time()
         # eager, vocab-sized: cuts the per-step lineage so plan depth and
         # re-computation stay constant across iterations. The PREVIOUS
         # step's checkpoint blocks are released explicitly — without this
@@ -120,4 +125,6 @@ def train_bpe(spark: SparkSession, docs: DataFrame,
                 .withColumn("i", F.row_number().over(
                     Window.partitionBy("word").orderBy("old_i")))
                 .drop("old_i"))
+        if on_step is not None:
+            on_step(_k, time.time() - _t0)
     return merges

@@ -854,7 +854,13 @@ SELECT 'packed_seqs' AS stage,
 FROM surv_tok
 UNION ALL
 SELECT 'lineage_rows' AS stage,
-       CAST({CRAWL_NUM_BUCKETS} AS BIGINT) AS n"""
+       CAST({CRAWL_NUM_BUCKETS} AS BIGINT) AS n
+UNION ALL
+SELECT 'survivors_after_compact' AS stage,
+       CAST(count(*) AS BIGINT) AS n FROM survivors
+UNION ALL
+SELECT 'bands_after_compact' AS stage,
+       CAST(4 * count(*) AS BIGINT) AS n FROM survivors"""
     )
 
 
@@ -3991,11 +3997,17 @@ wpos AS (
 # cluster job; the sequential dependency between merges is inherent to BPE
 # (Sennrich et al. 2016) and spans 3 tiny stages here, not 3 corpus scans.
 # Determinism: counts are exact integer sums; ties break (cnt DESC, s1, s2).
-def _bpe_train_sql(head: str, steps: int = 3) -> str:
+def _bpe_train_sql(head: str, steps: int = 3, mat: str = "") -> str:
+    # mat="MATERIALIZED " pins DuckDB's CTE strategy: each e{k}/s{k} is
+    # referenced ~3 times and an INLINING planner re-derives the chain
+    # ~3^steps times (at steps=8 that exhausts file handles re-opening
+    # the parquet ~6561x). Spark has no MATERIALIZED syntax — its deep
+    # form is the imperative trainer (functions/bpe.py), which is the
+    # half of tokenizer_bpe_train8 under test.
     its = []
     for k in range(1, steps + 1):
         src = "chars" if k == 1 else f"s{k}"
-        its.append(f"""e{k} AS (
+        its.append(f"""e{k} AS {mat}(
   SELECT word, freq, i, sym,
          lead(sym) OVER (PARTITION BY word ORDER BY i) AS nxt
   FROM {src}
@@ -4004,13 +4016,13 @@ p{k} AS (
   SELECT sym AS s1, nxt AS s2, CAST(sum(freq) AS BIGINT) AS cnt
   FROM e{k} WHERE nxt IS NOT NULL GROUP BY sym, nxt
 ),
-b{k} AS (SELECT s1, s2, cnt FROM p{k}
+b{k} AS {mat}(SELECT s1, s2, cnt FROM p{k}
          ORDER BY cnt DESC, s1 ASC, s2 ASC LIMIT 1),
 c{k} AS (
   SELECT e.word, e.i
   FROM e{k} e CROSS JOIN b{k} b WHERE e.sym = b.s1 AND e.nxt = b.s2
 ),
-r{k} AS (
+r{k} AS {mat}(
   SELECT word, i
   FROM (SELECT word, i,
                row_number() OVER (PARTITION BY word, grp ORDER BY i) - 1
@@ -4021,7 +4033,7 @@ r{k} AS (
               FROM c{k}) z1) z2
   WHERE off % 2 = 0
 ),
-s{k + 1} AS (
+s{k + 1} AS {mat}(
   SELECT e.word, e.freq,
          CAST(row_number() OVER (PARTITION BY e.word ORDER BY e.i) AS INT)
            AS i,
@@ -4294,6 +4306,16 @@ def bpe_train_sql(steps: int = 3, dialect: str = "spark",
     if table != "documents":
         head = head.replace("FROM documents", f"FROM {table}")
     return _bpe_train_sql(head, steps)
+
+
+# tokenizer_bpe_train8 (r8 verdict #3): the production trainer
+# (functions/bpe.train_bpe, 8 merges — __spark_entry__ formats its
+# merge list as (step, merged, pair_count)) against the unrolled
+# 8-step relational chain with MATERIALIZED CTEs (DuckDB's planner
+# inlines multi-referenced CTEs → ~3^8 re-derivations without the
+# hint; Spark's deep form is train_bpe itself, the half under test).
+HYBRID_ORACLES["tokenizer_bpe_train8"] = _bpe_train_sql(
+    _BPE_HEAD_DUCK, 8, mat="MATERIALIZED ")
 
 
 # --- per-document attribute stitch (Dolma-style attributes relation) ---------

@@ -445,6 +445,149 @@ def write_docs_bucketed(
     ).parquet(clean_dir)
 
 
+def _fs_rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Atomic-where-the-FS-gives-it directory rename (HDFS dir rename is
+    atomic; local posix rename is; S3A is a copy — the swap protocol
+    below still converges there because every state is recoverable)."""
+    fs, hsrc = _hadoop_fs(spark, src)
+    hdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    fs.mkdirs(hdst.getParent())
+    if not fs.rename(hsrc, hdst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def _recover_component(spark: SparkSession, live: str, tmp: str,
+                       trash: str) -> None:
+    """Roll an interrupted compaction of ONE component (clean or bands
+    of one bucket) to a consistent state. States the swap protocol can
+    crash in, and their resolutions:
+
+    - tmp without _SUCCESS           → incomplete rewrite: drop tmp.
+    - trash present, live missing    → crashed mid-swap: roll FORWARD
+      (promote tmp) if the rewrite completed, else roll BACK (restore
+      trash) — either way exactly one full copy survives.
+    - trash present, live present    → crashed after promote: the swap
+      finished; trash is the obsolete original — drop it.
+    - tmp complete, live present     → crashed before the swap: drop
+      tmp (recompacting later is idempotent; never promote a tmp whose
+      source may since have been rewritten by a resumed sink run).
+    """
+    tmp_done = _fs_exists(spark, os.path.join(tmp, "_SUCCESS"))
+    if _fs_exists(spark, trash):
+        if not _fs_exists(spark, live):
+            if tmp_done:
+                _fs_rename(spark, tmp, live)      # roll forward
+            else:
+                _fs_rename(spark, trash, live)    # roll back
+        _fs_delete(spark, trash)
+    if _fs_exists(spark, tmp):
+        _fs_delete(spark, tmp)
+
+
+def compact_bucket(spark: SparkSession, out_dir: str, bucket: int,
+                   run_id: str = "compact", target_files: int = 1,
+                   fail_at: str | None = None) -> None:
+    """Rewrite ONE bucket's clean (and band) files to ``target_files``
+    per partition dir — the OPTIMIZE/maintenance pass any long-lived
+    bucketed sink needs: every resumed/incremental write lands up to
+    shuffle-partitions small part files per bucket, and after N runs a
+    scan pays N x file-open cost (r8 verdict #4).
+
+    Exactly-once story (pytest crash matrix drives ``fail_at``):
+    rewrite to a tmp dir (verified: row count equal before any
+    destructive step) → move the live dir aside to trash → promote tmp
+    → drop trash → append ONE lineage row (status='compacted', counts
+    read back from the promoted copy). A crash ANYWHERE re-converges
+    via _recover_component on the next call: content is never lost
+    (every state keeps >= one full copy) and never duplicated (resume
+    filters status='done', so 'compacted' rows can't re-admit a
+    bucket). Bands ride the same swap per bucket; a crash between the
+    clean swap and the band swap is benign because compaction preserves
+    ROWS exactly — stored==derived band equality holds across any
+    interleaving (pinned in tests/test_checkpoint.py)."""
+    clean_live = os.path.join(out_dir, "clean", f"bucket={bucket}")
+    bands_live = os.path.join(out_dir, "bands", f"bucket={bucket}")
+    work = os.path.join(out_dir, "compact_work", f"bucket={bucket}")
+    comps = [("clean", clean_live), ("bands", bands_live)]
+
+    for name, live in comps:
+        _recover_component(spark, live, os.path.join(work, f"{name}_tmp"),
+                           os.path.join(work, f"{name}_trash"))
+
+    t0 = time.time()
+    for name, live in comps:
+        if not _fs_exists(spark, live):
+            continue  # bandless sink or genuinely empty bucket
+        tmp = os.path.join(work, f"{name}_tmp")
+        trash = os.path.join(work, f"{name}_trash")
+        # explicit schemas: a genuinely-empty bucket is a marker-only
+        # dir (zero part files) and schema inference would raise on it
+        schema = ("doc_id bigint, source string, clean_hash bigint, "
+                  "clean_text string, split string") if name == "clean" \
+            else "doc_id bigint, band int, band_key bigint, bkp int"
+        src = spark.read.schema(schema).parquet(live)
+        if name == "clean":
+            (src.repartition(target_files, "split")
+             .sortWithinPartitions("split", "doc_id")
+             .write.mode("overwrite").partitionBy("split").parquet(tmp))
+        else:
+            # preserve the probe layout contract exactly (bkp dirs,
+            # key-sorted files, bloom + page options — the write recipe
+            # write_docs_bucketed uses)
+            (src.repartition("bkp")
+             .sortWithinPartitions("bkp", "band_key")
+             .write.mode("overwrite")
+             .option("parquet.bloom.filter.enabled#band_key", "true")
+             .option("parquet.bloom.filter.fpp#band_key", "0.001")
+             .option("parquet.page.row.count.limit", "512")
+             .partitionBy("bkp").parquet(tmp))
+        if spark.read.parquet(tmp).count() != src.count():
+            raise IOError(f"compaction rewrite row mismatch: {live}")
+        if fail_at == f"{name}_staged":
+            raise RuntimeError(f"simulated crash at {name}_staged")
+        _fs_rename(spark, live, trash)
+        if fail_at == f"{name}_aside":
+            raise RuntimeError(f"simulated crash at {name}_aside")
+        _fs_rename(spark, tmp, live)
+        if fail_at == f"{name}_promoted":
+            raise RuntimeError(f"simulated crash at {name}_promoted")
+        _fs_delete(spark, trash)
+    _fs_delete(spark, work)
+    parent = os.path.dirname(work)
+    fs, hparent = _hadoop_fs(spark, parent)
+    if fs.exists(hparent) and len(fs.listStatus(hparent)) == 0:
+        fs.delete(hparent, False)
+
+    if fail_at == "pre_lineage":
+        raise RuntimeError("simulated crash at pre_lineage")
+    if _fs_exists(spark, clean_live):
+        written = spark.read.schema(
+            "doc_id bigint, source string, clean_hash bigint, "
+            "clean_text string, split string").parquet(clean_live)
+        stats = written.agg(
+            F.count("*").alias("docs"),
+            F.sum(F.octet_length("clean_text")).alias("bytes")).collect()[0]
+        docs_n, bytes_n = int(stats["docs"] or 0), int(stats["bytes"] or 0)
+    else:
+        docs_n = bytes_n = 0
+    row = [(run_id, bucket, docs_n, bytes_n, 0,
+            int((time.time() - t0) * 1000), "compacted")]
+    spark.createDataFrame(row, schema=CHECKPOINT_SCHEMA).write.mode(
+        "append").parquet(os.path.join(out_dir, "checkpoint"))
+
+
+def compact_sink(spark: SparkSession, out_dir: str,
+                 run_id: str = "compact", target_files: int = 1) -> None:
+    """Compact every bucket present in the sink (the nightly OPTIMIZE).
+    Buckets are independent swaps; a crash mid-fleet leaves later
+    buckets uncompacted and the crashed one recoverable — rerun to
+    converge."""
+    clean_root = os.path.join(out_dir, "clean")
+    for b in sorted(_list_staged_buckets(spark, clean_root)):
+        compact_bucket(spark, out_dir, b, run_id=run_id,
+                       target_files=target_files)
+
+
 def read_band_table(spark: SparkSession, out_dir: str) -> DataFrame:
     """Reader over the persisted MinHash band table written by
     ``write_docs_bucketed(write_bands=True)`` — (doc_id, band, band_key)

@@ -411,6 +411,110 @@ def test_bandless_rewrite_drops_stale_band_buckets(spark, tmp_path):
     assert read_band_table(spark, out).count() == 0  # no stale signatures
 
 
+def _compact_fixture(spark, tmp_path, name):
+    """A band-writing sink whose buckets carry MANY small part files
+    (the after-N-increments shape compaction exists for)."""
+    from fast_pdf_parser_spark.operators.relational import _HASH60_SPARK
+    from fast_pdf_parser_spark.plans.checkpoint import write_docs_bucketed
+
+    _mini_documents(spark)
+    h = _HASH60_SPARK.format(x="text")
+    docs = spark.sql(f"""
+        SELECT doc_id, source, 'train' AS split,
+               {h} AS clean_hash, text AS clean_text
+        FROM documents""").repartition(8)
+    out = str(tmp_path / name)
+    # tiny split size while writing: the staged bucket read then fans
+    # out to many tasks and every bucket lands MANY small part files —
+    # the fragmented after-N-increments shape compaction exists for
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try:
+        write_docs_bucketed(spark, docs, out, run_id="c0", num_buckets=3,
+                            write_bands=True)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    return out
+
+
+def _sink_state(spark, out):
+    """(sorted clean rows, sorted band rows) — the content identity."""
+    from fast_pdf_parser_spark.plans.checkpoint import read_band_table
+
+    clean = spark.read.schema(
+        "doc_id bigint, source string, clean_hash bigint, "
+        "clean_text string, split string, bucket int"
+    ).parquet(out + "/clean")
+    rows = sorted((r.doc_id, r.split, r.clean_hash, r.clean_text)
+                  for r in clean.collect())
+    bands = sorted((r.doc_id, r.band, r.band_key)
+                   for r in read_band_table(spark, out).collect())
+    return rows, bands
+
+
+def test_compaction_preserves_content_and_shrinks_files(spark, tmp_path):
+    """compact_sink: every row (clean AND bands) survives byte-identically,
+    stored==derived band equality holds post-compaction, file counts
+    drop to ~target, and the lineage table gains 'compacted' rows that
+    do NOT disturb resume (status filter is 'done')."""
+    import glob as globmod
+
+    from fast_pdf_parser_spark.operators.relational import (
+        band_signatures_spark_sql,
+    )
+    from fast_pdf_parser_spark.plans.checkpoint import (
+        compact_sink,
+        completed_buckets,
+        lineage,
+    )
+
+    out = _compact_fixture(spark, tmp_path, "compact_ok")
+    before_rows, before_bands = _sink_state(spark, out)
+    files_before = len(globmod.glob(out + "/clean/bucket=*/split=*/*.parquet"))
+
+    compact_sink(spark, out, run_id="opt1")
+
+    after_rows, after_bands = _sink_state(spark, out)
+    assert after_rows == before_rows and len(after_rows) > 0
+    assert after_bands == before_bands and len(after_bands) > 0
+    files_after = len(globmod.glob(out + "/clean/bucket=*/split=*/*.parquet"))
+    assert files_after < files_before
+    assert files_after <= 3  # target_files(1) per (bucket, lone split)
+
+    # stored == derived still holds over the compacted copy
+    spark.read.parquet(out + "/clean").createOrReplaceTempView("cmp_corpus")
+    derived = sorted(
+        (r.doc_id, r.band, r.band_key)
+        for r in spark.sql(
+            band_signatures_spark_sql("cmp_corpus")).collect())
+    assert derived == after_bands
+
+    lin = lineage(spark, out)
+    assert lin.filter("status = 'compacted' AND run_id = 'opt1'").count() == 3
+    # resume still sees exactly the original 'done' rows
+    assert completed_buckets(spark, out + "/checkpoint", "c0") == {0, 1, 2}
+
+
+@pytest.mark.parametrize("fail_at", [
+    "clean_staged", "clean_aside", "clean_promoted",
+    "bands_staged", "bands_aside", "bands_promoted", "pre_lineage"])
+def test_compaction_crash_matrix(spark, tmp_path, fail_at):
+    """A crash at EVERY step of the swap protocol must lose nothing: the
+    recovery prologue converges the bucket, and a rerun completes the
+    compaction with content identical to the pre-crash sink."""
+    from fast_pdf_parser_spark.plans.checkpoint import compact_bucket
+
+    out = _compact_fixture(spark, tmp_path, f"compact_{fail_at}")
+    before = _sink_state(spark, out)
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_bucket(spark, out, 1, run_id="opt", fail_at=fail_at)
+    # whatever state the crash left, the CONTENT must still be readable
+    # after recovery; rerun converges
+    compact_bucket(spark, out, 1, run_id="opt")
+    assert _sink_state(spark, out) == before
+
+
 def test_train_bpe_releases_prior_checkpoints(spark):
     """functions/bpe.py: persistent-RDD count must stay bounded across
     merge steps (each iteration releases the previous checkpoint's
