@@ -93,7 +93,7 @@ def _reap_stale_scratch() -> None:
     prefixes = ("spark_graft_incr_", "spark_graft_incrnear_",
                 "spark_graft_clean_", "spark_graft_warc_clean_",
                 "spark_graft_pack_", "spark_graft_ivf_",
-                "spark_graft_crawl_")
+                "spark_graft_crawl_", "spark_graft_tapack_")
     for path in glob.glob("/tmp/spark_graft_*"):
         name = os.path.basename(path)
         if name.endswith(".owner") or not any(
@@ -727,6 +727,117 @@ def _crawl_increment_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def _train_assembly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer-facing capstone (r8 verdict #2) — the crawl capstone's
+    other half, composed once end to end: mixture sample → deterministic
+    epoch-0 shuffle into loader shards → the SHUFFLED stream packed by
+    the real distributed pack + shard-partitioned writer (synthetic
+    encoding ids = 1..toks, the text_pack_write idiom; geometry READ
+    BACK from the written parquet) → length-bucketed batch assembly over
+    the kept set → data-card aggregate. One (stage, n) row per stage;
+    relational._train_assembly_oracle_duck re-derives every count from
+    `documents` in one statement, so any schema/ordering mismatch
+    between the individually-green training-data operators shifts a
+    count and hash-mismatches. Pack order is shard-major (shard, pos):
+    global positions come from per-shard counts + a 4-row offset table —
+    no corpus-wide window on the Spark side."""
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.operators.packing import (
+        write_packed_sequences,
+    )
+    from fast_pdf_parser_spark.operators.relational import (
+        _HASH60_SPARK,
+        TRAIN_ASM_SEQ_LEN,
+        TRAIN_ASM_SHARDS,
+        spark_sql,
+    )
+    from fast_pdf_parser_spark.plans.checkpoint import _fs_delete
+
+    _prepare(spark, sf_dir)
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+
+    # (1) mixture sample: the kept set (localCheckpoint — feeds shuffle,
+    # batching, the data card and the pack)
+    kept = spark.sql(
+        "SELECT m.doc_id, m.source, m.doc_toks AS toks FROM ("
+        + spark_sql("text_mixture_sample") + ") m WHERE m.kept = 1"
+    ).localCheckpoint(eager=True)
+    kept.createOrReplaceTempView("ta_kept")
+    ka = kept.agg(F.count("*").alias("n"),
+                  F.sum("toks").alias("t")).collect()[0]
+    n_kept, tok_sum = int(ka["n"]), int(ka["t"])
+
+    # (2) epoch-0 shuffle into loader shards (the text_shard_shuffle
+    # discipline: per-shard rank window, no global sort)
+    h = _HASH60_SPARK.format(x="concat(CAST(doc_id AS STRING), ':0')")
+    shuf = spark.sql(f"""
+        SELECT doc_id, toks, CAST(k % {TRAIN_ASM_SHARDS} AS INT) AS shard,
+               row_number() OVER (PARTITION BY k % {TRAIN_ASM_SHARDS}
+                                  ORDER BY k, doc_id) AS pos
+        FROM (SELECT doc_id, toks, {h} AS k FROM ta_kept)"""
+    ).localCheckpoint(eager=True)
+    n_shuffled = shuf.count()
+    n_shards = shuf.select("shard").distinct().count()
+    order_hash = int(shuf.selectExpr(
+        "sum((doc_id % 9973) * (shard * 100000 + pos)) AS v"
+    ).collect()[0]["v"])
+
+    # (3) pack the shuffled stream: shard-major global positions from
+    # the tiny per-shard count relation (TRAIN_ASM_SHARDS rows)
+    counts = {int(r["shard"]): int(r["cnt"]) for r in
+              shuf.groupBy("shard").agg(F.count("*").alias("cnt"))
+              .collect()}
+    off, acc = {}, 0
+    for s in sorted(counts):
+        off[s] = acc
+        acc += counts[s]
+    gpos = F.coalesce(*[F.when(F.col("shard") == s, F.lit(o))
+                        for s, o in off.items()]) + F.col("pos")
+    enc = shuf.select(
+        gpos.cast("long").alias("doc_id"),
+        F.expr("transform(sequence(1, toks), i -> CAST(i AS INT))")
+        .alias("ids"),
+        F.col("toks").cast("int").alias("n_ids"))
+    out = _scratch("tapack", sf_name)
+    _fs_delete(spark, out)
+    back = write_packed_sequences(enc, out, seq_len=TRAIN_ASM_SEQ_LEN,
+                                  seqs_per_shard=64, shard_width=100,
+                                  encoded=enc)
+    pk = back.agg(
+        F.count("*").alias("s"), F.sum("n_tokens").alias("t"),
+        F.sum("n_docs").alias("slices"),
+        F.sum(F.aggregate("ids", F.lit(0).cast("bigint"),
+                          lambda a, x: a + x)).alias("ids_sum"),
+    ).collect()[0]
+
+    # (4) length-bucketed batches over the kept docs' real text
+    spark.sql("SELECT k.doc_id, d.text FROM ta_kept k "
+              "JOIN documents d ON k.doc_id = d.doc_id"
+              ).createOrReplaceTempView("ta_docs")
+    lb = spark.sql(spark_sql("text_length_batching").replace(
+        "FROM documents", "FROM ta_docs"))
+    lba = lb.agg(F.count("*").alias("b"),
+                 F.sum("n_docs").alias("d")).collect()[0]
+
+    # (5) data card aggregate over the kept set
+    n_sources = kept.select("source").distinct().count()
+
+    rows = [("mixture_kept", n_kept), ("mixture_tokens", tok_sum),
+            ("shuffle_docs", n_shuffled), ("shuffle_shards", n_shards),
+            ("shuffle_order_hash", order_hash),
+            ("packed_seqs", int(pk["s"])),
+            ("packed_tokens", int(pk["t"] or 0)),
+            ("pack_doc_slices", int(pk["slices"] or 0)),
+            ("pack_ids_sum", int(pk["ids_sum"] or 0)),
+            ("length_batches", int(lba["b"])),
+            ("length_batch_docs", int(lba["d"] or 0)),
+            ("datacard_sources", n_sources)]
+    result = spark.createDataFrame(rows, schema="stage string, n bigint")
+    _fs_delete(spark, out)
+    return result
+
+
 def _text_pack_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The packed-sequence SINK end to end — the artifact a training run
     opens: a deterministic synthetic encoding (ids = 1..n for the
@@ -1002,6 +1113,7 @@ _PRIORITY_QUERIES = [
     # the real-tokenizer pack geometry gate, deep-step BPE, the training
     # assembly capstone and sink compaction
     "text_encode_pack_geometry", "tokenizer_bpe_train8",
+    "train_assembly_e2e",
     # new in round 8 — lead until each lands a driver CORRECTNESS row
     # (the guard test in tests/test_entry_curation.py makes forgetting
     # one structurally impossible: any queries() name absent from every
@@ -1080,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_incremental_near"] = _dedup_incremental_near
     out["dedup_incremental"] = _dedup_incremental
     out["crawl_increment_e2e"] = _crawl_increment_e2e
+    out["train_assembly_e2e"] = _train_assembly_e2e
     out["warc_extract"] = _warc_extract
     out["warc_clean_write"] = _warc_clean_write
     out["pipeline_html_extract"] = _pipeline_html

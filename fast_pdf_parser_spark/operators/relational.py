@@ -4593,6 +4593,78 @@ QUERIES["text_length_batching"] = _pair(
 )
 
 
+# --- train_assembly_e2e: the trainer-facing capstone (r8 verdict #2) --------
+# The crawl capstone composes INGEST; this composes the other half — what
+# turns a cleaned corpus into the artifact a training job opens: mixture
+# sample (kept set) → deterministic epoch-0 shuffle into loader shards →
+# synthetic-encoding pack of the SHUFFLED stream through the real
+# distributed pack + shard-partitioned writer (geometry READ BACK from
+# the written files) → length-bucketed batch assembly over the kept set
+# → data-card aggregate. Every stage below re-derives the Spark side's
+# counts from `documents` in ONE DuckDB statement: a mixture/shuffle
+# drift, a pack off-by-one or a batching mismatch between the eight
+# individually-green operators shifts a count and hash-mismatches.
+# Pack order is SHARD-MAJOR (shard, pos): each loader reads its shard
+# contiguously; the oracle re-derives the same global order with a
+# plain window (fine at oracle scale — the Spark side uses the shard
+# offsets trick, no global sort).
+TRAIN_ASM_SHARDS = 4
+TRAIN_ASM_SEQ_LEN = 128
+
+
+def _train_assembly_oracle_duck() -> str:
+    h = _HASH60_DUCK.format(x="CAST(doc_id AS VARCHAR) || ':0'")
+    mix = QUERIES["text_mixture_sample"]["duck"]
+    lb = QUERIES["text_length_batching"]["duck"].replace(
+        "FROM documents", "FROM ta_docs")
+    L = TRAIN_ASM_SEQ_LEN
+    return f"""WITH kept AS (
+  SELECT m.doc_id, m.source, m.doc_toks AS toks
+  FROM ({mix}) m WHERE m.kept = 1
+),
+ta_docs AS (
+  SELECT k.doc_id, d.text
+  FROM kept k JOIN documents d ON k.doc_id = d.doc_id
+),
+shuf AS (
+  SELECT doc_id, toks, CAST(k % {TRAIN_ASM_SHARDS} AS INT) AS shard,
+         row_number() OVER (PARTITION BY k % {TRAIN_ASM_SHARDS}
+                            ORDER BY k, doc_id) AS pos
+  FROM (SELECT doc_id, toks, {h} AS k FROM kept) z
+),
+gord AS (
+  SELECT toks, row_number() OVER (ORDER BY shard, pos) AS gpos FROM shuf
+),
+cum AS (
+  SELECT toks, sum(toks) OVER (ORDER BY gpos) AS cend FROM gord
+),
+lb AS (SELECT * FROM ({lb}) q)
+SELECT 'mixture_kept' AS stage, CAST(count(*) AS BIGINT) AS n FROM kept
+UNION ALL SELECT 'mixture_tokens', CAST(sum(toks) AS BIGINT) FROM kept
+UNION ALL SELECT 'shuffle_docs', CAST(count(*) AS BIGINT) FROM shuf
+UNION ALL SELECT 'shuffle_shards', CAST(count(DISTINCT shard) AS BIGINT)
+FROM shuf
+UNION ALL SELECT 'shuffle_order_hash',
+       CAST(sum((doc_id % 9973) * (shard * 100000 + pos)) AS BIGINT)
+FROM shuf
+UNION ALL SELECT 'packed_seqs',
+       CAST((sum(toks) + {L - 1}) // {L} AS BIGINT) FROM kept
+UNION ALL SELECT 'packed_tokens', CAST(sum(toks) AS BIGINT) FROM kept
+UNION ALL SELECT 'pack_doc_slices',
+       CAST(sum((cend - 1) // {L} - (cend - toks) // {L} + 1) AS BIGINT)
+FROM cum
+UNION ALL SELECT 'pack_ids_sum',
+       CAST(sum(toks * (toks + 1) // 2) AS BIGINT) FROM kept
+UNION ALL SELECT 'length_batches', CAST(count(*) AS BIGINT) FROM lb
+UNION ALL SELECT 'length_batch_docs', CAST(sum(n_docs) AS BIGINT) FROM lb
+UNION ALL SELECT 'datacard_sources',
+       CAST(count(DISTINCT source) AS BIGINT) FROM kept"""
+
+
+HYBRID_ORACLES["train_assembly_e2e"] = _train_assembly_oracle_duck()
+
+
+
 # --- Bloom-filter membership probe (seen-before structure) -------------------
 # The crawler/incremental-ingest companion to exact dedup: a Bloom filter
 # (Bloom 1970; ships in Spark itself as util.sketch.BloomFilter /

@@ -2,15 +2,21 @@
 
 train_bpe (functions/bpe.py) claims O(1) per-step plan depth and O(1)
 executor storage at any merge count (the localCheckpoint-per-step +
-explicit block-release design). This probe RUNS the claim: ~1k merges
-over the 10x corpus (sf0.1 documents x 10 copies — the word-frequency
-table the trainer actually iterates on is vocabulary-sized either way),
-recording every step's wall and, every SAMPLE_EVERY steps, the
+explicit block-release design). This probe RUNS the claim at ~1k
+merges, recording every step's wall and, every SAMPLE_EVERY steps, the
 executor-storage state (persistent RDD count + cached memory bytes via
 getRDDStorageInfo). Flat = the design works: per-step wall percentiles
-of the last decile comparable to the first (later steps touch FEWER
-rows — merges shrink the symbol table), and storage bounded at ~one
-vocabulary-sized checkpoint regardless of depth.
+of the last decile comparable to the first, and storage bounded at
+~one vocabulary-sized checkpoint regardless of depth.
+
+Corpus note: after the one-time collapse to the word-frequency table,
+the VOCABULARY SIZE — not the raw corpus — is the per-step variable
+(the docstring claim under test). The sf testdata's synthetic text has
+a ~41-word vocabulary, which a thousand merges would fully consume in
+~230 steps and whose 269-symbol table exercises nothing; the probe
+instead synthesizes a deterministic VOCAB_WORDS-word vocabulary (md5
+8-hex word forms, zipf-ish frequencies) — the realistic shape: ~180k
+symbol rows per step, >>1k mergeable pairs.
 """
 
 import json
@@ -27,7 +33,7 @@ from pyspark.sql import SparkSession, functions as F  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 STEPS = int(os.environ.get("SPARK_GRAFT_BPE_STEPS", "1000"))
-COPIES = 10
+VOCAB_WORDS = int(os.environ.get("SPARK_GRAFT_BPE_VOCAB", "20000"))
 SAMPLE_EVERY = 25
 
 
@@ -62,11 +68,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     ship_package(spark)
-    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-    copies = spark.range(COPIES).select(F.col("id").alias("copy"))
-    corpus = docs.crossJoin(F.broadcast(copies)).select(
-        F.concat(F.col("text"), F.lit(" copyword"),
-                 F.col("copy").cast("string")).alias("text"))
+    # deterministic synthetic vocabulary (see module docstring): word =
+    # 8-hex md5 form, frequency zipf-ish via duplicated rows (train_bpe
+    # re-aggregates to the word-frequency table anyway)
+    corpus = spark.range(VOCAB_WORDS).selectExpr(
+        "substr(md5(CAST(id AS STRING)), 1, 8) AS word",
+        "CAST(1 + id % 7 AS INT) AS freq"
+    ).selectExpr("explode(array_repeat(word, freq)) AS text")
 
     walls: list[float] = []
     storage: list[dict] = []
@@ -91,7 +99,7 @@ def main() -> None:
     mems = [s["cached_mem_bytes"] for s in storage if s["cached_mem_bytes"] >= 0]
     rdds = [s["persistent_rdds"] for s in storage if s["persistent_rdds"] >= 0]
     report = {
-        "sf_dir": SF_DIR, "copies": COPIES, "steps_requested": STEPS,
+        "vocab_words": VOCAB_WORDS, "steps_requested": STEPS,
         "steps_completed": n, "total_wall_sec": round(total, 1),
         "per_step_wall_sec": {
             "p50": pct(walls, 0.5), "p90": pct(walls, 0.9),
