@@ -1108,36 +1108,19 @@ def _pipeline_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW = 50
 
 _PRIORITY_QUERIES = [
-    # new in round 9 — the r8-verdict items: pruned band-table serving
-    # (re-verify the near-dup + capstone rows whose serve path changed),
-    # the real-tokenizer pack geometry gate, deep-step BPE, the training
-    # assembly capstone and sink compaction
-    "text_encode_pack_geometry", "tokenizer_bpe_train8",
-    "train_assembly_e2e",
-    # new in round 8 — lead until each lands a driver CORRECTNESS row
+    # new in round 9 — lead until each lands a driver CORRECTNESS row
     # (the guard test in tests/test_entry_curation.py makes forgetting
     # one structurally impossible: any queries() name absent from every
-    # CORRECTNESS_r*.json must appear here). ann_ivf_int8 is the r7
-    # curation miss itself: added to QUERIES in r7 but never to this
-    # block, so it has zero driver rows despite being judge-verified.
-    "ann_ivf_int8",
-    # new in round 8 (second session): interleaved multimodal sequence
-    # packing and the deterministic per-epoch training-order shuffle
-    "multimodal_pack_interleaved", "text_shard_shuffle",
-    # new in round 8 (third session): substring-granularity dedup
-    # (winnowing anchors), distributed BPE statistics + 3-step trainer,
-    # and the Unicode NFC cleaning stage
-    "dedup_substring_winnow", "tokenizer_bpe_pairs",
-    "tokenizer_bpe_train", "text_nfc_normalize", "text_license_tag",
-    "dedup_substring_trim", "corpus_attributes", "text_span_corrupt",
-    "text_fim_transform", "text_length_batching", "dedup_bloom_probe",
-    # re-verify: implementations changed in r8 (near-dup now serves
-    # candidates from the sink's persisted band table; the persisted IVF
-    # row now serves from an APPENDED index)
-    "dedup_incremental_near", "ann_ivf_persisted",
-    # the r8 capstone: the daily-crawl increment composition
-    "crawl_increment_e2e",
-    # new in r8: SemDeDup cell-centroid tier + its recall-report tier
+    # CORRECTNESS_r*.json must appear here): the real-tokenizer pack
+    # geometry gate, the depth-8 production-BPE gate, and the
+    # trainer-facing assembly capstone
+    "text_encode_pack_geometry", "tokenizer_bpe_train8",
+    "train_assembly_e2e",
+    # re-verify: implementations changed in r9 — the near-dup row and
+    # the crawl capstone now serve candidates through the PRUNED band
+    # probe (and the capstone gained compact-then-recount stages); the
+    # recall report's semdedup tier went corpus-only (advice r8)
+    "dedup_incremental_near", "crawl_increment_e2e",
     "dedup_semantic_cells", "ann_recall_report",
     # hybrid/stateful rows: their DuckDB twins live in HYBRID_ORACLES (or
     # they are by-design rows-only) — the driver row is their only/primary
@@ -1146,10 +1129,11 @@ _PRIORITY_QUERIES = [
     "dedup_clusters", "dedup_clusters_ranked",
     "pipeline_extract_spans", "pipeline_results_meta",
     "pipeline_chunk_distribution", "pipeline_docling_chunks",
-    # The r5/r6/r7 blocks that used to lead here all landed green driver
-    # rows in CORRECTNESS_r07.json, so they rotate with the general pool
-    # now — keeping them pinned would starve the rotation window (the
-    # cadence bound degrades as the pinned block grows).
+    # The r5-r8 blocks that used to lead here all landed green driver
+    # rows (the r8 additions all have rows in CORRECTNESS_r08.json), so
+    # they rotate with the general pool now — keeping them pinned would
+    # starve the rotation window (the cadence bound degrades as the
+    # pinned block grows).
 ]
 
 

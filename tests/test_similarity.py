@@ -269,3 +269,66 @@ def test_semdedup_keeps_one_representative_per_near_group(spark):
             assert keepers[0].vec_id == best.vec_id, cell
             dropped += len(above) - 1
     assert dropped > 0  # the tier removes something on this corpus
+
+
+def test_ivf_recall_frontier_on_planted_clusters(spark):
+    """The n_probe recall/IO frontier pinned at probe scale (r8 verdict
+    #5; BENCH/ANN_RECALL_SCALE_r9.json carries the 100k artifact, same
+    generator): on planted-cluster geometry where kmeans splits every
+    cluster across ~4 cells, kmeans-IVF recall@10 must rise with
+    n_probe to >= 0.8 at n_probe=8 while the scanned fraction stays
+    ~n_probe/n_cells — and int8 quantization may cost only a few recall
+    points against the FLOAT exact baseline at n_probe=8."""
+    import sys
+
+    sys.path.insert(0, REPO := __file__.rsplit("/tests/", 1)[0])
+    from pyspark.sql import functions as F
+
+    from fast_pdf_parser_spark.operators.similarity import (
+        brute_force_topk,
+        fit_ivf_cells,
+        ivf_topk,
+    )
+    from tools.ann_recall_probe import (
+        planted_corpus,
+        quantize_int8_dequant,
+        recall_at_k,
+        to_df,
+    )
+    _ = REPO
+
+    import numpy as np
+
+    n, n_cells, nq = 10_000, 64, 25
+    vecs, _assign = planted_corpus(n, clusters=16)
+    rng = np.random.Generator(np.random.PCG64(11))
+    qvecs = (vecs[np.arange(nq) * (n // nq)]
+             + rng.normal(scale=0.1, size=(nq, 64))).astype(np.float32)
+    corpus = to_df(spark, vecs).localCheckpoint(eager=True)
+    queries = to_df(spark, qvecs, "query_id").localCheckpoint(eager=True)
+    exact: dict = {}
+    for r in brute_force_topk(corpus, queries, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    recalls = {}
+    for tier, mat in (("float", vecs), ("int8", quantize_int8_dequant(vecs))):
+        tc = corpus if tier == "float" else \
+            to_df(spark, mat).localCheckpoint(eager=True)
+        assigned, centroids = fit_ivf_cells(tc, n_cells=n_cells, seed=42)
+        assigned = assigned.localCheckpoint(eager=True)
+        for n_probe in (1, 8):
+            recalls[(tier, n_probe)] = recall_at_k(
+                ivf_topk(assigned, centroids, queries, k=10,
+                         n_probe=n_probe), exact)
+        if tier == "float":
+            # scanned fraction ~ n_probe/n_cells: probing 8 of 64 cells
+            # must not read more than ~3x its share of the corpus
+            sizes = {int(r.cell): int(r.n) for r in
+                     assigned.groupBy("cell").agg(F.count("*").alias("n"))
+                     .collect()}
+            top8 = sorted(sizes.values(), reverse=True)[:8]
+            assert sum(top8) / n <= 3 * 8 / n_cells
+
+    assert recalls[("float", 8)] >= 0.8, recalls
+    assert recalls[("float", 8)] >= recalls[("float", 1)], recalls
+    assert recalls[("int8", 8)] >= recalls[("float", 8)] - 0.1, recalls
