@@ -99,27 +99,51 @@ def train_bpe(spark: SparkSession, docs: DataFrame,
         b1, b2, cnt = top[0]["sym"], top[0]["nxt"], int(top[0]["cnt"])
         merges.append((b1 + b2, cnt))
 
-        cand = (e.where((F.col("sym") == F.lit(b1))
-                        & (F.col("nxt") == F.lit(b2)))
-                .select("word", "i")
-                .withColumn("grp", F.col("i") - F.row_number().over(w_doc)))
-        real = (cand
-                .withColumn("off",
-                            F.row_number().over(
-                                Window.partitionBy("word", "grp")
-                                .orderBy("i")) - 1)
-                .where("off % 2 = 0").select("word", "i"))
-        r_here = real.selectExpr("word AS rw", "i AS ri")
-        r_prev = real.selectExpr("word AS pw", "i AS pi")
-        syms = (e
-                .join(r_here, (F.col("word") == F.col("rw"))
-                      & (F.col("i") == F.col("ri")), "left")
-                .join(r_prev, (F.col("word") == F.col("pw"))
-                      & (F.col("i") == F.col("pi") + 1), "left")
-                .where(F.col("pi").isNull())   # drop consumed followers
+        # Greedy leftmost-first merge application as PURE WINDOW algebra
+        # over one (word ORDER BY i) pass — deliberately join-free. The
+        # original form applied merges via two (word, i) self-joins;
+        # correct, but Catalyst's size estimator MULTIPLIES join
+        # children's sizeInBytes (BigInt) and localCheckpoint PRESERVES
+        # the origin statistics, so the estimate compounds ~squared per
+        # step and by merge ~15 the driver spends minutes per step
+        # inside BigInteger.multiplyToomCook3 during planning (found by
+        # the depth probe, r9). Window/filter/project nodes only scale
+        # stats by bounded factors, so this form holds O(1) planning at
+        # any merge count — and drops two shuffle joins per step.
+        #
+        # Semantics (pinned vs the imperative greedy reference at depth
+        # 8 and vs the relational twin's oracle at depths 3 and 8):
+        # positions i are consecutive within a word (renumbered every
+        # step), so a run of consecutive merge candidates starts where
+        # flag rises, and within a run the leftmost-first rule keeps
+        # even offsets from the run start ('aaaa' overlap rule); the
+        # follower of every applied merge is consumed (lag).
+        applied = (
+            e.withColumn(
+                "flag",
+                F.coalesce((F.col("sym") == F.lit(b1))
+                           & (F.col("nxt") == F.lit(b2)), F.lit(False)))
+            .withColumn(
+                "run_start",
+                F.col("flag") & ~F.coalesce(F.lag("flag").over(w_doc),
+                                            F.lit(False)))
+            .withColumn(
+                "last_start",
+                F.max(F.when(F.col("run_start"), F.col("i")))
+                .over(w_doc.rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)))
+            .withColumn(
+                "is_merge",
+                F.col("flag")
+                & (((F.col("i") - F.col("last_start")) % 2) == 0))
+            .withColumn(
+                "after_merge",
+                F.coalesce(F.lag("is_merge").over(w_doc), F.lit(False)))
+        )
+        syms = (applied
+                .where(~F.col("after_merge"))  # drop consumed followers
                 .select("word", "freq",
-                        F.when(F.col("ri").isNotNull(),
-                               F.concat("sym", "nxt"))
+                        F.when(F.col("is_merge"), F.concat("sym", "nxt"))
                          .otherwise(F.col("sym")).alias("sym"),
                         F.col("i").alias("old_i"))
                 .withColumn("i", F.row_number().over(
