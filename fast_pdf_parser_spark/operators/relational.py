@@ -770,19 +770,6 @@ def crawl_batch_spark_sql() -> str:
     return "WITH " + _CRAWL_BATCH_CTE + "\nSELECT doc_id, text FROM batch_raw"
 
 
-def near_verdict_stored_view_sql(batch_view: str, corpus_view: str,
-                                 band_view: str) -> str:
-    """Near-dup verdicts for an ARBITRARY batch view against the stored
-    band table — near_incremental_stored_spark_sql generalized over the
-    batch relation (the capstone's batch is its exact-dedup survivors).
-    Shares _stored_near_suffix with the standalone row — identical
-    verdict semantics by construction."""
-    return (
-        f"WITH batch AS (SELECT doc_id, text FROM {batch_view}),\n"
-        + _stored_near_suffix(corpus_view, band_view)
-    )
-
-
 def _crawl_increment_oracle_duck() -> str:
     """DuckDB re-derivation of every crawl_increment_e2e stage count from
     `documents`: the WARC round trip, the sink round trips, the stored
