@@ -1116,6 +1116,9 @@ _PRIORITY_QUERIES = [
     # trainer-facing assembly capstone
     "text_encode_pack_geometry", "tokenizer_bpe_train8",
     "train_assembly_e2e",
+    # new in round 9 (late additions): duplicate-aware soft-dedup
+    # sampling weights and the doc-preserving NFD bin packing
+    "dedup_soft_weight", "text_pack_bestfit",
     # re-verify: implementations changed in r9 — the near-dup row and
     # the crawl capstone now serve candidates through the PRUNED band
     # probe (and the capstone gained compact-then-recount stages); the
@@ -1188,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_ivf_topk"] = _ann_ivf
     out["ann_ivf_persisted"] = _ann_ivf_persisted
     out["text_nfc_normalize"] = _text_nfc_normalize
+    out["text_pack_bestfit"] = _text_pack_bestfit
 
     pri = [n for n in _PRIORITY_QUERIES if n in out]
     rest = [n for n in out if n not in set(pri)]
@@ -1605,3 +1609,17 @@ def oracle_sql() -> dict[str, str]:
     # answer set, so it shares that oracle (same closed-form arithmetic)
     out["ann_ivf_persisted"] = QUERIES["ann_ivf_grid"]["duck"]
     return out
+
+
+def _text_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-preserving next-fit-decreasing bin packing (operators/
+    packing.pack_bestfit): whole documents into SEQ_LEN-capacity bins,
+    none split — the example-packing counterpart of the concat-then-split
+    pack. Spark side = one shard shuffle + an applyInPandas fold per
+    shard; the DuckDB twin replays the identical fold as a recursive CTE
+    (relational.HYBRID_ORACLES['text_pack_bestfit']), value-checking
+    every bin boundary cross-engine."""
+    from fast_pdf_parser_spark.operators.packing import pack_bestfit
+
+    _prepare(spark, sf_dir)
+    return pack_bestfit(spark.table("documents"))

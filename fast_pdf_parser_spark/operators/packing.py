@@ -290,3 +290,71 @@ def write_packed_sequences(docs: DataFrame, out_dir: str,
     return docs.sparkSession.read.schema(
         "seq_id bigint, n_docs int, n_tokens int, ids array<int>, "
         "shard bigint").parquet(out_dir)
+
+
+def pack_bestfit(docs: DataFrame, capacity: int | None = None,
+                 n_shards: int | None = None) -> DataFrame:
+    """Doc-preserving next-fit-decreasing bin packing: whole documents
+    into fixed-capacity bins, none split across a bin boundary — the
+    "example packing" an instruction-tuning / per-doc-loss-masked
+    pipeline needs where pack_token_ids' concat-then-split would let a
+    document straddle two sequences. NFD is the classic one-pass
+    2-approximation: sort descending, keep a single open bin, open a new
+    one when the next item doesn't fit.
+
+    The sequential fold is not window-expressible (every bin break
+    depends on all previous breaks), so this is the documented
+    custom-operator escape hatch: ONE hash shuffle on the portable-md5
+    shard key, then applyInPandas folds each shard independently in
+    (toks DESC, doc_id ASC) order. Per-shard work is bounded and the
+    shard count scales with the corpus — constant per-task cost at
+    100 TB, and the shard layout is what a loader wants on disk anyway.
+    Oversize docs (toks > capacity) sort first and each occupies its own
+    bin with no special-casing (nothing ever fits after one). The DuckDB
+    twin (relational.HYBRID_ORACLES['text_pack_bestfit']) replays the
+    identical fold as a recursive CTE, so the driver gate value-checks
+    every bin boundary cross-engine. Defaults come from
+    relational.BESTFIT_CAP / BESTFIT_SHARDS (capacity == SEQ_LEN)."""
+    from .relational import _HASH60_SPARK, BESTFIT_CAP, BESTFIT_SHARDS
+
+    cap = BESTFIT_CAP if capacity is None else capacity
+    shards = BESTFIT_SHARDS if n_shards is None else n_shards
+    shard_h = _HASH60_SPARK.format(
+        x="concat('bf:', CAST(doc_id AS STRING))")
+    base = docs.selectExpr(
+        "doc_id",
+        "CAST(floor((length(text) + 3) / 4) AS BIGINT) AS toks",
+        f"CAST({shard_h} % {shards} AS INT) AS shard",
+    ).where("toks > 0")
+
+    def fold(pdf):
+        pdf = pdf.sort_values(["toks", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort")
+        bins, bin_id, fill = [], 0, None
+        for t in pdf["toks"]:
+            if fill is None:          # first row of the shard
+                fill = int(t)
+            elif fill + t <= cap:     # fits the open bin
+                fill += int(t)
+            else:                     # open the next bin
+                bin_id += 1
+                fill = int(t)
+            bins.append(bin_id)
+        pdf = pdf.assign(bin_id=bins)
+        # bin stats here, NOT as a downstream window: the pandas group
+        # already holds the whole shard, and FlatMapGroupsInPandas does
+        # not propagate its child's partitioning (fresh attribute ids),
+        # so a Window.partitionBy(shard, bin_id) would re-shuffle what
+        # is already colocated — one Exchange total, plan-asserted
+        grp = pdf.groupby("bin_id")["toks"]
+        return pdf.assign(
+            bin_toks=grp.transform("sum"),
+            bin_docs=grp.transform("size").astype("int32"),
+            oversize=(pdf["toks"] > cap).astype("int32"),
+        )[["shard", "doc_id", "toks", "bin_id",
+           "bin_toks", "bin_docs", "oversize"]]
+
+    return base.groupBy("shard").applyInPandas(
+        fold, "shard int, doc_id bigint, toks bigint, bin_id bigint, "
+              "bin_toks bigint, bin_docs int, oversize int")

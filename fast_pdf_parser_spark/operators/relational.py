@@ -4715,3 +4715,139 @@ QUERIES["dedup_bloom_probe"] = _pair(
             x="CAST(kh AS VARCHAR) || ':' || CAST(seed AS VARCHAR)"),
         gen_seeds=", unnest(range(0, 4)) AS t(seed)"),
 )
+
+
+# --- soft dedup: duplicate-aware sampling weights ----------------------------
+# Deleting duplicates is lossy when repetition carries signal (boilerplate
+# aside, popular passages are often HIGH quality); the published
+# alternative is to keep every copy and DOWN-WEIGHT it at sampling time —
+# SoftDeDup (He et al. 2024) reweights by data commonness, and the
+# data-constrained scaling laws (Muennighoff et al. 2023) quantify why
+# the n-th copy is worth less than the first. This operator emits the
+# frequency-inverse sampling weight at two tiers: exact (content hash)
+# and near (sorted-distinct-wordset hash, the dedup_wordset fingerprint
+# — n_near >= n_exact by construction since exact copies share their
+# wordset). weight_fp = floor(1e6 / group_size) in exact fixed point
+# (one correctly-rounded IEEE divide of exactly-representable integers —
+# the cross-engine discipline every fixed-point column here follows).
+# The corpus carries no exact duplicates, so the aug CTE plants them
+# deterministically: every doc with doc_id % 11 == 3 adopts the text of
+# parent doc (doc_id % 5) — ~9% of the corpus collapses into 5 exact
+# groups that also absorb their parents, while the wordset tier keeps
+# firing on the corpus's natural near-dups. Scale shape: one broadcast
+# join against a 5-row parent relation (test scaffolding only — a real
+# corpus skips the aug), then two hash-partitioned windows over 16-byte
+# (doc_id, hash) rows — each tier is exactly the one shuffle its groupBy
+# needs; no joins between tiers, no raw text past the hash stage.
+_SOFT_AUG = """aug AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 11 = 3 THEN p.text ELSE d.text END AS text
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, text FROM documents WHERE doc_id < 5) p
+    ON p.doc_id = d.doc_id % 5
+)"""
+
+
+def _soft_weight_sql(h_exact: str, h_near: str) -> str:
+    return f"""WITH {_SOFT_AUG},
+tiers AS (
+  SELECT doc_id, {h_exact} AS h_exact, {h_near} AS h_near FROM aug
+),
+grp AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY h_exact) AS n_exact,
+         count(*) OVER (PARTITION BY h_near)  AS n_near,
+         min(doc_id) OVER (PARTITION BY h_exact) AS exact_rep
+  FROM tiers
+)
+SELECT doc_id,
+       CAST(n_exact AS INT) AS n_exact,
+       CAST(n_near AS INT) AS n_near,
+       CAST(floor(1000000.0 / n_exact) AS BIGINT) AS w_exact_fp,
+       CAST(floor(1000000.0 / n_near) AS BIGINT) AS w_near_fp,
+       CAST(CASE WHEN doc_id = exact_rep THEN 1 ELSE 0 END AS INT)
+         AS is_canonical
+FROM grp"""
+
+
+QUERIES["dedup_soft_weight"] = _pair(
+    _soft_weight_sql(
+        h_exact=_HASH60_SPARK.format(x="text"),
+        h_near=_HASH60_SPARK.format(
+            x="array_join(array_sort(array_distinct(split(text, ' '))), ' ')"
+        )),
+    _soft_weight_sql(
+        h_exact=_HASH60_DUCK.format(x="text"),
+        h_near=_HASH60_DUCK.format(
+            x="array_to_string(list_sort(list_distinct(split(text, ' '))),"
+              " ' ')")),
+)
+
+
+# --- doc-preserving bin packing (next-fit-decreasing) ------------------------
+# text_encode_pack / text_pack_manifest pack by CONCAT-THEN-SPLIT: maximal
+# density, but a document may straddle a sequence boundary. Instruction
+# tuning and any objective with per-document loss masking wants the other
+# published packing: whole documents into fixed-capacity bins, none split
+# (the "example packing" of T5/FlanT5 pipelines; bin packing is NP-hard,
+# next-fit-decreasing is the classic 2-approximation that needs ONE
+# sequential pass over a sorted run). A sequential fold is not
+# window-expressible (each bin break depends on every break before it),
+# so the Spark side is the documented custom-operator escape hatch:
+# applyInPandas per SHARD — one hash shuffle on the 8-way portable-md5
+# shard key, then an in-pandas fold over each shard's (toks DESC, doc_id)
+# order. Sequential work is per-shard and the shard count scales with the
+# corpus, so per-task work stays constant at 100 TB — and the shard
+# partitioning is what the downstream loader wants on disk anyway.
+# Oversize docs (toks > capacity) sort first and each lands alone in its
+# own bin, flagged, with NO special-casing in the fold (fill + toks <=
+# cap is false for every successor — both engines run the identical
+# rule). The DuckDB twin replays the SAME fold as a recursive CTE (one
+# row per shard per step), so the cross-engine gate value-checks every
+# bin boundary, not just aggregate counts. toks = the ~4-chars/token
+# estimate shared with text_length_batching; capacity = SEQ_LEN
+# (operators/packing.py), the same 128-token training-sequence budget
+# the concat-then-split pack fills — the two packings are directly
+# comparable, and the corpus's longest docs genuinely overflow a bin
+# (the oversize path runs in the driver gate, not only in pytest).
+BESTFIT_CAP = 128
+BESTFIT_SHARDS = 8
+
+_BESTFIT_DUCK = f"""WITH RECURSIVE doc_toks AS (
+  SELECT doc_id,
+         CAST(floor((length(text) + 3) / 4) AS BIGINT) AS toks,
+         CAST({_HASH60_DUCK.format(
+             x="'bf:' || CAST(doc_id AS VARCHAR)")} % {BESTFIT_SHARDS}
+              AS INT) AS shard
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, toks, shard,
+         CAST(row_number() OVER (PARTITION BY shard
+                                 ORDER BY toks DESC, doc_id ASC)
+              AS BIGINT) AS rn
+  FROM doc_toks WHERE toks > 0
+),
+fold AS (
+  SELECT shard, doc_id, toks, rn,
+         CAST(0 AS BIGINT) AS bin_id, CAST(toks AS BIGINT) AS fill
+  FROM pos WHERE rn = 1
+  UNION ALL
+  SELECT p.shard, p.doc_id, p.toks, p.rn,
+         CASE WHEN f.fill + p.toks <= {BESTFIT_CAP}
+              THEN f.bin_id ELSE f.bin_id + 1 END,
+         CASE WHEN f.fill + p.toks <= {BESTFIT_CAP}
+              THEN f.fill + p.toks ELSE p.toks END
+  FROM fold f JOIN pos p ON p.shard = f.shard AND p.rn = f.rn + 1
+)
+SELECT shard, doc_id,
+       CAST(toks AS BIGINT) AS toks,
+       CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(sum(toks) OVER (PARTITION BY shard, bin_id) AS BIGINT)
+         AS bin_toks,
+       CAST(count(*) OVER (PARTITION BY shard, bin_id) AS INT) AS bin_docs,
+       CAST(CASE WHEN toks > {BESTFIT_CAP} THEN 1 ELSE 0 END AS INT)
+         AS oversize
+FROM fold"""
+
+HYBRID_ORACLES["text_pack_bestfit"] = _BESTFIT_DUCK

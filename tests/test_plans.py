@@ -606,3 +606,37 @@ def test_length_batching_sharded_window_no_global_sort(spark):
     assert "hashpartitioning(shard" in plan
     assert "rangepartitioning" not in plan.lower()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_soft_weight_broadcasts_parent_and_no_cartesian(spark):
+    """dedup_soft_weight: the 5-row planted-duplicate parent relation must
+    broadcast (never shuffle the corpus for test scaffolding), and each
+    tier is one hash-partitioned window over (doc_id, hash) rows."""
+    entrymod._prepare(spark, SF_DIR)
+    plan = physical(spark.sql(spark_sql("dedup_soft_weight")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan          # the doc_id < 5 parents
+    assert "hashpartitioning(h_exact" in plan   # exact-tier window
+    assert "hashpartitioning(h_near" in plan    # near-tier window
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan      # windows, not global sorts
+
+
+def test_bestfit_single_shard_shuffle_and_pruned_scan(spark):
+    """text_pack_bestfit: ONE hash exchange on the shard key feeds the
+    per-shard applyInPandas fold; the (shard, bin_id) stats window reuses
+    that partitioning (shard ⊂ the window keys → no second exchange), and
+    the scan reads only (doc_id, text)."""
+    from fast_pdf_parser_spark.operators.packing import pack_bestfit
+
+    entrymod._prepare(spark, SF_DIR)
+    plan = physical(pack_bestfit(spark.table("documents")))
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    read_schema = plan.split("ReadSchema:")[1][:200]
+    assert "text" in read_schema
+    for col in ("source", "lang", "n_chars"):
+        assert col not in read_schema
