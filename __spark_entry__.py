@@ -1117,8 +1117,10 @@ _PRIORITY_QUERIES = [
     "text_encode_pack_geometry", "tokenizer_bpe_train8",
     "train_assembly_e2e",
     # new in round 9 (late additions): duplicate-aware soft-dedup
-    # sampling weights and the doc-preserving NFD bin packing
-    "dedup_soft_weight", "text_pack_bestfit",
+    # sampling weights, doc-preserving NFD bin packing, the Gopher
+    # rule gate, CCNet perplexity thirds, and the stratified holdout
+    "dedup_soft_weight", "text_pack_bestfit", "text_gopher_rules",
+    "text_ccnet_bucket", "text_stratified_split",
     # re-verify: implementations changed in r9 — the near-dup row and
     # the crawl capstone now serve candidates through the PRUNED band
     # probe (and the capstone gained compact-then-recount stages); the

@@ -4851,3 +4851,190 @@ SELECT shard, doc_id,
 FROM fold"""
 
 HYBRID_ORACLES["text_pack_bestfit"] = _BESTFIT_DUCK
+
+
+# --- Gopher quality-rule gate -------------------------------------------------
+# The published Gopher repetition-free quality rules (Rae et al. 2021,
+# Appendix A1.1), the document-shape subset expressible over this corpus:
+#   r1  50 <= word count <= 100,000
+#   r2  mean word length in [3, 10] chars
+#   r3  <= 30% of lines end with an ellipsis
+#   r4  <= 90% of lines start with a bullet
+#   r5  >= 80% of words contain an alphabetic character
+#   r6  >= 2 distinct stopwords present (the 8-word Gopher list)
+# Every threshold is evaluated in EXACT integer arithmetic (10*e <= 3*n
+# instead of e/n <= 0.3) — no float in any flag. The flat corpus carries
+# no numerals/ellipses/bullets, so the operator decorates
+# deterministically (the _DUCK_LINES page-model idiom): every
+# (pos + doc_id) % (4 + doc_id % 4) == 0 word becomes a numeral (per-doc
+# numeric fraction 1/4..1/7 straddles the 20% r5 bar), words group into
+# 8-word lines, line_no % 5 == 0 lines get a bullet and % 5 == 1 lines an
+# ellipsis suffix (short docs straddle the 30% r3 bar; r4 is the
+# published bar and fires only on degenerate near-empty docs). Scale
+# shape: one scan, a posexplode, two hash aggregates on doc_id and a 1:1
+# doc_id join — linear, no corpus-wide window, nothing but doc_id-keyed
+# shuffles.
+_GOPHER_STOPS = "('the','a','to','of','and','that','have','with')"
+
+
+def _gopher_sql(words_cte: str, str_t: str, div8: str, agg_body: str,
+                alpha: str) -> str:
+    return f"""WITH {words_cte},
+gwords AS (
+  SELECT doc_id, pos,
+         CASE WHEN (pos + doc_id) % (4 + doc_id % 4) = 0
+              THEN CAST(doc_id * 31 + pos AS {str_t}) ELSE word END AS word
+  FROM words
+),
+glines AS (
+  SELECT doc_id, {div8} AS line_no, {agg_body} AS body
+  FROM gwords GROUP BY doc_id, {div8}
+),
+decorated AS (
+  SELECT doc_id, line_no,
+         CASE CAST(line_no % 5 AS INT)
+           WHEN 0 THEN '- ' || body
+           WHEN 1 THEN body || '...'
+           ELSE body END AS line
+  FROM glines
+),
+wstats AS (
+  SELECT doc_id, count(*) AS n_words,
+         sum(CASE WHEN {alpha} THEN 1 ELSE 0 END) AS alpha_words,
+         sum(length(word)) AS word_chars,
+         count(DISTINCT CASE WHEN word IN {_GOPHER_STOPS}
+                             THEN word END) AS stop_hits
+  FROM gwords GROUP BY doc_id
+),
+lstats AS (
+  SELECT doc_id, count(*) AS n_lines,
+         sum(CASE WHEN line LIKE '%...' THEN 1 ELSE 0 END)
+           AS ellipsis_lines,
+         sum(CASE WHEN line LIKE '- %' THEN 1 ELSE 0 END) AS bullet_lines
+  FROM decorated GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(n_words AS INT) AS n_words,
+       CAST(n_lines AS INT) AS n_lines,
+       CAST(alpha_words AS INT) AS alpha_words,
+       CAST(word_chars AS BIGINT) AS word_chars,
+       CAST(stop_hits AS INT) AS stop_hits,
+       CAST(ellipsis_lines AS INT) AS ellipsis_lines,
+       CAST(bullet_lines AS INT) AS bullet_lines,
+       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                 THEN 1 ELSE 0 END AS INT) AS r1_wordcount,
+       CAST(CASE WHEN 3 * n_words <= word_chars
+                  AND word_chars <= 10 * n_words
+                 THEN 1 ELSE 0 END AS INT) AS r2_meanwordlen,
+       CAST(CASE WHEN 10 * ellipsis_lines <= 3 * n_lines
+                 THEN 1 ELSE 0 END AS INT) AS r3_ellipsis,
+       CAST(CASE WHEN 10 * bullet_lines <= 9 * n_lines
+                 THEN 1 ELSE 0 END AS INT) AS r4_bullets,
+       CAST(CASE WHEN 5 * alpha_words >= 4 * n_words
+                 THEN 1 ELSE 0 END AS INT) AS r5_alphawords,
+       CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS INT)
+         AS r6_stopwords,
+       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                  AND 3 * n_words <= word_chars
+                  AND word_chars <= 10 * n_words
+                  AND 10 * ellipsis_lines <= 3 * n_lines
+                  AND 10 * bullet_lines <= 9 * n_lines
+                  AND 5 * alpha_words >= 4 * n_words
+                  AND stop_hits >= 2
+                 THEN 1 ELSE 0 END AS INT) AS gopher_keep
+FROM wstats w JOIN lstats l ON w.doc_id = l.doc_id"""
+
+
+QUERIES["text_gopher_rules"] = _pair(
+    _gopher_sql(
+        words_cte=_WORDS_SPARK,
+        str_t="STRING",
+        div8="CAST(floor(pos / 8) AS INT)",
+        agg_body=("array_join(transform(array_sort(collect_list("
+                  "struct(pos, word))), x -> x.word), ' ')"),
+        alpha="word RLIKE '[a-z]'"),
+    _gopher_sql(
+        words_cte=_WORDS_DUCK,
+        str_t="VARCHAR",
+        div8="CAST(pos // 8 AS INT)",
+        agg_body="string_agg(word, ' ' ORDER BY pos)",
+        alpha="regexp_matches(word, '[a-z]')"),
+)
+
+
+# --- CCNet perplexity buckets -------------------------------------------------
+# The CCNet tiering (Wenzek et al. 2020): score each document with a
+# corpus-fit LM, then split EACH LANGUAGE into perplexity thirds —
+# head/middle/tail — so downstream mixing can prefer the fluent tier
+# without a hard drop. The LM here is the oracle-checked unigram
+# surprisal operator, composed verbatim as a subquery (the
+# corpus_attributes idiom: component semantics live in ONE place); the
+# bucket boundary is exact integer rank arithmetic (3*(rn-1) vs n), so a
+# threshold change in the surprisal component flows through unchanged.
+# Scale note: exact per-lang thirds take one window per language — the
+# oracle-checkable form. At 100 TB the published pipeline computes two
+# approximate percentile CUTPOINTS per language (broadcast scalars, one
+# scan, no window) and tolerates epsilon rank error at the boundaries;
+# the semantics pinned here are what that approximation converges to.
+def _ccnet_sql(surp_query: str) -> str:
+    return f"""WITH surp AS (
+{surp_query}
+),
+tagged AS (
+  SELECT s.doc_id, d.lang, s.avg_surprisal_x1e6,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.avg_surprisal_x1e6, s.doc_id) AS rn,
+         count(*) OVER (PARTITION BY d.lang) AS n
+  FROM surp s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, lang, avg_surprisal_x1e6,
+       CAST(n AS INT) AS lang_docs,
+       CASE WHEN 3 * (rn - 1) < n THEN 'head'
+            WHEN 3 * (rn - 1) < 2 * n THEN 'middle'
+            ELSE 'tail' END AS ccnet_bucket
+FROM tagged"""
+
+
+QUERIES["text_ccnet_bucket"] = _pair(
+    _ccnet_sql(QUERIES["text_unigram_surprisal"]["spark"]),
+    _ccnet_sql(QUERIES["text_unigram_surprisal"]["duck"]),
+)
+
+
+# --- stratified train/val/test split -----------------------------------------
+# text_quality_sample's hash-coin split is unbiased but BINOMIAL: a small
+# (source, lang) stratum can land all its docs in train by chance, and
+# eval sets need every stratum represented at exact proportions. This is
+# the standard stratified holdout: within each stratum, order docs by a
+# content-free 60-bit hash coin (reproducible on any cluster layout, no
+# rand()) and slice EXACT counts — floor(n/10) test, floor(n/10) val,
+# rest train; a stratum needs >= 10 docs before it yields any eval rows
+# (the floor semantics every eval framework documents). Scale shape: ONE
+# window partitioned by (source, lang) — bounded strata, narrow
+# (doc_id, keys, coin) rows; division is one correctly-rounded IEEE op
+# on exact integers (the fixed-point discipline).
+def _strat_split_sql(coin: str) -> str:
+    return f"""WITH ranked AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY {coin}, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source, lang) AS n
+  FROM documents
+)
+SELECT doc_id, source, lang,
+       CAST(n AS INT) AS stratum_docs,
+       CASE WHEN rn <= CAST(floor(n * CAST(1.0 AS DOUBLE) / 10) AS BIGINT)
+            THEN 'test'
+            WHEN rn <= 2 * CAST(floor(n * CAST(1.0 AS DOUBLE) / 10)
+                                AS BIGINT)
+            THEN 'val'
+            ELSE 'train' END AS split
+FROM ranked"""
+
+
+QUERIES["text_stratified_split"] = _pair(
+    _strat_split_sql(_HASH60_SPARK.format(
+        x="concat('sp:', CAST(doc_id AS STRING))")),
+    _strat_split_sql(_HASH60_DUCK.format(
+        x="'sp:' || CAST(doc_id AS VARCHAR)")),
+)

@@ -1,0 +1,147 @@
+"""Engine-independent semantics pins for the round-9 quality/split trio:
+
+- text_gopher_rules: the decorated corpus and all six Gopher rule flags
+  (Rae et al. 2021 A1.1) must equal an independent imperative
+  implementation row-for-row — numeral substitution, 8-word line
+  grouping, bullet/ellipsis decoration, and the exact-integer threshold
+  arithmetic included.
+- text_ccnet_bucket: per-language thirds must be balanced (sizes differ
+  by <= 1) and value-ordered (max surprisal in head <= min in middle <=
+  min in tail's predecessor chain).
+- text_stratified_split: every stratum yields EXACTLY floor(n/10) test
+  and floor(n/10) val rows; strata under 10 docs yield none.
+
+DuckDB dialect only (no JVM) — Spark==DuckDB is the driver gate.
+"""
+
+import os
+
+import duckdb
+import pytest
+
+from fast_pdf_parser_spark.operators.relational import QUERIES
+
+SF0001 = "/root/testdata/sf0.001"
+HAS_DATA = os.path.exists(os.path.join(SF0001, "documents.parquet"))
+
+
+def _con_with_docs(rows):
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM (VALUES {vals}) AS v(doc_id, text)")
+    return con
+
+
+STOPS = {"the", "a", "to", "of", "and", "that", "have", "with"}
+
+
+def _gopher_reference(rows):
+    out = {}
+    for doc_id, text in rows:
+        words = []
+        for pos, w in enumerate(text.split(" ")):
+            if (pos + doc_id) % (4 + doc_id % 4) == 0:
+                w = str(doc_id * 31 + pos)
+            words.append(w)
+        lines = []
+        for ln in range((len(words) + 7) // 8):
+            body = " ".join(words[ln * 8:(ln + 1) * 8])
+            if ln % 5 == 0:
+                body = "- " + body
+            elif ln % 5 == 1:
+                body = body + "..."
+            lines.append(body)
+        n_w, n_l = len(words), len(lines)
+        alpha = sum(1 for w in words if any("a" <= c <= "z" for c in w))
+        chars = sum(len(w) for w in words)
+        stops = len({w for w in words if w in STOPS})
+        ell = sum(1 for ln in lines if ln.endswith("..."))
+        bul = sum(1 for ln in lines if ln.startswith("- "))
+        r = (int(50 <= n_w <= 100000),
+             int(3 * n_w <= chars <= 10 * n_w),
+             int(10 * ell <= 3 * n_l),
+             int(10 * bul <= 9 * n_l),
+             int(5 * alpha >= 4 * n_w),
+             int(stops >= 2))
+        out[doc_id] = (n_w, n_l, alpha, chars, stops, ell, bul,
+                       *r, int(all(r)))
+    return out
+
+
+def test_gopher_rules_match_independent_reference():
+    # doc 0: long fluent doc with two stopwords -> keep; doc 1: 9 words
+    # (fails r1, single bullet line of two -> r4 edge); doc 2: stopword-
+    # free (fails r6); doc 3: doc_id%4==3 -> modulus 7 (lowest numeral
+    # rate, r5 passes) vs doc 4: modulus 4 (25% numerals, r5 fails)
+    rows = [
+        (0, " ".join(["the", "a", "quick", "word"] * 15)),
+        (1, "- tiny doc with just nine words here now"
+            .replace("- ", "short ")),
+        (2, " ".join(f"w{i}" for i in range(60))),
+        (3, " ".join(["of", "and", "solid", "text"] * 14)),
+        (4, " ".join(["that", "have", "dense", "prose"] * 14)),
+    ]
+    expected = _gopher_reference(rows)
+    got = {r[0]: tuple(r[1:]) for r in _con_with_docs(rows).execute(
+        QUERIES["text_gopher_rules"]["duck"]).fetchall()}
+    assert got == expected
+    keeps = [v[-1] for v in expected.values()]
+    assert 0 < sum(keeps) < len(keeps)  # both outcomes exercised
+
+
+@pytest.mark.skipif(not HAS_DATA, reason="driver testdata not present")
+def test_gopher_rules_corpus_match_and_variation():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{SF0001}/documents.parquet'")
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    expected = _gopher_reference(docs)
+    got = {r[0]: tuple(r[1:]) for r in con.execute(
+        QUERIES["text_gopher_rules"]["duck"]).fetchall()}
+    assert got == expected
+    # the gate genuinely splits the corpus
+    keeps = sum(v[-1] for v in got.values())
+    assert 0 < keeps < len(got)
+
+
+@pytest.mark.skipif(not HAS_DATA, reason="driver testdata not present")
+def test_ccnet_buckets_balanced_and_value_ordered():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{SF0001}/documents.parquet'")
+    rows = con.execute(QUERIES["text_ccnet_bucket"]["duck"]).fetchall()
+    assert rows
+    import collections
+    by_lang = collections.defaultdict(lambda: collections.defaultdict(list))
+    for doc_id, lang, surp, lang_docs, bucket in rows:
+        by_lang[lang][bucket].append(surp)
+        assert lang_docs == sum(
+            1 for r in rows if r[1] == lang)
+    for lang, buckets in by_lang.items():
+        sizes = [len(buckets.get(b, [])) for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1          # exact thirds
+        if all(sizes):                               # value-ordered tiers
+            assert max(buckets["head"]) <= min(buckets["middle"])
+            assert max(buckets["middle"]) <= min(buckets["tail"])
+
+
+@pytest.mark.skipif(not HAS_DATA, reason="driver testdata not present")
+def test_stratified_split_exact_proportions():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{SF0001}/documents.parquet'")
+    rows = con.execute(QUERIES["text_stratified_split"]["duck"]).fetchall()
+    assert rows
+    import collections
+    strata = collections.defaultdict(collections.Counter)
+    for doc_id, source, lang, n, split in rows:
+        strata[(source, lang, n)][split] += 1
+    for (source, lang, n), counts in strata.items():
+        assert sum(counts.values()) == n
+        assert counts["test"] == n // 10   # EXACT, not binomial
+        assert counts["val"] == n // 10
+        assert counts["train"] == n - 2 * (n // 10)
+        if n < 10:
+            assert counts["test"] == 0 and counts["val"] == 0

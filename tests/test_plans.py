@@ -640,3 +640,23 @@ def test_bestfit_single_shard_shuffle_and_pruned_scan(spark):
     assert "text" in read_schema
     for col in ("source", "lang", "n_chars"):
         assert col not in read_schema
+
+
+def test_quality_split_trio_plans(spark):
+    """Gopher rules: explode + two doc_id aggregates, no cartesian and no
+    corpus-wide window. CCNet buckets: the only windows are per-lang.
+    Stratified split: ONE window hash-partitioned by (source, lang)."""
+    entrymod._prepare(spark, SF_DIR)
+    gop = physical(spark.sql(spark_sql("text_gopher_rules")))
+    assert "CartesianProduct" not in gop
+    assert "Exchange SinglePartition" not in gop
+    assert "rangepartitioning" not in gop
+
+    ccn = physical(spark.sql(spark_sql("text_ccnet_bucket")))
+    assert "hashpartitioning(lang" in ccn
+    assert "CartesianProduct" not in ccn
+
+    strat = physical(spark.sql(spark_sql("text_stratified_split")))
+    assert "hashpartitioning(source" in strat
+    assert "Exchange SinglePartition" not in strat
+    assert "CartesianProduct" not in strat
