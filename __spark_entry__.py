@@ -1120,7 +1120,8 @@ _PRIORITY_QUERIES = [
     # sampling weights, doc-preserving NFD bin packing, the Gopher
     # rule gate, CCNet perplexity thirds, and the stratified holdout
     "dedup_soft_weight", "text_pack_bestfit", "text_gopher_rules",
-    "text_ccnet_bucket", "text_stratified_split",
+    "text_ccnet_bucket", "text_stratified_split", "text_dsir_weight",
+    "events_funnel",
     # re-verify: implementations changed in r9 — the near-dup row and
     # the crawl capstone now serve candidates through the PRUNED band
     # probe (and the capstone gained compact-then-recount stages); the

@@ -5038,3 +5038,122 @@ QUERIES["text_stratified_split"] = _pair(
     _strat_split_sql(_HASH60_DUCK.format(
         x="'sp:' || CAST(doc_id AS VARCHAR)")),
 )
+
+
+# --- DSIR importance weights --------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023): weight each
+# document by sum over its words of ln(p_target(w) / p_raw(w)), with the
+# target LM fit on an in-domain subset (lang = 'en' here — DSIR's
+# hashed-ngram features reduce to unigrams on this single-token-feature
+# corpus) and the raw LM on the whole corpus, both add-1 smoothed so
+# out-of-target words contribute a finite negative ratio. Exactness
+# discipline (the _SURPRISAL_TAIL rule): the ratio is formed from EXACT
+# integer products ((ct+1)(Ns+V)) / ((cs+1)(Nt+V)) — both < 2^53 — so the
+# only inexact steps are one correctly-rounded divide, one <=1-ulp ln and
+# one multiply; per-word values quantize to 1e6 fixed point BEFORE the
+# per-doc sum (integer aggregation is order-immune), and the boundary
+# margin is guard-scanned in tests/test_oracle_stability.py (observed
+# >= 5e-3 at every sf — six orders above ulp drift). Per-doc average =
+# one divide of exact integers. dsir_keep = avg > 0 (closer to target
+# than to raw) — a threshold, not a corpus-wide rank, so selection adds
+# no shuffle. Scale shape: two count aggregates (the target one joins
+# words to the broadcastable doc->lang relation), a broadcast vocab join
+# back, one doc_id aggregate — the surprisal family's fit-then-transform
+# shape, linear end to end.
+def _dsir_sql(words_cte: str) -> str:
+    return f"""WITH {words_cte},
+tgt AS (
+  SELECT w.word, count(*) AS ct
+  FROM words w JOIN documents d ON w.doc_id = d.doc_id
+  WHERE d.lang = 'en' GROUP BY w.word
+),
+raw AS (SELECT word, count(*) AS cs FROM words GROUP BY word),
+nt AS (SELECT sum(ct) AS n FROM tgt),
+ns AS (SELECT sum(cs) AS n FROM raw),
+vocab AS (SELECT count(*) AS v FROM raw),
+lr AS (
+  SELECT r.word,
+         CAST(floor(ln((coalesce(t.ct, 0) + 1) * CAST(1.0 AS DOUBLE)
+                         * (ns.n + vocab.v)
+                       / ((r.cs + 1) * CAST(1.0 AS DOUBLE)
+                          * (nt.n + vocab.v)))
+                    * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              AS BIGINT) AS s
+  FROM raw r LEFT JOIN tgt t ON r.word = t.word
+  CROSS JOIN nt CROSS JOIN ns CROSS JOIN vocab
+),
+docsum AS (
+  SELECT w.doc_id, sum(l.s) AS tot_s, count(*) AS n_words
+  FROM words w JOIN lr l ON w.word = l.word
+  GROUP BY w.doc_id
+)
+SELECT d.doc_id, dl.lang,
+       CAST(n_words AS INT) AS n_words,
+       CAST(tot_s AS BIGINT) AS dsir_logratio_x1e6,
+       CAST(floor(tot_s * CAST(1.0 AS DOUBLE) / n_words
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         AS avg_logratio_x1e6,
+       CAST(CASE WHEN tot_s > 0 THEN 1 ELSE 0 END AS INT) AS dsir_keep
+FROM docsum d JOIN documents dl ON d.doc_id = dl.doc_id"""
+
+
+QUERIES["text_dsir_weight"] = _pair(
+    _dsir_sql(_WORDS_SPARK),
+    _dsir_sql(_WORDS_DUCK),
+)
+
+
+# --- event funnel analysis ----------------------------------------------------
+# The ordered-funnel query every product-analytics engine ships
+# (view -> click -> purchase, each step STRICTLY after the previous —
+# subsequence matching, not set membership — and inside a 24-hour
+# CONVERSION WINDOW per step, the windowed semantics real funnel tools
+# define): per user, the first view, the first click within 24 h after
+# that view, the first purchase within 24 h after that click; report
+# the deepest step reached and the step-to-step latencies. The
+# chained "first X after Y" structure is three user_id-keyed aggregates
+# with equi-joins — every shuffle is on user_id (one reused key, AQE
+# coalesces), no window over the raw event stream, no self-join
+# explosion (each stage aggregates before joining). Timestamps compare
+# at full parquet precision for the ordering; reported latencies are
+# whole seconds via the engines' truncating epoch forms (the
+# events_sessionize dialect pair), and NULL latencies for users who
+# never reach a step are coalesced to -1 so the value hash is
+# null-layout-independent.
+def _funnel_sql(epoch: str) -> str:
+    return f"""WITH v AS (
+  SELECT user_id, min(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+    AND e.ts <= v.t_view + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_buy
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    AND e.ts <= c.t_click + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+SELECT v.user_id,
+       CAST(CASE WHEN p.t_buy IS NOT NULL THEN 3
+                 WHEN c.t_click IS NOT NULL THEN 2
+                 ELSE 1 END AS INT) AS funnel_step,
+       CAST(coalesce({epoch.format(ts='c.t_click')}
+                       - {epoch.format(ts='v.t_view')}, -1) AS BIGINT)
+         AS secs_view_to_click,
+       CAST(coalesce({epoch.format(ts='p.t_buy')}
+                       - {epoch.format(ts='c.t_click')}, -1) AS BIGINT)
+         AS secs_click_to_buy
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id"""
+
+
+QUERIES["events_funnel"] = _pair(
+    _funnel_sql("unix_timestamp({ts})"),
+    _funnel_sql("CAST(floor(epoch({ts})) AS BIGINT)"),
+)

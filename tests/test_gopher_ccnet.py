@@ -145,3 +145,106 @@ def test_stratified_split_exact_proportions():
         assert counts["train"] == n - 2 * (n // 10)
         if n < 10:
             assert counts["test"] == 0 and counts["val"] == 0
+
+
+# --- text_dsir_weight --------------------------------------------------------
+
+def _con_with_lang_docs(rows):
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}', '{lang}')" for i, t, lang in rows)
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM (VALUES {vals}) AS v(doc_id, text, lang)")
+    return con
+
+
+def test_dsir_weight_matches_independent_reference():
+    import collections
+    import math
+
+    rows = [
+        (0, "domain term domain term special", "en"),
+        (1, "domain special term other", "en"),
+        (2, "other noise noise filler", "de"),
+        (3, "domain term special other", "de"),   # target-like non-en doc
+        (4, "noise filler filler noise", "fr"),
+    ]
+    tgt, raw = collections.Counter(), collections.Counter()
+    for _i, t, lang in rows:
+        for w in t.split(" "):
+            raw[w] += 1
+            if lang == "en":
+                tgt[w] += 1
+    nt, ns, v = sum(tgt.values()), sum(raw.values()), len(raw)
+    s = {w: math.floor(math.log((tgt.get(w, 0) + 1) * (ns + v)
+                                / ((raw[w] + 1) * (nt + v))) * 1e6 + 0.5)
+         for w in raw}
+    expected = {}
+    for i, t, lang in rows:
+        words = t.split(" ")
+        tot = sum(s[w] for w in words)
+        expected[i] = (lang, len(words), tot,
+                       math.floor(tot / len(words) + 0.5),
+                       1 if tot > 0 else 0)
+    got = {r[0]: tuple(r[1:]) for r in _con_with_lang_docs(rows).execute(
+        QUERIES["text_dsir_weight"]["duck"]).fetchall()}
+    assert got == expected
+    # the weighting discriminates: the target-like de doc outscores the
+    # noise docs, and at least one doc lands on each side of keep
+    assert expected[3][2] > expected[2][2] > expected[4][2]
+    keeps = [v[4] for v in expected.values()]
+    assert 0 < sum(keeps) < len(keeps)
+
+
+# --- events_funnel -----------------------------------------------------------
+
+def test_funnel_windowed_subsequence_semantics():
+    # u1 converts fully inside the windows; u2 clicks in-window but buys
+    # outside the 24h click window (step 2); u3 views only (step 1);
+    # u4's click precedes its first view (ordering, step 1); u5's
+    # purchase precedes its click (step 2).
+    ev = [
+        (0, "2024-01-01 00:00:00", 1, "view"),
+        (1, "2024-01-01 01:00:00", 1, "click"),
+        (2, "2024-01-01 02:30:00", 1, "purchase"),
+        (3, "2024-01-02 00:00:00", 2, "view"),
+        (4, "2024-01-02 10:00:00", 2, "click"),
+        (5, "2024-01-04 00:00:00", 2, "purchase"),
+        (6, "2024-01-03 00:00:00", 3, "view"),
+        (7, "2024-01-05 00:00:00", 4, "click"),
+        (8, "2024-01-05 01:00:00", 4, "view"),
+        (9, "2024-01-06 00:00:00", 5, "purchase"),
+        (10, "2024-01-06 01:00:00", 5, "view"),
+        (11, "2024-01-06 02:00:00", 5, "click"),
+    ]
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, TIMESTAMP '{ts}', {u}, '{t}')"
+                     for i, ts, u, t in ev)
+    con.execute(f"CREATE VIEW events AS SELECT * FROM (VALUES {vals}) "
+                f"AS v(event_id, ts, user_id, event_type)")
+    got = {r[0]: tuple(r[1:]) for r in con.execute(
+        QUERIES["events_funnel"]["duck"]).fetchall()}
+    assert got == {
+        1: (3, 3600, 5400),
+        2: (2, 36000, -1),
+        3: (1, -1, -1),
+        4: (1, -1, -1),
+        5: (2, 3600, -1),
+    }
+
+
+@pytest.mark.skipif(not HAS_DATA, reason="driver testdata not present")
+def test_funnel_corpus_all_steps_reached():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS "
+                f"SELECT * FROM '{SF0001}/events.parquet'")
+    rows = con.execute(QUERIES["events_funnel"]["duck"]).fetchall()
+    assert rows
+    for _u, step, s1, s2 in rows:
+        assert step in (1, 2, 3)
+        assert (s1 >= 0) == (step >= 2)   # latency iff the step happened
+        assert (s2 >= 0) == (step == 3)
+        if step >= 2:
+            assert 0 <= s1 <= 86400       # inside the conversion window
+        if step == 3:
+            assert 0 <= s2 <= 86400

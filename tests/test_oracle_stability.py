@@ -155,3 +155,31 @@ CROSS JOIN tot t CROSS JOIN voc v""").fetchall()
     assert worst > MARGIN_BIGRAM, (
         f"corpus {sf_dir}: a held-out bigram tuple sits {worst:.2e} from "
         f"its rounding boundary — within cross-engine ln() drift risk")
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_dsir_quantization_boundary_margin(sf_dir):
+    """text_dsir_weight quantizes ln of an exact-integer ratio per word;
+    scan every distinct (target count, raw count) pair at this sf and
+    assert the same >=1e-3 margin discipline as the surprisal guards
+    (observed >= 5e-3 on the shipped corpora)."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    rows = con.execute(f"""
+WITH {_WORDS_DUCK},
+tgt AS (SELECT w.word, count(*) AS ct FROM words w
+        JOIN documents d ON w.doc_id = d.doc_id
+        WHERE d.lang = 'en' GROUP BY w.word),
+raw AS (SELECT word, count(*) AS cs FROM words GROUP BY word)
+SELECT DISTINCT coalesce(t.ct, 0), r.cs,
+       (SELECT sum(ct) FROM tgt), (SELECT sum(cs) FROM raw),
+       (SELECT count(*) FROM raw)
+FROM raw r LEFT JOIN tgt t ON r.word = t.word""").fetchall()
+    assert rows
+    worst = 1.0
+    for ct, cs, nt, ns, v in rows:
+        x = math.log((ct + 1) * (ns + v) / ((cs + 1) * (nt + v))) * 1e6 + 0.5
+        worst = min(worst, abs(x - round(x)))
+    assert worst >= MARGIN, f"margin {worst} too close to a boundary"

@@ -660,3 +660,21 @@ def test_quality_split_trio_plans(spark):
     assert "hashpartitioning(source" in strat
     assert "Exchange SinglePartition" not in strat
     assert "CartesianProduct" not in strat
+
+
+def test_dsir_and_funnel_plans(spark):
+    """DSIR: the fit-then-transform shape — word-keyed hash aggregates +
+    a broadcastable log-ratio relation joined back, no cartesian beyond
+    the scalar totals. Funnel: every shuffle keys on user_id; no window
+    over the raw event stream, no nested-loop join."""
+    entrymod._prepare(spark, SF_DIR)
+    dsir = physical(spark.sql(spark_sql("text_dsir_weight")))
+    assert "CartesianProduct" not in dsir
+    assert "hashpartitioning(word" in dsir        # the LM fit aggregates
+    assert "rangepartitioning" not in dsir
+
+    fun = physical(spark.sql(spark_sql("events_funnel")))
+    assert "CartesianProduct" not in fun
+    assert "BroadcastNestedLoopJoin" not in fun
+    assert "hashpartitioning(user_id" in fun
+    assert "Window" not in fun
