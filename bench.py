@@ -213,7 +213,7 @@ def main() -> None:
         for name in ["text_quality_score", "events_sessionize",
                      "ann_cosine_topk", "f4_semantic_units",
                      "dedup_minhash_signatures", "dedup_lsh_pairs",
-                     "dedup_substring_winnow",
+                     "dedup_substring_winnow", "text_gopher_rules",
                      "pipeline_clean_corpus", "text_encode_pack",
                      "warc_extract"]:
             if name in warm_first:
