@@ -5157,3 +5157,50 @@ QUERIES["events_funnel"] = _pair(
     _funnel_sql("unix_timestamp({ts})"),
     _funnel_sql("CAST(floor(epoch({ts})) AS BIGINT)"),
 )
+
+
+# --- cohort retention matrix --------------------------------------------------
+# The third classic event-analytics shape after sessionization and the
+# funnel: cohort users by their FIRST signup week, then for each
+# (cohort_week, week_offset) report how many cohort members were active
+# (any event) that many weeks later — the retention matrix every product
+# dashboard draws. Weeks are exact integer arithmetic from a fixed epoch
+# date (whole-day diffs // 7 — no timezone or DST float paths; the
+# session timezone is pinned UTC by _prepare). Scale shape: one signup
+# aggregate (min week per user), one DISTINCT (user, week) activity
+# relation — both user_id-keyed — then a broadcastable cohort-size join
+# and a (cohort_week, offset) aggregate over rows already deduplicated
+# to user×week granularity; no window over the raw stream, every shuffle
+# on user_id or the tiny matrix key. retention_bp <= 10000 by
+# construction (offset-0 activity includes the signup event itself, so
+# row 0 is the full cohort — the matrix's sanity diagonal).
+def _retention_sql(week: str) -> str:
+    return f"""WITH ev_weeks AS (
+  SELECT DISTINCT user_id, {week} AS w FROM events
+),
+cohort AS (
+  SELECT user_id, min({week}) AS cw
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+sizes AS (SELECT cw, count(*) AS cohort_size FROM cohort GROUP BY cw),
+active AS (
+  SELECT c.cw, e.w - c.cw AS off, count(DISTINCT e.user_id) AS active_users
+  FROM ev_weeks e JOIN cohort c ON e.user_id = c.user_id
+  WHERE e.w >= c.cw GROUP BY c.cw, e.w - c.cw
+)
+SELECT CAST(a.cw AS INT) AS cohort_week,
+       CAST(a.off AS INT) AS week_offset,
+       CAST(s.cohort_size AS INT) AS cohort_size,
+       CAST(a.active_users AS INT) AS active_users,
+       CAST(floor(a.active_users * CAST(10000.0 AS DOUBLE) / s.cohort_size
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS retention_bp
+FROM active a JOIN sizes s ON a.cw = s.cw"""
+
+
+QUERIES["events_retention"] = _pair(
+    _retention_sql(
+        "CAST(floor(datediff(ts, DATE '2024-01-01') / 7) AS INT)"),
+    _retention_sql(
+        "CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))"
+        " / 7.0) AS INT)"),
+)

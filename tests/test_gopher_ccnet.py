@@ -248,3 +248,49 @@ def test_funnel_corpus_all_steps_reached():
             assert 0 <= s1 <= 86400       # inside the conversion window
         if step == 3:
             assert 0 <= s2 <= 86400
+
+
+# --- events_retention --------------------------------------------------------
+
+def test_retention_matrix_semantics():
+    # cohort week = week of FIRST signup; activity = ANY event that week;
+    # u1 signs up week 0, active weeks 0/1/3 (gap week 2); u2 signs up
+    # week 1 (its week-0 view precedes the cohort and must NOT count);
+    # u3 never signs up and must be absent from the matrix.
+    ev = [
+        (0, "2024-01-01 10:00:00", 1, "signup"),
+        (1, "2024-01-08 10:00:00", 1, "click"),
+        (2, "2024-01-22 10:00:00", 1, "view"),
+        (3, "2024-01-03 10:00:00", 2, "view"),
+        (4, "2024-01-10 10:00:00", 2, "signup"),
+        (5, "2024-01-17 10:00:00", 2, "purchase"),
+        (6, "2024-01-05 10:00:00", 3, "view"),
+    ]
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, TIMESTAMP '{ts}', {u}, '{t}')"
+                     for i, ts, u, t in ev)
+    con.execute(f"CREATE VIEW events AS SELECT * FROM (VALUES {vals}) "
+                f"AS v(event_id, ts, user_id, event_type)")
+    got = {(r[0], r[1]): (r[2], r[3], r[4]) for r in con.execute(
+        QUERIES["events_retention"]["duck"]).fetchall()}
+    assert got == {
+        (0, 0): (1, 1, 10000),
+        (0, 1): (1, 1, 10000),
+        (0, 3): (1, 1, 10000),   # week 2 gap: no row, not a zero row
+        (1, 0): (1, 1, 10000),
+        (1, 1): (1, 1, 10000),
+    }
+
+
+@pytest.mark.skipif(not HAS_DATA, reason="driver testdata not present")
+def test_retention_corpus_invariants():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS "
+                f"SELECT * FROM '{SF0001}/events.parquet'")
+    rows = con.execute(QUERIES["events_retention"]["duck"]).fetchall()
+    assert rows
+    for cw, off, size, active, bp in rows:
+        assert off >= 0 and 0 < active <= size
+        assert bp == int(active * 10000.0 / size + 0.5)
+        if off == 0:   # the sanity diagonal: signup week is always active
+            assert active == size and bp == 10000

@@ -678,3 +678,15 @@ def test_dsir_and_funnel_plans(spark):
     assert "BroadcastNestedLoopJoin" not in fun
     assert "hashpartitioning(user_id" in fun
     assert "Window" not in fun
+
+
+def test_retention_user_keyed_shuffles_only(spark):
+    """events_retention: shuffles key on user_id or the tiny matrix key;
+    no window over the raw stream, no cartesian, no global exchange."""
+    entrymod._prepare(spark, SF_DIR)
+    plan = physical(spark.sql(spark_sql("events_retention")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(user_id" in plan
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
