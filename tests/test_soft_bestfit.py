@@ -198,3 +198,26 @@ def test_bestfit_corpus_invariants():
         by_shard[shard].add(bin_id)
     for shard, ids in by_shard.items():
         assert ids == set(range(len(ids)))
+
+
+def test_bestfit_differential_fuzz():
+    """Differential fuzz: on seeded random corpora (venv-stable LCG, no
+    global entropy), the recursive-CTE fold must equal the independent
+    imperative NFD for every document — lengths spanning sub-word to
+    multi-bin, dense ties included."""
+    seed = 0x5eed
+    for trial in range(12):
+        seed = (seed * 6364136223846793005 + 1442695040888963407) % 2**64
+        rng = seed
+        rows = []
+        n_docs = 5 + (seed % 90)
+        for i in range(n_docs):
+            rng = (rng * 6364136223846793005 + 1442695040888963407) % 2**64
+            # lengths 1..~1400 chars with heavy tie mass at small sizes
+            length = 1 + (rng >> 11) % (8 if rng % 3 == 0 else 1400)
+            rows.append((i, "x" * length))
+        expected = _bestfit_reference(rows)
+        got = {r[1]: (r[0], r[2], r[3], r[4], r[5], r[6])
+               for r in _con_with_docs(rows).execute(
+                   HYBRID_ORACLES["text_pack_bestfit"]).fetchall()}
+        assert got == expected, f"trial {trial} diverged"
