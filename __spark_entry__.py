@@ -1121,7 +1121,8 @@ _PRIORITY_QUERIES = [
     # rule gate, CCNet perplexity thirds, and the stratified holdout
     "dedup_soft_weight", "text_pack_bestfit", "text_gopher_rules",
     "text_ccnet_bucket", "text_stratified_split", "text_dsir_weight",
-    "events_funnel", "events_retention",
+    "events_funnel", "events_retention", "text_tfidf_keywords",
+    "dedup_minhash_quality",
     # re-verify: implementations changed in r9 — the near-dup row and
     # the crawl capstone now serve candidates through the PRUNED band
     # probe (and the capstone gained compact-then-recount stages); the

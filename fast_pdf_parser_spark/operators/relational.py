@@ -5204,3 +5204,122 @@ QUERIES["events_retention"] = _pair(
         "CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))"
         " / 7.0) AS INT)"),
 )
+
+
+# --- per-document TF-IDF keywords ----------------------------------------------
+# The classic indexing/search primitive (Sparck Jones 1972) the corpus
+# surface lacked: per document, the top-3 terms by tf·idf — what a
+# retrieval index, a topic tagger or a dedup explainer reads. Exactness:
+# idf = ln(N/df) quantized to 1e6 fixed point per TERM (margins
+# guard-scanned at every sf alongside the surprisal/DSIR guards;
+# df == N gives ln(1) = exactly 0.0 — no drift possible), then
+# tfidf = tf × idf_fp is an exact integer product and the top-3 rank is
+# integer/lexicographic. Scale shape: explode → (doc, word) and (word)
+# hash aggregates, a broadcastable idf relation joined back, ONE window
+# partitioned by doc_id (bounded partitions — a document's distinct
+# terms, never the corpus).
+def _tfidf_sql(words_from: str) -> str:
+    return f"""WITH w AS (
+  SELECT doc_id, word FROM {words_from}
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM w),
+idf AS (
+  SELECT word,
+         CAST(floor(ln(n * CAST(1.0 AS DOUBLE) / df)
+                    * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              AS BIGINT) AS idf_fp
+  FROM df CROSS JOIN nd
+),
+scored AS (
+  SELECT t.doc_id, t.word, t.tf, i.idf_fp, t.tf * i.idf_fp AS tfidf_fp
+  FROM tf t JOIN idf i ON t.word = i.word
+),
+ranked AS (
+  SELECT doc_id, word, tf, idf_fp, tfidf_fp,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_fp DESC, word ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS INT) AS rnk, word AS keyword,
+       CAST(tf AS INT) AS tf,
+       CAST(idf_fp AS BIGINT) AS idf_x1e6,
+       CAST(tfidf_fp AS BIGINT) AS tfidf_x1e6
+FROM ranked WHERE rnk <= 3"""
+
+
+QUERIES["text_tfidf_keywords"] = _pair(
+    _tfidf_sql("documents LATERAL VIEW explode(split(text, ' ')) t AS word"),
+    _tfidf_sql("(SELECT doc_id, unnest(split(text, ' ')) AS word "
+               "FROM documents) u"),
+)
+
+
+# --- MinHash estimator quality ---------------------------------------------------
+# The measurement row for the whole MinHash tier (the ann_recall_report
+# idiom): Broder's estimator says E[matching signature slots / k] equals
+# the true Jaccard — this row MEASURES that on a deterministic probe pair
+# set instead of assuming it, reporting per pair the 16-slot estimate,
+# the exact word-set Jaccard, and the absolute error, all in exact 1e4
+# fixed point (est = matches×625 is exact integer arithmetic; truth is
+# one correctly-rounded divide of exact integers). Probe pairs
+# (i, i+1+i%7) for i%3==0 give varied true overlap on this corpus.
+# Scale shape: the signatures are the dedup_minhash_signatures subquery
+# verbatim (production serves them from the bucketed sink's stored
+# bands — the signature chain never recomputes per probe); matches =
+# one (doc, seed)-keyed equi-join, truth = word-set equi-joins on the
+# probe pairs only — never all-pairs.
+def _mh_quality_sql(sig_query: str, words_from: str) -> str:
+    return f"""WITH sig AS (
+{sig_query}
+),
+sets AS (SELECT DISTINCT doc_id, word FROM {words_from}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+pairs AS (
+  SELECT doc_id AS doc_a,
+         CAST(doc_id + 1 + doc_id % 7 AS BIGINT) AS doc_b
+  FROM documents
+  WHERE doc_id % 3 = 0
+    AND doc_id + 1 + doc_id % 7 <= (SELECT max(doc_id) FROM documents)
+),
+m AS (
+  SELECT p.doc_a, p.doc_b,
+         sum(CASE WHEN s1.minhash = s2.minhash THEN 1 ELSE 0 END)
+           AS matches
+  FROM pairs p
+  JOIN sig s1 ON s1.doc_id = p.doc_a
+  JOIN sig s2 ON s2.doc_id = p.doc_b AND s2.seed = s1.seed
+  GROUP BY p.doc_a, p.doc_b
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p
+  JOIN sets sa ON sa.doc_id = p.doc_a
+  JOIN sets sb ON sb.doc_id = p.doc_b AND sb.word = sa.word
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT m.doc_a, m.doc_b,
+       CAST(m.matches AS INT) AS matching_seeds,
+       CAST(m.matches * 625 AS BIGINT) AS est_jaccard_x1e4,
+       CAST(floor(coalesce(i.i, 0) * CAST(10000.0 AS DOUBLE)
+                  / (za.sz + zb.sz - coalesce(i.i, 0))
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS true_jaccard_x1e4,
+       CAST(abs(m.matches * 625
+                - floor(coalesce(i.i, 0) * CAST(10000.0 AS DOUBLE)
+                        / (za.sz + zb.sz - coalesce(i.i, 0))
+                        + CAST(0.5 AS DOUBLE))) AS BIGINT) AS err_x1e4
+FROM m
+LEFT JOIN inter i ON m.doc_a = i.doc_a AND m.doc_b = i.doc_b
+JOIN sizes za ON za.doc_id = m.doc_a
+JOIN sizes zb ON zb.doc_id = m.doc_b"""
+
+
+QUERIES["dedup_minhash_quality"] = _pair(
+    _mh_quality_sql(_MINHASH_SPARK,
+                    "documents LATERAL VIEW explode(split(text, ' ')) "
+                    "t AS word"),
+    _mh_quality_sql(_MINHASH_DUCK,
+                    "(SELECT doc_id, unnest(split(text, ' ')) AS word "
+                    "FROM documents) u"),
+)

@@ -294,3 +294,74 @@ def test_retention_corpus_invariants():
         assert bp == int(active * 10000.0 / size + 0.5)
         if off == 0:   # the sanity diagonal: signup week is always active
             assert active == size and bp == 10000
+
+
+# --- text_tfidf_keywords -----------------------------------------------------
+
+def test_tfidf_matches_independent_reference():
+    import collections
+    import math
+
+    rows = [
+        (0, "apple apple apple common common shared"),
+        (1, "banana banana common shared shared"),
+        (2, "cherry common common common shared"),
+        (3, "durian apple banana cherry common shared"),
+    ]
+    tf = collections.defaultdict(collections.Counter)
+    df = collections.Counter()
+    for i, t, in rows:
+        ws = t.split(" ")
+        tf[i].update(ws)
+        for w in set(ws):
+            df[w] += 1
+    n = len(rows)
+    idf = {w: math.floor(math.log(n / d) * 1e6 + 0.5) for w, d in df.items()}
+    expected = {}
+    for i in tf:
+        scored = sorted(((tf[i][w] * idf[w], w) for w in tf[i]),
+                        key=lambda x: (-x[0], x[1]))[:3]
+        expected[i] = [(r + 1, w, tf[i][w], idf[w], s)
+                       for r, (s, w) in enumerate(scored)]
+    got = collections.defaultdict(list)
+    for doc_id, rnk, w, t, i_fp, s_fp in _con_with_lang_docs(
+            [(i, t, 'en') for i, t in rows]).execute(
+            QUERIES["text_tfidf_keywords"]["duck"]).fetchall():
+        got[doc_id].append((rnk, w, t, i_fp, s_fp))
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in expected.items()}
+    # the corpus-wide word ('common', df=n) has idf exactly 0 and never
+    # outranks a distinctive term
+    assert idf["common"] == 0
+    assert all(w != "common" or s == 0 for v in expected.values()
+               for (_r, w, _t, _i, s) in v)
+
+
+# --- dedup_minhash_quality ---------------------------------------------------
+
+@pytest.mark.skipif(not HAS_DATA, reason="driver testdata not present")
+def test_minhash_estimator_tracks_true_jaccard():
+    import math
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{SF0001}/documents.parquet'")
+    rows = con.execute(
+        QUERIES["dedup_minhash_quality"]["duck"]).fetchall()
+    assert rows
+    errs = []
+    for _a, _b, m, est, true, err in rows:
+        assert 0 <= m <= 16 and est == m * 625
+        assert 0 <= true <= 10000
+        assert err == abs(est - true)
+        errs.append(err / 10000.0)
+    # Broder's bound: stderr of a k=16 estimator is sqrt(j(1-j)/16)
+    # <= 0.125; the MEAN absolute error across pairs must sit well
+    # inside a few sigma of that (3-sigma guard, seeded hashes => stable)
+    assert sum(errs) / len(errs) <= 3 * 0.125
+    # and the estimator must actually discriminate: the highest-true
+    # pair estimates higher than the lowest-true pair
+    hi = max(rows, key=lambda r: r[4])
+    lo = min(rows, key=lambda r: r[4])
+    if hi[4] - lo[4] > 2500:
+        assert hi[3] > lo[3]

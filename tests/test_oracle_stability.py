@@ -183,3 +183,30 @@ FROM raw r LEFT JOIN tgt t ON r.word = t.word""").fetchall()
         x = math.log((ct + 1) * (ns + v) / ((cs + 1) * (nt + v))) * 1e6 + 0.5
         worst = min(worst, abs(x - round(x)))
     assert worst >= MARGIN, f"margin {worst} too close to a boundary"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_idf_quantization_boundary_margin(sf_dir):
+    """text_tfidf_keywords quantizes ln(N/df) per term; scan every
+    distinct df at this sf under the same margin discipline. df == N
+    (a corpus-wide word) yields ln(1) = exactly 0.0 — x lands exactly on
+    0.5 and floor(0.5) = 0 on both engines with NO drift possible, so
+    that case is exempt from the margin, not a flake risk."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    rows = con.execute("""
+WITH w AS (SELECT DISTINCT doc_id, unnest(split(text, ' ')) AS word
+           FROM documents),
+df AS (SELECT word, count(*) AS d FROM w GROUP BY word)
+SELECT DISTINCT d, (SELECT count(DISTINCT doc_id) FROM w) FROM df
+""").fetchall()
+    assert rows
+    worst = 1.0
+    for d, n in rows:
+        if d == n:
+            continue   # exact 0.0, drift-free by construction
+        x = math.log(n / d) * 1e6 + 0.5
+        worst = min(worst, abs(x - round(x)))
+    assert worst >= MARGIN, f"idf margin {worst} too close to a boundary"

@@ -690,3 +690,18 @@ def test_retention_user_keyed_shuffles_only(spark):
     assert "hashpartitioning(user_id" in plan
     assert "Window" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_tfidf_and_mh_quality_plans(spark):
+    """TF-IDF: word/doc hash aggregates + a broadcastable idf relation +
+    ONE per-doc window — no corpus-wide sort. MinHash quality: probe
+    pairs join signatures and word sets on keys — never a cartesian."""
+    entrymod._prepare(spark, SF_DIR)
+    tfidf = physical(spark.sql(spark_sql("text_tfidf_keywords")))
+    assert "CartesianProduct" not in tfidf
+    assert "hashpartitioning(doc_id" in tfidf   # the per-doc top-3 window
+    assert "rangepartitioning" not in tfidf
+
+    mh = physical(spark.sql(spark_sql("dedup_minhash_quality")))
+    assert "CartesianProduct" not in mh
+    assert "rangepartitioning" not in mh
