@@ -5323,3 +5323,50 @@ QUERIES["dedup_minhash_quality"] = _pair(
                     "(SELECT doc_id, unnest(split(text, ' ')) AS word "
                     "FROM documents) u"),
 )
+
+
+# --- TPC-H Q1: pricing summary ------------------------------------------------
+# The canonical warehouse scan-agg (TPC-H 2.4 §Q1) over the lineitem
+# table the corpus ships — the one benchmark query every Spark/DuckDB
+# deployment runs first. House exactness discipline where the spec says
+# DECIMAL(15,2): every measure quantizes PER ROW to fixed-point integers
+# (prices/discounts/taxes carry exactly 2 decimals, so floor(x*100+0.5)
+# is exact), and the aggregates are INTEGER sums — order-immune, unlike
+# summing raw doubles (join_revenue_topk gets away with post-sum
+# quantization only because its per-group row counts keep the float
+# error << half a cent; Q1's ~20k-row groups would not). disc_price and
+# charge are exact integer PRODUCTS of the quantized terms (x1e4 / x1e6
+# units; ~1e11 per row, ~6e15 per group at sf0.1 — BIGINT-safe; the
+# 10^12-row form swaps the sums to DECIMAL(38,0), the clusters-op
+# precedent). Averages are single correctly-rounded divides of exact
+# integers. Scale shape: ONE pruned scan with the date filter pushed to
+# parquet + a 4-group hash aggregate — pure map-side partials.
+_TPCH_Q1 = """WITH rows_q AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_quantity * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS q_c,
+         CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS p_c,
+         CAST(floor(l_discount * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS d_c,
+         CAST(floor(l_tax * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS t_c
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(q_c) AS BIGINT) AS sum_qty_x1e2,
+       CAST(sum(p_c) AS BIGINT) AS sum_base_price_x1e2,
+       CAST(sum(p_c * (100 - d_c)) AS BIGINT) AS sum_disc_price_x1e4,
+       CAST(sum(p_c * (100 - d_c) * (100 + t_c)) AS BIGINT)
+         AS sum_charge_x1e6,
+       CAST(floor(sum(q_c) * CAST(1.0 AS DOUBLE) / count(*)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS avg_qty_x1e2,
+       CAST(floor(sum(p_c) * CAST(1.0 AS DOUBLE) / count(*)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS avg_price_x1e2,
+       CAST(floor(sum(d_c) * CAST(1.0 AS DOUBLE) / count(*)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS avg_disc_x1e2,
+       count(*) AS count_order
+FROM rows_q
+GROUP BY l_returnflag, l_linestatus"""
+
+QUERIES["tpch_q1_pricing"] = _pair(_TPCH_Q1, _TPCH_Q1)

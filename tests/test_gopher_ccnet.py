@@ -365,3 +365,43 @@ def test_minhash_estimator_tracks_true_jaccard():
     lo = min(rows, key=lambda r: r[4])
     if hi[4] - lo[4] > 2500:
         assert hi[3] > lo[3]
+
+
+# --- tpch_q1_pricing ---------------------------------------------------------
+
+@pytest.mark.skipif(not HAS_DATA, reason="driver testdata not present")
+def test_tpch_q1_equals_decimal_spec_answer():
+    """The fixed-point Q1 must equal the TPC-H spec computed in exact
+    DECIMAL arithmetic (what the spec's DECIMAL(15,2) columns would
+    produce) — proving the per-row quantization IS the spec answer, not
+    an approximation of it."""
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS "
+                f"SELECT * FROM '{SF0001}/lineitem.parquet'")
+    got = {(r[0], r[1]): r[2:] for r in con.execute(
+        QUERIES["tpch_q1_pricing"]["duck"]).fetchall()}
+    spec = con.execute("""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2))),
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))),
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))),
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+           * (1 + CAST(l_tax AS DECIMAL(18,2)))),
+       sum(CAST(l_discount AS DECIMAL(18,2))),
+       count(*)
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""").fetchall()
+    assert spec and len(spec) == len(got)
+    for rf, ls, sq, sp, sdp, sch, sd, n in spec:
+        q = got[(rf, ls)]
+        assert q[0] == int(sq * 100)
+        assert q[1] == int(sp * 100)
+        assert q[2] == int(sdp * 10000)
+        assert q[3] == int(sch * 1000000)
+        # averages: floor(sum/count + 0.5) on the same exact integers
+        assert q[4] == int(int(sq * 100) / n + 0.5)
+        assert q[5] == int(int(sp * 100) / n + 0.5)
+        assert q[6] == int(int(sd * 100) / n + 0.5)
+        assert q[7] == n

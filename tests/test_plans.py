@@ -705,3 +705,19 @@ def test_tfidf_and_mh_quality_plans(spark):
     mh = physical(spark.sql(spark_sql("dedup_minhash_quality")))
     assert "CartesianProduct" not in mh
     assert "rangepartitioning" not in mh
+
+
+def test_tpch_q1_pushed_filter_and_partial_agg(spark):
+    """TPC-H Q1: the shipdate filter must reach the parquet scan as a
+    pushed predicate, the scan must read only the 7 needed columns, and
+    the 4-group aggregate must run as map-side partials (HashAggregate
+    below the exchange) — pure scan-agg, no join, no window."""
+    entrymod._prepare(spark, SF_DIR)
+    plan = physical(spark.sql(spark_sql("tpch_q1_pricing")))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    read_schema = plan.split("ReadSchema:")[1][:300]
+    for col in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert col not in read_schema       # pruned keys
+    assert plan.count("HashAggregate") == 2  # partial + final
+    assert "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
