@@ -1122,7 +1122,7 @@ _PRIORITY_QUERIES = [
     "dedup_soft_weight", "text_pack_bestfit", "text_gopher_rules",
     "text_ccnet_bucket", "text_stratified_split", "text_dsir_weight",
     "events_funnel", "events_retention", "text_tfidf_keywords",
-    "dedup_minhash_quality", "tpch_q1_pricing",
+    "dedup_minhash_quality", "tpch_q1_pricing", "tpch_q5_local_volume",
     # re-verify: implementations changed in r9 — the near-dup row and
     # the crawl capstone now serve candidates through the PRUNED band
     # probe (and the capstone gained compact-then-recount stages); the

@@ -5370,3 +5370,38 @@ FROM rows_q
 GROUP BY l_returnflag, l_linestatus"""
 
 QUERIES["tpch_q1_pricing"] = _pair(_TPCH_Q1, _TPCH_Q1)
+
+
+# --- TPC-H Q5: local supplier volume -------------------------------------------
+# The canonical star-join (TPC-H 2.4 §Q5): revenue per nation where the
+# customer and the supplier share a nation, restricted to one region and
+# a one-year order window — SIX tables in one query, which is exactly
+# the plan-shape this engine must get right at 100 TB: the dimension
+# chain region(5) -> nation(25) -> customer/supplier is broadcast end to
+# end (plan-asserted — no dimension ever shuffles the fact table), the
+# only big-table shuffle joins are lineitem ⋈ orders and the suppkey
+# side, and AQE is free to reorder. Revenue uses the Q1 discipline:
+# per-row fixed-point products, order-immune integer sums (the spec's
+# DECIMAL arithmetic exactly, not a double approximation).
+_TPCH_Q5 = """WITH rev AS (
+  SELECT n.n_name AS nation,
+         CAST(floor(l.l_extendedprice * 100 + CAST(0.5 AS DOUBLE))
+              AS BIGINT)
+           * (100 - CAST(floor(l.l_discount * 100 + CAST(0.5 AS DOUBLE))
+                         AS BIGINT)) AS rev_x1e4
+  FROM lineitem l
+  JOIN orders o    ON l.l_orderkey = o.o_orderkey
+  JOIN customer c  ON o.o_custkey = c.c_custkey
+  JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+  JOIN nation n    ON c.c_nationkey = n.n_nationkey
+                  AND s.s_nationkey = n.n_nationkey
+  JOIN region r    ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT nation, CAST(sum(rev_x1e4) AS BIGINT) AS revenue_x1e4,
+       count(*) AS n_lineitems
+FROM rev GROUP BY nation"""
+
+QUERIES["tpch_q5_local_volume"] = _pair(_TPCH_Q5, _TPCH_Q5)

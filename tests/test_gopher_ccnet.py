@@ -405,3 +405,30 @@ GROUP BY l_returnflag, l_linestatus""").fetchall()
         assert q[5] == int(int(sp * 100) / n + 0.5)
         assert q[6] == int(int(sd * 100) / n + 0.5)
         assert q[7] == n
+
+
+@pytest.mark.skipif(not HAS_DATA, reason="driver testdata not present")
+def test_tpch_q5_equals_decimal_spec_answer():
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier",
+              "nation", "region"):
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM '{SF0001}/{t}.parquet'")
+    got = {r[0]: (r[1], r[2]) for r in con.execute(
+        QUERIES["tpch_q5_local_volume"]["duck"]).fetchall()}
+    spec = con.execute("""
+SELECT n.n_name,
+       sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), count(*)
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+               AND s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name""").fetchall()
+    assert spec and {r[0]: (int(r[1] * 10000), r[2]) for r in spec} == got

@@ -721,3 +721,17 @@ def test_tpch_q1_pushed_filter_and_partial_agg(spark):
     assert plan.count("HashAggregate") == 2  # partial + final
     assert "Exchange SinglePartition" not in plan
     assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_tpch_q5_dimension_chain_broadcasts(spark):
+    """TPC-H Q5: the region->nation->customer/supplier dimension chain
+    must broadcast — the fact table is never shuffled to meet a
+    dimension; the only sort-merge/shuffled-hash joins permitted are
+    between the two big tables (lineitem and orders)."""
+    entrymod._prepare(spark, SF_DIR)
+    plan = physical(spark.sql(spark_sql("tpch_q5_local_volume")))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3   # region, nation, dims
+    assert "Exchange SinglePartition" not in plan
+    read_schema = plan.split("ReadSchema:")[1]
+    assert "l_tax" not in read_schema and "l_quantity" not in read_schema
