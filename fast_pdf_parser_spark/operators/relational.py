@@ -5405,3 +5405,61 @@ SELECT nation, CAST(sum(rev_x1e4) AS BIGINT) AS revenue_x1e4,
 FROM rev GROUP BY nation"""
 
 QUERIES["tpch_q5_local_volume"] = _pair(_TPCH_Q5, _TPCH_Q5)
+
+
+# --- ROLLUP data card ----------------------------------------------------------
+# corpus_datacard aggregates at fixed granularities; this is the OLAP
+# form a warehouse serves instead: ONE pass producing every level of the
+# (source, lang) hierarchy — per-(source, lang), per-source subtotals,
+# and the grand total — via GROUP BY ROLLUP, with GROUPING() flags
+# disambiguating real NULL groups from subtotal rows (the reason
+# coalesce-on-key alone is wrong in real warehouses). Spark plans this
+# as one Expand + one hash aggregate: the input is read ONCE and
+# replicated only at the aggregation width, not rescanned per level —
+# the property that matters when the input is 100 TB and the rollup has
+# 4 levels. Measures are exact integers (doc count, byte totals, token
+# estimates), so every level is cross-engine exact.
+_ROLLUP_CARD = """SELECT
+  coalesce(source, 'ALL') AS source,
+  coalesce(lang, 'ALL') AS lang,
+  CAST(GROUPING(source) AS INT) AS source_total,
+  CAST(GROUPING(lang) AS INT) AS lang_total,
+  count(*) AS n_docs,
+  CAST(sum(length(text)) AS BIGINT) AS chars,
+  CAST(sum(CAST(floor((length(text) + 3) / 4) AS BIGINT)) AS BIGINT)
+    AS est_tokens
+FROM documents
+GROUP BY ROLLUP(source, lang)"""
+
+QUERIES["corpus_rollup"] = _pair(_ROLLUP_CARD, _ROLLUP_CARD)
+
+
+# --- sliding-window event value -------------------------------------------------
+# The time-series frame the sessionizer and funnel don't exercise: per
+# user, the TRAILING-HOUR sum and count of event value at every event —
+# a RANGE frame over epoch seconds (peer rows at the same second enter
+# together, which is what makes RANGE, not ROWS, the correct published
+# semantics for sliding aggregates). Exactness: value quantizes to
+# cents PER ROW before the frame sum (integer window aggregation is
+# order-immune within the frame); epoch seconds via the truncating
+# dialect pair. Scale shape: ONE window hash-partitioned by user_id,
+# ordered within partition — no corpus-wide sort, bounded per-user
+# partitions.
+def _sliding_sql(epoch: str) -> str:
+    return f"""WITH ev AS (
+  SELECT user_id, event_id, {epoch} AS t,
+         CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v_c
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(sum(v_c) OVER w AS BIGINT) AS hour_value_x1e2,
+       CAST(count(*) OVER w AS INT) AS hour_events
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY t
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)"""
+
+
+QUERIES["events_sliding_value"] = _pair(
+    _sliding_sql("unix_timestamp(ts)"),
+    _sliding_sql("CAST(floor(epoch(ts)) AS BIGINT)"),
+)

@@ -432,3 +432,61 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n.n_name""").fetchall()
     assert spec and {r[0]: (int(r[1] * 10000), r[2]) for r in spec} == got
+
+
+# --- corpus_rollup -----------------------------------------------------------
+
+@pytest.mark.skipif(not HAS_DATA, reason="driver testdata not present")
+def test_rollup_levels_reconcile():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{SF0001}/documents.parquet'")
+    rows = con.execute(QUERIES["corpus_rollup"]["duck"]).fetchall()
+    leaf = [(r[0], r[1], r[4], r[5], r[6]) for r in rows
+            if r[2] == 0 and r[3] == 0]
+    sub = {r[0]: (r[4], r[5], r[6]) for r in rows
+           if r[2] == 0 and r[3] == 1}
+    grand = [r for r in rows if r[2] == 1 and r[3] == 1]
+    assert len(grand) == 1 and grand[0][0] == "ALL" and grand[0][1] == "ALL"
+    # every source subtotal equals the sum of its leaves, and the grand
+    # total equals the sum of the subtotals — the rollup reconciles
+    import collections
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    for src, _lang, n, c, t in leaf:
+        agg[src][0] += n
+        agg[src][1] += c
+        agg[src][2] += t
+    assert {k: tuple(v) for k, v in agg.items()} == sub
+    assert grand[0][4] == sum(v[0] for v in sub.values())
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert grand[0][4] == n_docs
+
+
+# --- events_sliding_value ----------------------------------------------------
+
+def test_sliding_range_frame_includes_same_second_peers():
+    # two events in the SAME second for user 1: a RANGE frame includes
+    # BOTH in each other's window (peers enter together) — the exact
+    # distinction from a ROWS frame, which would see only preceding rows;
+    # a third event 3600s later falls OUT of the trailing-hour frame.
+    ev = [
+        (0, "2024-01-01 00:00:00.200000", 1, "view", 1.00),
+        (1, "2024-01-01 00:00:00.900000", 1, "click", 2.00),
+        (2, "2024-01-01 00:30:00.000000", 1, "view", 4.00),
+        (3, "2024-01-01 01:00:01.000000", 1, "view", 8.00),
+        (4, "2024-01-01 00:10:00.000000", 2, "view", 16.00),
+    ]
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, TIMESTAMP '{ts}', {u}, '{t}', {v})"
+                     for i, ts, u, t, v in ev)
+    con.execute(f"CREATE VIEW events AS SELECT * FROM (VALUES {vals}) "
+                f"AS v(event_id, ts, user_id, event_type, value)")
+    got = {r[1]: (r[2], r[3]) for r in con.execute(
+        QUERIES["events_sliding_value"]["duck"]).fetchall()}
+    assert got == {
+        0: (300, 2),   # peer row 1 included despite being "later"
+        1: (300, 2),
+        2: (700, 3),
+        3: (1200, 2),  # events 0/1 (t=0) aged out of [t-3599, t]
+        4: (1600, 1),
+    }

@@ -735,3 +735,20 @@ def test_tpch_q5_dimension_chain_broadcasts(spark):
     assert "Exchange SinglePartition" not in plan
     read_schema = plan.split("ReadSchema:")[1]
     assert "l_tax" not in read_schema and "l_quantity" not in read_schema
+
+
+def test_rollup_and_sliding_plans(spark):
+    """ROLLUP: one scan + one Expand + hash aggregate — the input is
+    never rescanned per level. Sliding value: ONE window partitioned by
+    user_id with a RANGE frame — no corpus-wide sort."""
+    entrymod._prepare(spark, SF_DIR)
+    ru = physical(spark.sql(spark_sql("corpus_rollup")))
+    assert "Expand" in ru
+    assert ru.count("FileScan") == 1
+    assert "Exchange SinglePartition" not in ru
+
+    sl = physical(spark.sql(spark_sql("events_sliding_value")))
+    assert "hashpartitioning(user_id" in sl
+    assert "rangepartitioning" not in sl
+    assert "RANGE BETWEEN 3599" in sl.upper().replace("  ", " ") or \
+        "specifiedwindowframe(RangeFrame" in sl
