@@ -1123,7 +1123,7 @@ _PRIORITY_QUERIES = [
     "text_ccnet_bucket", "text_stratified_split", "text_dsir_weight",
     "events_funnel", "events_retention", "text_tfidf_keywords",
     "dedup_minhash_quality", "tpch_q1_pricing", "tpch_q5_local_volume",
-    "corpus_rollup", "events_sliding_value",
+    "corpus_rollup", "events_sliding_value", "tpch_q14_promo",
     # re-verify: implementations changed in r9 — the near-dup row and
     # the crawl capstone now serve candidates through the PRUNED band
     # probe (and the capstone gained compact-then-recount stages); the

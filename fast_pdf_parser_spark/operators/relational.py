@@ -5463,3 +5463,36 @@ QUERIES["events_sliding_value"] = _pair(
     _sliding_sql("unix_timestamp(ts)"),
     _sliding_sql("CAST(floor(epoch(ts)) AS BIGINT)"),
 )
+
+
+# --- TPC-H Q14: promotion effect -----------------------------------------------
+# The conditional-share join (TPC-H 2.4 §Q14): what fraction of one
+# month's discounted revenue came from PROMO parts — the fact ⋈ part
+# dimension join with a CASE'd numerator over a shared denominator.
+# Exactness: the Q1 per-row fixed-point discipline for both sums
+# (exact integer products, order-immune integer aggregation), then the
+# published promo/total share as ONE correctly-rounded divide
+# emitted in 1e6 fixed point. Scale shape: the part dimension
+# broadcasts (plan-asserted), the date filter pushes to the lineitem
+# scan, and the whole query is one map-side-combinable aggregate — at
+# 100 TB this is a broadcast-join scan, no fact shuffle at all.
+_TPCH_Q14 = """WITH joined AS (
+  SELECT CAST(floor(l.l_extendedprice * 100 + CAST(0.5 AS DOUBLE))
+              AS BIGINT)
+           * (100 - CAST(floor(l.l_discount * 100 + CAST(0.5 AS DOUBLE))
+                         AS BIGINT)) AS rev_x1e4,
+         CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+)
+SELECT CAST(sum(CASE WHEN is_promo = 1 THEN rev_x1e4 ELSE 0 END)
+            AS BIGINT) AS promo_revenue_x1e4,
+       CAST(sum(rev_x1e4) AS BIGINT) AS total_revenue_x1e4,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(floor(sum(CASE WHEN is_promo = 1 THEN rev_x1e4 ELSE 0 END)
+                  * CAST(1000000.0 AS DOUBLE) / sum(rev_x1e4)
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS promo_share_x1e6
+FROM joined"""
+
+QUERIES["tpch_q14_promo"] = _pair(_TPCH_Q14, _TPCH_Q14)

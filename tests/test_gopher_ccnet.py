@@ -490,3 +490,26 @@ def test_sliding_range_frame_includes_same_second_peers():
         3: (1200, 2),  # events 0/1 (t=0) aged out of [t-3599, t]
         4: (1600, 1),
     }
+
+
+@pytest.mark.skipif(not HAS_DATA, reason="driver testdata not present")
+def test_tpch_q14_equals_decimal_spec_answer():
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM '{SF0001}/{t}.parquet'")
+    got = con.execute(QUERIES["tpch_q14_promo"]["duck"]).fetchone()
+    promo, total, n = con.execute("""
+SELECT sum(CASE WHEN p.p_type = 'PROMO'
+           THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2))) ELSE 0 END),
+       sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), count(*)
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'""").fetchone()
+    assert got[0] == int(promo * 10000)
+    assert got[1] == int(total * 10000)
+    assert got[2] == n
+    assert got[3] == int(int(promo * 10000) * 1000000.0
+                         / int(total * 10000) + 0.5)

@@ -752,3 +752,16 @@ def test_rollup_and_sliding_plans(spark):
     assert "rangepartitioning" not in sl
     assert "RANGE BETWEEN 3599" in sl.upper().replace("  ", " ") or \
         "specifiedwindowframe(RangeFrame" in sl
+
+
+def test_tpch_q14_broadcast_part_and_pushed_dates(spark):
+    """TPC-H Q14: the part dimension broadcasts (the fact table never
+    shuffles), both shipdate bounds push to the lineitem scan, and the
+    share is one map-side-combinable aggregate."""
+    entrymod._prepare(spark, SF_DIR)
+    plan = physical(spark.sql(spark_sql("tpch_q14_promo")))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert plan.count("HashAggregate") == 2   # partial + final
