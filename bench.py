@@ -214,6 +214,7 @@ def main() -> None:
                      "ann_cosine_topk", "f4_semantic_units",
                      "dedup_minhash_signatures", "dedup_lsh_pairs",
                      "dedup_substring_winnow", "text_gopher_rules",
+                     "tpch_q1_pricing",
                      "pipeline_clean_corpus", "text_encode_pack",
                      "warc_extract"]:
             if name in warm_first:
