@@ -4763,8 +4763,10 @@ grp AS (
 SELECT doc_id,
        CAST(n_exact AS INT) AS n_exact,
        CAST(n_near AS INT) AS n_near,
-       CAST(floor(1000000.0 / n_exact) AS BIGINT) AS w_exact_fp,
-       CAST(floor(1000000.0 / n_near) AS BIGINT) AS w_near_fp,
+       CAST(floor(CAST(1000000 AS DOUBLE) / n_exact) AS BIGINT)
+         AS w_exact_fp,
+       CAST(floor(CAST(1000000 AS DOUBLE) / n_near) AS BIGINT)
+         AS w_near_fp,
        CAST(CASE WHEN doc_id = exact_rep THEN 1 ELSE 0 END AS INT)
          AS is_canonical
 FROM grp"""
