@@ -1116,9 +1116,11 @@ _PRIORITY_QUERIES = [
     # trainer-facing assembly capstone
     "text_encode_pack_geometry", "tokenizer_bpe_train8",
     "train_assembly_e2e",
-    # new in round 9 (late additions): duplicate-aware soft-dedup
-    # sampling weights, doc-preserving NFD bin packing, the Gopher
-    # rule gate, CCNet perplexity thirds, and the stratified holdout
+    # new in round 9 (late additions, COVERAGE.md round-9 table):
+    # soft-dedup weights, NFD bin packing, Gopher gate, CCNet thirds,
+    # stratified holdout, DSIR weights, the event-analytics trio's
+    # funnel/retention/sliding ops, TF-IDF keywords, MinHash estimator
+    # quality, the TPC-H Q1/Q5/Q14 warehouse set, and the ROLLUP card
     "dedup_soft_weight", "text_pack_bestfit", "text_gopher_rules",
     "text_ccnet_bucket", "text_stratified_split", "text_dsir_weight",
     "events_funnel", "events_retention", "text_tfidf_keywords",
