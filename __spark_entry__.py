@@ -1126,6 +1126,7 @@ _PRIORITY_QUERIES = [
     "events_funnel", "events_retention", "text_tfidf_keywords",
     "dedup_minhash_quality", "tpch_q1_pricing", "tpch_q5_local_volume",
     "corpus_rollup", "events_sliding_value", "tpch_q14_promo",
+    "events_json_extract", "tpch_q4_late_priority",
     # re-verify: implementations changed in r9 — the near-dup row and
     # the crawl capstone now serve candidates through the PRUNED band
     # probe (and the capstone gained compact-then-recount stages); the

@@ -5498,3 +5498,58 @@ SELECT CAST(sum(CASE WHEN is_promo = 1 THEN rev_x1e4 ELSE 0 END)
 FROM joined"""
 
 QUERIES["tpch_q14_promo"] = _pair(_TPCH_Q14, _TPCH_Q14)
+
+
+# --- JSON property extraction ---------------------------------------------------
+# The semi-structured column every event stream carries: events.props is
+# a JSON string, and the warehouse question is an aggregate over a field
+# inside it — extraction must happen engine-side (Spark get_json_object
+# / DuckDB json_extract both evaluate JSONPath in the scan projection,
+# no UDF) so predicate/column pruning still applies. Per event-type:
+# count, sum/min/max of props.k, and how many rows carried a parseable
+# k at all (a real stream has ragged props; the coalesce-to--1 count
+# pins NULL-handling cross-engine instead of hiding it). Scale shape:
+# one scan + one small-key hash aggregate — the JSONPath runs inside the
+# projection, the string never shuffles.
+def _json_sql(extract: str) -> str:
+    return f"""WITH ev AS (
+  SELECT event_type, {extract} AS k
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_k,
+       CAST(sum(coalesce(k, 0)) AS BIGINT) AS k_sum,
+       CAST(min(coalesce(k, -1)) AS BIGINT) AS k_min,
+       CAST(max(coalesce(k, -1)) AS BIGINT) AS k_max
+FROM ev GROUP BY event_type"""
+
+
+QUERIES["events_json_extract"] = _pair(
+    _json_sql("CAST(get_json_object(props, '$.k') AS BIGINT)"),
+    _json_sql("CAST(json_extract(props, '$.k') AS BIGINT)"),
+)
+
+
+# --- TPC-H Q4 shape: late-shipment priority count -------------------------------
+# The EXISTS decorrelation shape (TPC-H 2.4 §Q4, adapted to the shipped
+# columns: "an order is late if ANY of its lineitems shipped after the
+# order month ended"): count orders per priority where a correlated
+# EXISTS subquery fires. The plan property under test is that both
+# engines decorrelate the EXISTS into a LEFT SEMI join on o_orderkey —
+# the fact table is scanned once per side and the semi join never
+# duplicates orders with many matching lineitems (the bug a naive
+# INNER-join rewrite has). Scale shape: two scans + one key-partitioned
+# semi join + a tiny-key aggregate.
+_TPCH_Q4 = """SELECT o.o_orderpriority,
+       count(*) AS late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o.o_orderpriority"""
+
+QUERIES["tpch_q4_late_priority"] = _pair(_TPCH_Q4, _TPCH_Q4)

@@ -513,3 +513,52 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
     assert got[2] == n
     assert got[3] == int(int(promo * 10000) * 1000000.0
                          / int(total * 10000) + 0.5)
+
+
+# --- events_json_extract -----------------------------------------------------
+
+def test_json_extract_handles_ragged_props():
+    # real streams have ragged props: missing k, non-numeric k, empty
+    # object, malformed JSON — none may crash, all must count as k-less
+    ev = [
+        (0, "view", '{"k": 7}'),
+        (1, "view", '{"k": 11, "x": 1}'),
+        (2, "view", '{"x": 3}'),
+        (3, "view", '{}'),
+        (4, "click", '{"k": 5}'),
+    ]
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}', '{p}')" for i, t, p in ev)
+    con.execute(f"CREATE VIEW events AS SELECT * FROM (VALUES {vals}) "
+                f"AS v(event_id, event_type, props)")
+    got = {r[0]: r[1:] for r in con.execute(
+        QUERIES["events_json_extract"]["duck"]).fetchall()}
+    assert got == {
+        "view": (4, 2, 18, -1, 11),   # two k-less rows: sum skips, min=-1
+        "click": (1, 1, 5, 5, 5),
+    }
+
+
+# --- tpch_q4_late_priority ---------------------------------------------------
+
+@pytest.mark.skipif(not HAS_DATA, reason="driver testdata not present")
+def test_q4_exists_counts_orders_not_lineitems():
+    """The semi-join property: an order with MANY late lineitems counts
+    ONCE (a naive inner-join rewrite would duplicate it). Re-derive the
+    per-priority counts via an explicit DISTINCT-orderkey formulation."""
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM '{SF0001}/{t}.parquet'")
+    got = dict(con.execute(
+        QUERIES["tpch_q4_late_priority"]["duck"]).fetchall())
+    ref = dict(con.execute("""
+SELECT o.o_orderpriority, count(*) FROM orders o
+WHERE o.o_orderkey IN (
+  SELECT l.l_orderkey FROM lineitem l JOIN orders o2
+    ON l.l_orderkey = o2.o_orderkey
+  WHERE l.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority""").fetchall())
+    assert got == ref and sum(got.values()) > 0
+    total_orders = con.execute("SELECT count(*) FROM orders").fetchone()[0]
+    assert sum(got.values()) < total_orders   # EXISTS is selective

@@ -765,3 +765,19 @@ def test_tpch_q14_broadcast_part_and_pushed_dates(spark):
     assert "GreaterThanOrEqual(l_shipdate" in plan
     assert "LessThan(l_shipdate" in plan
     assert plan.count("HashAggregate") == 2   # partial + final
+
+
+def test_json_and_q4_plans(spark):
+    """JSON extraction runs inside the scan projection (no UDF node, no
+    extra exchange beyond the aggregate); Q4's correlated EXISTS
+    decorrelates to a LEFT SEMI join — orders are never duplicated by
+    multi-lineitem matches."""
+    entrymod._prepare(spark, SF_DIR)
+    js = physical(spark.sql(spark_sql("events_json_extract")))
+    assert "BatchEvalPython" not in js and "ArrowEvalPython" not in js
+    assert js.count("Exchange") == 1          # just the groupBy
+    assert "get_json_object" in js or "GetJsonObject" in js
+
+    q4 = physical(spark.sql(spark_sql("tpch_q4_late_priority")))
+    assert "LeftSemi" in q4
+    assert "CartesianProduct" not in q4
