@@ -81,8 +81,7 @@ def main() -> None:
              .appName("capstone-scale-r9").getOrCreate())
     levels = build_corpora(spark)
     qs = entry.queries()
-    out = {"corpus_docs": {"1x": 24000, "10x": 240000},
-           "reps": reps, "levels": {}}
+    out = {"corpus_docs": {}, "reps": reps, "levels": {}}
     # the 1x block runs first: sub-1x ratios are warmup ordering, as in
     # SUBSTR_SCALE_r8
     for tag, sf_dir in levels.items():
