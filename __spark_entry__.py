@@ -134,16 +134,47 @@ def _reap_stale_scratch() -> None:
             pass  # pid alive under another uid, or probe failed: keep
 
 
+# (context id, sf_dir) -> [(table, analyzed reader DataFrame)].  Schema
+# inference (footer read + file listing) is ~0.1 s per table per call —
+# ~1 s of pure driver overhead on EVERY query invocation at bench scale
+# (BENCH/PROFILE_r10_before.json: _prepare = 0.75-1.0 s of each 1-1.4 s
+# query wall).  The DataFrame here is a LAZY reader plan, not data: views
+# are still re-registered on every call (identical semantics — a test
+# that clobbered a view gets it restored exactly as before), and every
+# query still computes from the parquet files.  Keyed by context id so a
+# restarted session re-infers; same idiom as util._SHIPPED.
+_READER_CACHE: dict[tuple[int, str], list] = {}
+
+
 def _prepare(spark: SparkSession, sf_dir: str) -> None:
     from fast_pdf_parser_spark.util import ship_package
 
     _reap_stale_scratch()
     ship_package(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    for t in _VIEW_TABLES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(t)
+    # AQE partition coalescing never shrinks a partition below
+    # minPartitionSize (default 1m) — so when a whole shuffle is under
+    # 1 MB (every exchange at the checked sf corpus sizes), the
+    # parallelism-first target collapses to ONE post-shuffle task and
+    # serializes all downstream compute (event-log evidence:
+    # OPTIMIZATION_r10.md, minhash bands stage = 1 task × 2.3 s).  A
+    # 64 KiB floor lets parallelism-first actually spread small inputs;
+    # at production sizes partitions sit far above either floor, so the
+    # setting is inert there — this is NOT a core-count constant (the
+    # target stays max(total/maxParallelism, floor) on any cluster).
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+    key = (id(spark.sparkContext), os.path.abspath(sf_dir))
+    readers = _READER_CACHE.get(key)
+    if readers is None:
+        readers = []
+        for t in _VIEW_TABLES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                readers.append((t, spark.read.parquet(path)))
+        _READER_CACHE[key] = readers
+    for t, df in readers:
+        df.createOrReplaceTempView(t)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -245,6 +276,17 @@ def _warc_files_df(spark: SparkSession,
     docs = spark.sql(
         docs_sql
         or "SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents")
+    # Spread the Python-heavy WARC framing + re-parse across cores: the
+    # small sf corpus is ONE parquet split, which serialized BOTH chained
+    # mapInPandas stages on a single task (guide §2.5 input skew — the
+    # r9 bench ran warc_extract on 1 of 32 cores).  One deterministic
+    # hash exchange of (doc_id, text) before the heavy Python work; the
+    # per-record output values are independent of how records batch into
+    # container files, so results are unchanged.  At 100 TB real ingest
+    # starts from existing WARC files (files are the parallelism unit)
+    # and never runs this synthesis stage.
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
 
     def to_warc(batches):
         from fast_pdf_parser_spark.sources.synth import (
@@ -901,15 +943,26 @@ def _text_encode_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection is all-scalar (seq_id, n_docs, n_tokens, ids_sum)."""
     from pyspark.sql import functions as F
 
-    from fast_pdf_parser_spark.operators.packing import pack_token_ids
+    from fast_pdf_parser_spark.operators.packing import (
+        encode_token_ids,
+        pack_token_ids,
+    )
 
     _prepare(spark, sf_dir)
     # the small sf corpus is one parquet split — spread the compute-bound
     # encoder across cores (at 100 TB the scan splits make this a no-op
-    # knob; see encode_token_ids docstring)
-    packed = pack_token_ids(
+    # knob; see encode_token_ids docstring).  Encode ONCE and materialize
+    # (localCheckpoint — the _text_encode_pack_geometry idiom; persist()
+    # to MEMORY_AND_DISK at cluster scale): pack_token_ids' default form
+    # runs a second id-free counting pass over the whole corpus for the
+    # shard totals, i.e. ~1.33x the dominant tokenizer compute (guide
+    # §1.2: don't compute things twice) — with `encoded` supplied it
+    # derives totals from the materialized ids instead.
+    enc = encode_token_ids(
         spark.table("documents"),
-        num_partitions=spark.sparkContext.defaultParallelism)
+        num_partitions=spark.sparkContext.defaultParallelism
+    ).filter(F.col("n_ids") > 0).localCheckpoint(eager=True)
+    packed = pack_token_ids(spark.table("documents"), encoded=enc)
     return packed.select(
         "seq_id", "n_docs", "n_tokens",
         F.aggregate("ids", F.lit(0).cast("bigint"),

@@ -366,18 +366,63 @@ FROM norm GROUP BY 1""",
 
 # MinHash signatures: 16 hash functions h_i(w) = hash60(i || ':' || w),
 # signature element = min over the doc's distinct words (shingle size 1 —
-# word unigrams; the banding below groups 4 consecutive elements per band)
-_MINHASH_SPARK = f"""WITH w AS (
-  SELECT DISTINCT doc_id, word
-  FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word
-),
-seeded AS (
-  SELECT doc_id, seed,
-         min({_HASH60_SPARK.format(x="concat(CAST(seed AS STRING), ':', word)")}) AS minhash
-  FROM w LATERAL VIEW explode(sequence(0, 15)) s AS seed
-  GROUP BY doc_id, seed
-)
-SELECT doc_id, CAST(seed AS INT) AS seed, minhash FROM seeded"""
+# word unigrams; the banding below groups 4 consecutive elements per band).
+#
+# Spark-side execution shape (r10, guide §2.3/§2.4 — values unchanged, the
+# DuckDB oracle is the proof): the 16 seed hashes are computed SIDE BY SIDE
+# in the projection and ONE doc_id-keyed aggregation takes the 16 mins with
+# map-side partials.  The previous form exploded every (doc, word) row 16x
+# and shuffled the blowup to a (doc_id, seed) aggregation, after a global
+# DISTINCT exchange of the word pairs; per-doc word dedup is array_distinct
+# (no shuffle — min() is duplicate-immune anyway, dedup just skips repeat
+# hashing), so the whole signature chain now carries exactly one exchange
+# of 16 longs per doc instead of three exchanges of 16x word rows.
+
+
+def _minhash_m_cte_spark(src: str, text_col: str = "text") -> str:
+    """Parenthesized subquery: one row per doc with the 16 minhash slots
+    as COLUMNS m0..m15 — value-identical to the exploded (doc_id, seed,
+    minhash) form (seed i's hash input is the same '{i}:{word}' string)."""
+    hashes = ",\n               ".join(
+        _HASH60_SPARK.format(x=f"concat('{i}:', word)") + f" AS h{i}"
+        for i in range(16))
+    mins = ", ".join(f"min(h{i}) AS m{i}" for i in range(16))
+    # Shape notes (measured, BENCH/MINHASH_VARIANTS_r10):
+    # - REPARTITION(doc_id): ONE exchange of the raw doc rows ahead of the
+    #   hash-heavy work — strictly fewer bytes than the word-pair exchange
+    #   the old explode form paid for its global DISTINCT, and it spreads
+    #   the md5 work across shuffle.partitions even when the source is a
+    #   single scan split (the small-corpus serialization trap; at scale
+    #   it is the same exchange the old shape needed anyway).
+    # - the 16 hashes are computed in their OWN projection and the
+    #   aggregate takes min() of plain columns: putting md5 inside the 16
+    #   min() expressions measured ~1.6x slower (the wide aggregate falls
+    #   out of the codegen fast path).
+    return f"""(
+  SELECT doc_id, {mins}
+  FROM (SELECT doc_id,
+               {hashes}
+        FROM (SELECT doc_id, word
+              FROM (SELECT doc_id, array_distinct(split(text, ' ')) AS ws
+                    FROM (SELECT /*+ REPARTITION(doc_id) */ doc_id,
+                                 {text_col} AS text FROM {src}) raw) d
+              LATERAL VIEW explode(ws) t AS word) w) h
+  GROUP BY doc_id
+)"""
+
+
+# the exploded (doc_id, seed, minhash) face: seed rows come from a plain
+# sequence explode and minhash is a CASE over the 16 slot columns — chosen
+# over posexplode(array(m0..m15)) so a consumer that only needs the ROW
+# SHAPE (count/exists-style probes) lets Catalyst prune the whole hash
+# chain away, exactly as the old explode-and-regroup form did
+_MINHASH_SEED_CASE = ("CASE seed "
+                      + " ".join(f"WHEN {i} THEN m{i}" for i in range(16))
+                      + " END")
+
+_MINHASH_SPARK = f"""WITH m AS {_minhash_m_cte_spark('documents')}
+SELECT doc_id, CAST(seed AS INT) AS seed, {_MINHASH_SEED_CASE} AS minhash
+FROM m LATERAL VIEW explode(sequence(0, 15)) s AS seed"""
 
 _MINHASH_DUCK = f"""WITH w AS (
   SELECT DISTINCT doc_id, unnest(split(text, ' ')) AS word FROM documents
@@ -420,19 +465,54 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM member a JOIN member b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
 
+# Per-row band keys from the columnar signature (r10): band b's key hashes
+# the SAME sorted 'seed=minhash' join the collect_list form produced — the
+# four elements are built inline from m{4b}..m{4b+3} and array_sort'ed, so
+# the (doc_id, band) aggregation exchange disappears entirely.  (The sort
+# is over the same four strings collect_list gathered; string order of
+# '10=..' vs '8=..' etc. is whatever array_sort says in BOTH forms.)
+
+
+def _band_key_expr_spark(band: int) -> str:
+    # sort_array, not array_sort: identical ascending order on these
+    # never-null strings, but array_sort carries a default LAMBDA
+    # comparator that keeps the whole expression interpreted (no codegen)
+    # — measured ~0.4 ms/doc inside the Generate, the dominant cost of
+    # the whole band derivation at bench scale
+    elems = ", ".join(
+        f"concat('{s}=', CAST(m{s} AS STRING))"
+        for s in range(4 * band, 4 * band + 4))
+    return _HASH60_SPARK.format(
+        x=f"array_join(sort_array(array({elems})), ',')")
+
+
+# band keys are computed in their OWN projection (k0..k3, whole-stage
+# codegen) and the Generate only inlines precomputed values: putting the
+# md5/concat chain inside the generator expression measured ~0.26 ms/doc
+# (GenerateExec evaluates its generator interpreted, outside codegen)
+_BAND_KEYS_PROJ_SPARK = ", ".join(
+    f"{_band_key_expr_spark(b)} AS k{b}" for b in range(4))
+_BANDS_INLINE_SPARK = (
+    "LATERAL VIEW inline(array("
+    + ", ".join(
+        f"struct(CAST({b} AS INT) AS band, k{b} AS band_key)"
+        for b in range(4))
+    + ")) bt AS band, band_key"
+)
+
 # Spark member stage uses a WINDOW for the bucket cap instead of the
 # HAVING+join formulation: `bands` is then referenced exactly once, so the
-# expensive signature chain below it executes once (the HAVING+join shape
-# re-executes it for small_buckets AND member). The window partitioning
-# (band, band_key) is the same key the self-join shuffles on. Semantically
-# identical to the DuckDB HAVING formulation.
+# signature chain below it executes once (the HAVING+join shape re-executes
+# it for small_buckets AND member). The window partitioning (band, band_key)
+# is the same key the self-join shuffles on. Semantically identical to the
+# DuckDB HAVING formulation.
 _LSH_MEMBER_SPARK = (
-    "WITH sig AS (" + _MINHASH_SPARK + """),
+    f"WITH m AS {_minhash_m_cte_spark('documents')},"
+    + f"""
 bands AS (
-  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
-         {h_band} AS band_key
-  FROM (SELECT doc_id, seed, minhash FROM sig) s
-  GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+  SELECT doc_id, band, band_key
+  FROM (SELECT doc_id, {_BAND_KEYS_PROJ_SPARK} FROM m) km
+  {_BANDS_INLINE_SPARK}
 ),
 member AS (
   SELECT doc_id, band, band_key FROM (
@@ -441,12 +521,7 @@ member AS (
     FROM bands) t
   WHERE bsize BETWEEN 2 AND 100
 )
-SELECT doc_id, band, band_key FROM member""".format(
-        h_band=_HASH60_SPARK.format(
-            x="array_join(array_sort(collect_list("
-              "concat(CAST(seed AS STRING), '=', CAST(minhash AS STRING)))), ',')"
-        )
-    )
+SELECT doc_id, band, band_key FROM member"""
 )
 _LSH_SPARK = _LSH_MEMBER_SPARK.replace(
     "\nSELECT doc_id, band, band_key FROM member", _LSH_PAIRS_SELECT
@@ -481,33 +556,22 @@ QUERIES["dedup_lsh_pairs"] = _pair(_LSH_SPARK, _LSH_DUCK)
 NEAR_INCR_THRESHOLD_X1E4 = 9000
 _NEAR_BUCKET_CAP = 100
 
-_BAND_KEY_SPARK = _HASH60_SPARK.format(
-    x="array_join(array_sort(collect_list("
-      "concat(CAST(seed AS STRING), '=', CAST(minhash AS STRING)))), ',')")
 _BAND_KEY_DUCK = _HASH60_DUCK.format(
     x="array_to_string(list_sort(list("
       "concat(CAST(seed AS VARCHAR), '=', CAST(minhash AS VARCHAR)))), ',')")
 
 
 def _minhash_band_ctes_spark(tbl: str) -> str:
-    """CTE chain {tbl}_w/{tbl}_sig/{tbl}_band over any (doc_id, text)
-    relation — the _MINHASH_SPARK pipeline parameterized by table."""
-    h = _HASH60_SPARK.format(
-        x="concat(CAST(seed AS STRING), ':', word)")
-    return f"""{tbl}_w AS (
-  SELECT DISTINCT doc_id, word
-  FROM {tbl} LATERAL VIEW explode(split(text, ' ')) t AS word
-),
-{tbl}_sig AS (
-  SELECT doc_id, seed, min({h}) AS minhash
-  FROM {tbl}_w LATERAL VIEW explode(sequence(0, 15)) s AS seed
-  GROUP BY doc_id, seed
-),
+    """CTE chain {tbl}_mh/{tbl}_band over any (doc_id, text) relation —
+    the _MINHASH_SPARK pipeline parameterized by table, in the columnar
+    one-exchange form (see the _minhash_m_cte_spark comment; consumers
+    reference only {tbl}_band, whose rows are value-identical to the old
+    explode-and-regroup chain)."""
+    return f"""{tbl}_mh AS {_minhash_m_cte_spark(tbl)},
 {tbl}_band AS (
-  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
-         {_BAND_KEY_SPARK} AS band_key
-  FROM {tbl}_sig
-  GROUP BY doc_id, CAST(floor(seed / 4) AS INT)
+  SELECT doc_id, band, band_key
+  FROM (SELECT doc_id, {_BAND_KEYS_PROJ_SPARK} FROM {tbl}_mh) km
+  {_BANDS_INLINE_SPARK}
 )"""
 
 
@@ -1014,7 +1078,13 @@ QUERIES["dedup_simhash"] = _pair(
 _ANN_SPARK = """WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
 ),
-c AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+-- REPARTITION(vec_id): the corpus side of the broadcast cross join is
+-- otherwise a single scan split at small corpus sizes, serializing the
+-- interpreted higher-order cosine (zip_with/aggregate lambdas) on one
+-- task; one exchange of the corpus vectors spreads it (scale-neutral:
+-- this is the exhaustive-verify kernel, the served path is ANN)
+c AS (SELECT /*+ REPARTITION(vec_id) */ vec_id, embedding AS ce
+      FROM embeddings WHERE vec_id >= 5),
 scored AS (
   SELECT q.query_id, c.vec_id,
          round(

@@ -80,7 +80,13 @@ def build_warc(records: list[dict], compress: bool = False) -> bytes:
         )
         if compress:
             buf = io.BytesIO()
-            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            # compresslevel=1: this writer exists to FRAME records (the
+            # reader's gzip-member walk is what is under test/measure);
+            # level 9 spent ~5x the CPU of level 1 per member for bytes
+            # nobody stores, and the decompressed stream — all any
+            # consumer sees — is identical at every level
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0,
+                               compresslevel=1) as gz:
                 gz.write(rec)
             rec = buf.getvalue()
         out.append(rec)

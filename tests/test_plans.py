@@ -407,18 +407,17 @@ def test_stored_band_candidate_scan_reads_bands_not_text(spark, tmp_path):
             assert "band_key" in read_schema, seg[:300]
             assert "clean_text" not in read_schema, seg[:300]
     assert band_scans >= 1, plan[:2000]
-    # and the corpus is never re-minhashed for candidates: the signature
-    # chain's two Generate nodes (word split-explode + the constant-
-    # folded seed array explode) appear exactly ONCE each — the batch
-    # side. The derived-on-read form has two of each. (The corpus text
-    # is still projected through array_distinct(split(..)) by the
-    # jaccard VERIFY join — a projection, not an explode.)
-    word_explodes = plan.count("Generate explode(split(text")
-    seed_explodes = plan.count(
-        "Generate explode(org.apache.spark.sql.catalyst.expressions"
-        ".UnsafeArrayData")
+    # and the corpus is never re-minhashed for candidates: the columnar
+    # signature chain's two Generate nodes (the distinct-word explode —
+    # `explode(ws..)` over array_distinct(split(text)) — and the band-key
+    # inline) appear exactly ONCE each — the batch side. The
+    # derived-on-read form has two of each. (The corpus text is still
+    # projected through array_distinct(split(..)) by the jaccard VERIFY
+    # join — a projection, not an explode.)
+    word_explodes = plan.count("Generate explode(ws")
+    band_inlines = plan.count("Generate inline(")
     assert word_explodes == 1, f"corpus re-tokenized: {word_explodes}"
-    assert seed_explodes == 1, f"corpus re-minhashed: {seed_explodes}"
+    assert band_inlines == 1, f"corpus re-banded: {band_inlines}"
 
 
 def test_band_probe_scan_prunes_to_batch_keys(spark, tmp_path):
