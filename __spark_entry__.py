@@ -112,8 +112,22 @@ def _reap_stale_scratch() -> None:
                 pid, start = -1, None  # unreadable marker: treat as dead
             if pid == os.getpid():
                 continue
-            if start is not None and _proc_start_ticks(pid) == start:
-                continue  # exact owner instance still alive
+            if start is not None:
+                if _proc_start_ticks(pid) == start:
+                    continue  # exact owner instance still alive
+            else:
+                # marker written while /proc was unreadable: start is
+                # None, so instance-exact matching is impossible — fall
+                # back to the kill(0) liveness probe instead of treating
+                # a LIVE owner as dead and clobbering its in-progress
+                # scratch (advice r9)
+                try:
+                    os.kill(pid, 0)
+                    continue  # pid alive: never guess it is not the owner
+                except ProcessLookupError:
+                    pass  # definitely dead: safe to collect
+                except (PermissionError, OSError):
+                    continue  # alive under another uid, or probe failed
             shutil.rmtree(path, ignore_errors=True)
             if not glob.glob(base + "*") or glob.glob(base + "*") == [marker]:
                 try:
@@ -164,6 +178,11 @@ def _prepare(spark: SparkSession, sf_dir: str) -> None:
     # target stays max(total/maxParallelism, floor) on any cluster).
     spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+    # probe_band_table raises the parquet In-pushdown threshold for the
+    # duration of its consuming query (the session conf is the only
+    # lever the v1 reader honors); resetting it here bounds the leak to
+    # that one invocation instead of every later scan (advice r9)
+    spark.conf.unset("spark.sql.parquet.pushdown.inFilterThreshold")
     key = (id(spark.sparkContext), os.path.abspath(sf_dir))
     readers = _READER_CACHE.get(key)
     if readers is None:
@@ -808,7 +827,20 @@ def _train_assembly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept.createOrReplaceTempView("ta_kept")
     ka = kept.agg(F.count("*").alias("n"),
                   F.sum("toks").alias("t")).collect()[0]
-    n_kept, tok_sum = int(ka["n"]), int(ka["t"])
+    n_kept, tok_sum = int(ka["n"]), int(ka["t"] or 0)
+    if n_kept == 0:
+        # degenerate corpus (mixture kept nothing): emit zero-count
+        # stages instead of crashing — F.coalesce() over an empty
+        # per-shard offset dict raises TypeError and int(None) follows
+        # from the empty shuffle's order hash (advice r9).  The shipped
+        # sf corpora always keep docs; this is the graceful edge path.
+        rows = [(s, 0) for s in
+                ("mixture_kept", "mixture_tokens", "shuffle_docs",
+                 "shuffle_shards", "shuffle_order_hash", "packed_seqs",
+                 "packed_tokens", "pack_doc_slices", "pack_ids_sum",
+                 "length_batches", "length_batch_docs",
+                 "datacard_sources")]
+        return spark.createDataFrame(rows, schema="stage string, n bigint")
 
     # (2) epoch-0 shuffle into loader shards (the text_shard_shuffle
     # discipline: per-shard rank window, no global sort)

@@ -526,6 +526,18 @@ def compact_bucket(spark: SparkSession, out_dir: str, bucket: int,
                   "clean_text string, split string") if name == "clean" \
             else "doc_id bigint, band int, band_key bigint, bkp int"
         src = spark.read.schema(schema).parquet(live)
+        if src.count() == 0:
+            # a genuinely-empty bucket is a DESIGNED durable state (the
+            # marker-only dir write_docs_bucketed leaves; pinned by
+            # test_empty_bucket_is_known_empty_not_lost).  There is
+            # nothing to compact, and swapping would both replace the
+            # marker dir with a bare _SUCCESS dir and (formerly) crash:
+            # the rewrite of 0 rows produces a part-less tmp whose
+            # schema-INFERRED verification read raised AnalysisException
+            # before the swap, persistently re-crashing every
+            # compact_sink over a sink containing an empty bucket
+            # (advice r9).
+            continue
         if name == "clean":
             (src.repartition(target_files, "split")
              .sortWithinPartitions("split", "doc_id")
@@ -541,7 +553,9 @@ def compact_bucket(spark: SparkSession, out_dir: str, bucket: int,
              .option("parquet.bloom.filter.fpp#band_key", "0.001")
              .option("parquet.page.row.count.limit", "512")
              .partitionBy("bkp").parquet(tmp))
-        if spark.read.parquet(tmp).count() != src.count():
+        # explicit schema on the verification read too: belt-and-braces
+        # against a zero-part tmp (schema inference raises on it)
+        if spark.read.schema(schema).parquet(tmp).count() != src.count():
             raise IOError(f"compaction rewrite row mismatch: {live}")
         if fail_at == f"{name}_staged":
             raise RuntimeError(f"simulated crash at {name}_staged")
@@ -646,7 +660,15 @@ def probe_band_table(spark: SparkSession, out_dir: str,
         # the default parquet In-pushdown threshold (10) would rewrite a
         # larger key list to a useless min/max range over uniform hash
         # keys; raise it so the literal key set reaches the reader where
-        # the bloom/row-group stats can act on it
+        # the bloom/row-group stats can act on it.  The session conf is
+        # the ONLY lever that works: the v1 parquet reader captures this
+        # threshold from the session conf when the consuming query
+        # builds its reader (a DataFrameReader option is ignored, and a
+        # save/restore here would revert before the caller's lazy
+        # verdict query ever executes).  Cross-query leakage (advice r9)
+        # is bounded instead by __spark_entry__._prepare, which resets
+        # the threshold to its default at the start of every driver
+        # query invocation.
         spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold",
                        str(max(max_pushdown_keys, 10)))
         pruned = bands.filter(

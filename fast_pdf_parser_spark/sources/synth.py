@@ -196,14 +196,63 @@ SPANS_DDL = (
 )
 
 
+def _doc_cost(doc_idx: int, seed: int, include_pdf: bool,
+              include_html: bool) -> int:
+    """Deterministic per-doc WORK estimate for writer-side balancing,
+    derived by replaying make_doc's exact rng draw sequence (same seeds,
+    same short-circuit structure) without building any text.  Weights are
+    coarse downstream-parse costs (a pdf page pays the lexer+content
+    interpreter, ~an order of magnitude over a markdown page; html pays
+    the boilerplate strip).  Only file PLACEMENT depends on this — a
+    drifted weight degrades balance, never content."""
+    rng = random.Random(f"{seed}:{doc_idx}")
+    n_pages = rng.choice(_BUCKET_CHOICES)
+    cost = 1
+    rng.random()  # cover-media draw (placement only)
+    for _ in range(n_pages):
+        if include_pdf and rng.random() < 0.25:
+            cost += 10
+        elif include_html and rng.random() < 0.35:
+            cost += 3
+        else:
+            cost += 1
+        rng.random()  # inline-media draw
+    return cost
+
+
+def _balanced_groups(n_docs: int, parts: int, seed: int, include_pdf: bool,
+                     include_html: bool) -> list[list[int]]:
+    """Greedy LPT assignment of doc indices to ``parts`` groups by
+    estimated work: biggest doc first onto the least-loaded group."""
+    import heapq
+
+    costs = sorted(
+        ((_doc_cost(i, seed, include_pdf, include_html), i)
+         for i in range(n_docs)),
+        key=lambda t: (-t[0], t[1]))
+    heap: list[tuple[int, int]] = [(0, p) for p in range(parts)]
+    groups: list[list[int]] = [[] for _ in range(parts)]
+    for c, i in costs:
+        load, p = heapq.heappop(heap)
+        groups[p].append(i)
+        heapq.heappush(heap, (load + c, p))
+    return groups
+
+
 def spans_dataframe(spark, n_docs: int, seed: int = 42,
                     include_pdf: bool = False, num_partitions: int = 0,
                     include_html: bool = False):
-    """Distributed deterministic generation: spark.range → mapInPandas.
+    """Distributed deterministic generation: balanced index groups →
+    mapInPandas.
 
-    Reproducible regardless of partitioning because every doc depends only on
-    (seed, doc index).
-    """
+    Reproducible regardless of partitioning because every doc depends only
+    on (seed, doc index).  Since r10, doc indices are dealt to partitions
+    by estimated WORK (greedy LPT on _doc_cost) instead of contiguous
+    equal-count ranges: the skewed page distribution made count-uniform
+    files differ ~6x in parse cost, and the max file dictated every
+    downstream scan stage's wall (guide §6: layout on write decides
+    reader balance; guide §2.5: input skew).  Content is unchanged —
+    make_doc(i) rows are identical, only their file placement moved."""
     import pandas as pd
 
     parts = num_partitions or spark.sparkContext.defaultParallelism
@@ -214,10 +263,17 @@ def spans_dataframe(spark, n_docs: int, seed: int = 42,
                              include_html=include_html) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 
-    return (
-        spark.range(0, n_docs, numPartitions=parts)
-        .mapInPandas(gen, schema=SPANS_DDL)
-    )
+    if parts > 1 and n_docs > parts:
+        groups = _balanced_groups(n_docs, parts, seed, include_pdf,
+                                  include_html)
+        idx_rdd = (spark.sparkContext
+                   .parallelize(groups, len(groups))
+                   .flatMap(lambda g: [(int(i),) for i in g],
+                            preservesPartitioning=True))
+        ids = spark.createDataFrame(idx_rdd, "id long")
+    else:
+        ids = spark.range(0, n_docs, numPartitions=parts)
+    return ids.mapInPandas(gen, schema=SPANS_DDL)
 
 
 def write_corpus(spark, path: str, n_docs: int, seed: int = 42,

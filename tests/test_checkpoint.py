@@ -495,6 +495,46 @@ def test_compaction_preserves_content_and_shrinks_files(spark, tmp_path):
     assert completed_buckets(spark, out + "/checkpoint", "c0") == {0, 1, 2}
 
 
+def test_compaction_handles_empty_bucket(spark, tmp_path):
+    """compact_sink over a sink containing genuinely-empty buckets (the
+    designed marker-only durable state write_docs_bucketed leaves,
+    pinned by test_empty_bucket_is_known_empty_not_lost) must COMPLETE:
+    the r9 code rewrote 0 rows into a part-less tmp dir whose
+    schema-inferred verification read raised AnalysisException before
+    the swap, and recovery + rerun re-crashed at the same point forever
+    (advice r9). Empty buckets are skipped (nothing to compact, marker
+    dir preserved); populated buckets compact normally and all content
+    survives byte-identically."""
+    from fast_pdf_parser_spark.operators.relational import _HASH60_SPARK
+    from fast_pdf_parser_spark.plans.checkpoint import (
+        compact_sink,
+        lineage,
+        write_docs_bucketed,
+    )
+
+    _mini_documents(spark, n=3)  # 3 docs over 16 buckets: most empty
+    h = _HASH60_SPARK.format(x="text")
+    docs = spark.sql(f"""
+        SELECT doc_id, source, 'train' AS split,
+               {h} AS clean_hash, text AS clean_text
+        FROM documents""")
+    out = str(tmp_path / "compact_empty")
+    write_docs_bucketed(spark, docs, out, run_id="c0", num_buckets=16,
+                        write_bands=True)
+    before = _sink_state(spark, out)
+    assert len(before[0]) == 3
+
+    compact_sink(spark, out, run_id="opt_e")  # crashed pre-fix
+
+    assert _sink_state(spark, out) == before
+    # every populated bucket gained a 'compacted' lineage row; rerun of
+    # the fleet stays convergent (idempotent over the empty tail)
+    assert lineage(spark, out).filter(
+        "status = 'compacted' AND run_id = 'opt_e'").count() >= 1
+    compact_sink(spark, out, run_id="opt_e2")
+    assert _sink_state(spark, out) == before
+
+
 @pytest.mark.parametrize("fail_at", [
     "clean_staged", "clean_aside", "clean_promoted",
     "bands_staged", "bands_aside", "bands_promoted", "pre_lineage"])
