@@ -112,22 +112,34 @@ def _reap_stale_scratch() -> None:
                 pid, start = -1, None  # unreadable marker: treat as dead
             if pid == os.getpid():
                 continue
-            if start is not None:
-                if _proc_start_ticks(pid) == start:
-                    continue  # exact owner instance still alive
-            else:
-                # marker written while /proc was unreadable: start is
-                # None, so instance-exact matching is impossible — fall
-                # back to the kill(0) liveness probe instead of treating
-                # a LIVE owner as dead and clobbering its in-progress
-                # scratch (advice r9)
-                try:
-                    os.kill(pid, 0)
-                    continue  # pid alive: never guess it is not the owner
-                except ProcessLookupError:
-                    pass  # definitely dead: safe to collect
-                except (PermissionError, OSError):
-                    continue  # alive under another uid, or probe failed
+            alive = False
+            if pid > 0:
+                # pid <= 0 means the marker itself was unreadable — no
+                # identity to probe (os.kill(-1, 0) would signal-check
+                # EVERY process and never raise ProcessLookupError, so
+                # it must not reach the liveness probe); treat as dead,
+                # the pre-r10 behavior.
+                ticks = (_proc_start_ticks(pid)
+                         if start is not None else None)
+                if start is not None and ticks == start:
+                    alive = True  # exact owner instance still alive
+                elif start is None or ticks is None:
+                    # instance-exact matching impossible (marker written
+                    # — or /proc probed just now — while /proc was
+                    # unreadable): fall back to the kill(0) liveness
+                    # probe instead of treating a LIVE owner as dead and
+                    # clobbering its in-progress scratch (advice r9)
+                    try:
+                        os.kill(pid, 0)
+                        alive = True  # pid alive: never guess ownership
+                    except ProcessLookupError:
+                        alive = False  # definitely dead: collect
+                    except (PermissionError, OSError):
+                        alive = True  # alive under another uid: keep
+                # else: ticks readable and != start — definitively a
+                # different process instance; the owner is dead
+            if alive:
+                continue
             shutil.rmtree(path, ignore_errors=True)
             if not glob.glob(base + "*") or glob.glob(base + "*") == [marker]:
                 try:
@@ -148,16 +160,32 @@ def _reap_stale_scratch() -> None:
             pass  # pid alive under another uid, or probe failed: keep
 
 
-# (context id, sf_dir) -> [(table, analyzed reader DataFrame)].  Schema
-# inference (footer read + file listing) is ~0.1 s per table per call —
-# ~1 s of pure driver overhead on EVERY query invocation at bench scale
-# (BENCH/PROFILE_r10_before.json: _prepare = 0.75-1.0 s of each 1-1.4 s
-# query wall).  The DataFrame here is a LAZY reader plan, not data: views
-# are still re-registered on every call (identical semantics — a test
-# that clobbered a view gets it restored exactly as before), and every
-# query still computes from the parquet files.  Keyed by context id so a
-# restarted session re-infers; same idiom as util._SHIPPED.
-_READER_CACHE: dict[tuple[int, str], list] = {}
+# (context id, sf_dir, per-table (exists, mtime) signature) -> [(table,
+# analyzed reader DataFrame)].  Schema inference (footer read + file
+# listing) is ~0.1 s per table per call — ~1 s of pure driver overhead on
+# EVERY query invocation at bench scale (BENCH/PROFILE_r10_before.json:
+# _prepare = 0.75-1.0 s of each 1-1.4 s query wall).  The DataFrame here
+# is a LAZY reader plan, not data: views are still re-registered on every
+# call (identical semantics — a test that clobbered a view gets it
+# restored exactly as before), and every query still computes from the
+# parquet files.  The mtime signature (10 stat calls, ~µs) invalidates
+# the memo when a table dir is rewritten or appears mid-session, so a
+# regenerated sf_dir never serves a stale file listing; keyed by context
+# id so a restarted session re-infers (the util._SHIPPED idiom).  One
+# entry per key tuple: a changed signature inserts a fresh entry and the
+# stale one is dropped below.
+_READER_CACHE: dict[tuple, list] = {}
+
+
+def _sf_signature(sf_dir: str) -> tuple:
+    sig = []
+    for t in _VIEW_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            sig.append((t, os.stat(path).st_mtime_ns))
+        except OSError:
+            sig.append((t, None))
+    return tuple(sig)
 
 
 def _prepare(spark: SparkSession, sf_dir: str) -> None:
@@ -183,9 +211,14 @@ def _prepare(spark: SparkSession, sf_dir: str) -> None:
     # lever the v1 reader honors); resetting it here bounds the leak to
     # that one invocation instead of every later scan (advice r9)
     spark.conf.unset("spark.sql.parquet.pushdown.inFilterThreshold")
-    key = (id(spark.sparkContext), os.path.abspath(sf_dir))
+    base = os.path.abspath(sf_dir)
+    key = (id(spark.sparkContext), base, _sf_signature(base))
     readers = _READER_CACHE.get(key)
     if readers is None:
+        # drop any stale entries for this (context, dir) pair so a
+        # rewritten sf_dir does not pin dead file listings in memory
+        for k in [k for k in _READER_CACHE if k[:2] == key[:2]]:
+            del _READER_CACHE[k]
         readers = []
         for t in _VIEW_TABLES:
             path = os.path.join(sf_dir, f"{t}.parquet")

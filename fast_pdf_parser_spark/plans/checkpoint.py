@@ -526,7 +526,8 @@ def compact_bucket(spark: SparkSession, out_dir: str, bucket: int,
                   "clean_text string, split string") if name == "clean" \
             else "doc_id bigint, band int, band_key bigint, bkp int"
         src = spark.read.schema(schema).parquet(live)
-        if src.count() == 0:
+        n_src = src.count()  # one scan: reused by the rewrite check below
+        if n_src == 0:
             # a genuinely-empty bucket is a DESIGNED durable state (the
             # marker-only dir write_docs_bucketed leaves; pinned by
             # test_empty_bucket_is_known_empty_not_lost).  There is
@@ -555,7 +556,7 @@ def compact_bucket(spark: SparkSession, out_dir: str, bucket: int,
              .partitionBy("bkp").parquet(tmp))
         # explicit schema on the verification read too: belt-and-braces
         # against a zero-part tmp (schema inference raises on it)
-        if spark.read.schema(schema).parquet(tmp).count() != src.count():
+        if spark.read.schema(schema).parquet(tmp).count() != n_src:
             raise IOError(f"compaction rewrite row mismatch: {live}")
         if fail_at == f"{name}_staged":
             raise RuntimeError(f"simulated crash at {name}_staged")
